@@ -1,0 +1,154 @@
+"""Runtime configuration: device mesh, dtypes, bucketing, compilation.
+
+TPU-native replacement for ``OrtSessionConfig`` + EP configuration
+(reference: oar-ocr-core/src/core/config/onnx.rs:159-320 and
+core/inference/ort_infer_config.rs:10-337). Where the reference picks
+execution providers and thread counts, we pick a `jax.sharding.Mesh`, compute
+dtype, and static-shape bucket tables (the core of the TPU dynamic-shape
+strategy — see SURVEY §2.1 "Dynamic batching").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from .validation import Rule, validate_config
+
+
+@dataclass(frozen=True)
+class BucketTable:
+    """Sorted static-shape buckets with recompile-on-miss semantics.
+
+    Every distinct padded shape is one compiled executable; the table bounds
+    the compile count while limiting padding waste. Replaces the reference's
+    per-batch ad-hoc pad-to-max (core/batch/mod.rs:215-453) and
+    ``AspectRatioBucketing`` (processors/aspect_ratio_bucketing.rs:15-147).
+    """
+
+    sizes: Tuple[int, ...]
+
+    def __post_init__(self):
+        object.__setattr__(self, "sizes", tuple(sorted(set(int(s) for s in self.sizes))))
+        if not self.sizes:
+            raise ValueError("BucketTable needs at least one size")
+
+    def bucket(self, value: int) -> int:
+        """Smallest bucket >= value; the largest bucket if none fits."""
+        for s in self.sizes:
+            if value <= s:
+                return s
+        return self.sizes[-1]
+
+    def bucket_index(self, value: int) -> int:
+        for i, s in enumerate(self.sizes):
+            if value <= s:
+                return i
+        return len(self.sizes) - 1
+
+
+def pow2_buckets(lo: int, hi: int) -> BucketTable:
+    """Power-of-two buckets in [lo, hi] (decoder_graph.rs:14 KV buckets)."""
+    sizes = []
+    s = lo
+    while s < hi:
+        sizes.append(s)
+        s *= 2
+    sizes.append(hi)
+    return BucketTable(tuple(sizes))
+
+
+# Default bucket tables.
+# Detector input sides: multiples of 32 spanning the default det presets
+# (limit_side_len 960 / max_side 4000 — core/constants.rs:15,11). Coarse
+# 320-px steps trade a little padding for few compiles.
+DET_SIDE_BUCKETS = BucketTable((320, 640, 960, 1280, 1600, 1920, 2560, 3200, 4000))
+# Recognizer widths at h=48 (rec shape [3,48,320] constants.rs:21, cap 3200
+# constants.rs:8). Derived from the reference bucketing defaults
+# (aspect_ratio_bucketing.rs:40-77) extended to the 3200 cap.
+REC_WIDTH_BUCKETS = BucketTable((160, 320, 480, 640, 960, 1280, 1920, 2560, 3200))
+# Recognition batch buckets: pad batch to one of these so the rec graph
+# compiles a handful of times (region_batch_size default 16/64).
+REC_BATCH_BUCKETS = BucketTable((8, 16, 32, 64, 128))
+DET_BATCH_BUCKETS = BucketTable((1, 2, 4, 8))
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout. Replaces EP device-id selection
+    (ort_infer_config.rs:101) with a named-axis mesh; the pipeline shards the
+    page/crop batch axis over ``data`` (SURVEY §2.7 — DP over ICI is the
+    primary v5e-8 strategy)."""
+
+    axes: Tuple[str, ...] = ("data",)
+    shape: Optional[Tuple[int, ...]] = None  # None → all local devices on axis 0
+
+    def build(self) -> jax.sharding.Mesh:
+        devices = np.array(jax.devices())
+        if self.shape is None:
+            shape = (len(devices),) + (1,) * (len(self.axes) - 1)
+        else:
+            shape = self.shape
+        return jax.sharding.Mesh(devices.reshape(shape), self.axes)
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    """Top-level runtime knobs (the `OrtSessionConfig` analog)."""
+
+    compute_dtype: str = "bfloat16"      # matmul/conv dtype on the MXU
+    param_dtype: str = "float32"         # storage dtype of weights
+    output_dtype: str = "float32"        # logits/prob maps returned to host
+    donate_inputs: bool = True           # donate device buffers on dispatch
+    det_side_buckets: BucketTable = DET_SIDE_BUCKETS
+    rec_width_buckets: BucketTable = REC_WIDTH_BUCKETS
+    rec_batch_buckets: BucketTable = REC_BATCH_BUCKETS
+    det_batch_buckets: BucketTable = DET_BATCH_BUCKETS
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    # Kill switches (reference keeps per-feature env kill switches,
+    # docs/environment-variables.md:5-30; here they are config fields with
+    # env overrides applied by `from_env`).
+    enable_pallas_kernels: bool = True
+    enable_async_dispatch: bool = True
+
+    RULES = {
+        "compute_dtype": Rule(choices=("bfloat16", "float32")),
+        "param_dtype": Rule(choices=("bfloat16", "float32")),
+        "output_dtype": Rule(choices=("bfloat16", "float32")),
+    }
+
+    def validate(self) -> None:
+        validate_config(self)
+
+    @staticmethod
+    def from_env(base: "RuntimeConfig" | None = None) -> "RuntimeConfig":
+        import os
+
+        cfg = base or RuntimeConfig()
+        updates = {}
+        if os.environ.get("OAR_TPU_DISABLE_PALLAS"):
+            updates["enable_pallas_kernels"] = False
+        if os.environ.get("OAR_TPU_DTYPE"):
+            updates["compute_dtype"] = os.environ["OAR_TPU_DTYPE"]
+        return dataclasses.replace(cfg, **updates) if updates else cfg
+
+
+@dataclass(frozen=True)
+class ParallelPolicy:
+    """Host-side parallelism thresholds (core/config/parallel.rs:11-27).
+
+    The reference gates rayon by element counts; we gate the host thread pool
+    used for image decode / geometry the same way.
+    """
+
+    min_elements: int = 1 << 20  # ~1 MiB of pixels before threading
+    max_workers: int = 8
+
+    RULES = {
+        "min_elements": Rule(min=0),
+        "max_workers": Rule(min=1, max=256),
+    }

@@ -1,0 +1,134 @@
+"""Fused on-device greedy CTC decode.
+
+TPU-native replacement for the reference's host CTC path, which copies the
+full (B, T, vocab) probability tensor off the inference engine — the copy
+"can exceed the inference time" (oar-ocr-core/src/core/inference/
+ort_infer_execution.rs:224-231) — and then argmaxes on CPU
+(processors/decode.rs:27-31,192-217).
+
+Here the argmax + dedup happen on device inside the recognition jit; the
+host receives only three (B, T) arrays (indices, max-probs, keep-mask) — a
+~vocab-fold bandwidth reduction (vocab is 6.9k–18.7k) — and performs pure
+dictionary lookup.
+
+Parity-critical semantics reproduced exactly (SURVEY §8):
+- per-timestep argmax with **last-max-wins** tie-break (decode.rs:27-31);
+  ``jnp.argmax`` is first-max-wins, so we argmax the reversed vocab axis.
+- keep a timestep iff idx != blank AND idx != prev_idx, where prev is the
+  previous *raw* timestep index (dedup before blank filtering,
+  decode.rs:192-217).
+- blank index 0 (decode.rs:348-365).
+- confidence = mean of kept-char probs, 0.0 if none kept (decode.rs:241-256).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class CTCRaw(NamedTuple):
+    """Device-side decode result, (B, T) each."""
+
+    indices: jax.Array    # int32 argmax index per timestep (last-max-wins)
+    probs: jax.Array      # float32 probability of the argmax class
+    keep: jax.Array       # bool: contributes a character
+
+
+def argmax_last(x: jax.Array, axis: int = -1) -> jax.Array:
+    """Argmax with last-max-wins tie-breaking (decode.rs:27-31)."""
+    n = x.shape[axis]
+    rev = jnp.flip(x, axis=axis)
+    return (n - 1) - jnp.argmax(rev, axis=axis).astype(jnp.int32)
+
+
+def ctc_greedy_decode(
+    probs: jax.Array,
+    *,
+    blank: int = 0,
+    valid_lengths: Optional[jax.Array] = None,
+    inputs_are_logits: bool = False,
+) -> CTCRaw:
+    """Greedy CTC decode of (B, T, V) probabilities, fully on device.
+
+    ``valid_lengths`` (B,) masks out pad timesteps of width-bucketed batches.
+    If ``inputs_are_logits``, max-prob is computed as exp(max - logsumexp)
+    without materializing the softmax.
+    """
+
+    b, t, v = probs.shape
+    idx = argmax_last(probs, axis=-1)                       # (B, T)
+    if inputs_are_logits:
+        m = jnp.max(probs, axis=-1)
+        p = jnp.exp(m - jax.nn.logsumexp(probs, axis=-1))
+    else:
+        p = jnp.take_along_axis(probs, idx[..., None], axis=-1)[..., 0]
+
+    prev = jnp.concatenate(
+        [jnp.full((b, 1), -1, jnp.int32), idx[:, :-1]], axis=1)
+    keep = (idx != blank) & (idx != prev)
+    if valid_lengths is not None:
+        tpos = jnp.arange(t, dtype=jnp.int32)[None, :]
+        keep = keep & (tpos < valid_lengths[:, None])
+    return CTCRaw(idx.astype(jnp.int32), p.astype(jnp.float32), keep)
+
+
+class CTCLabelDecoder:
+    """Host-side dictionary mapping (BaseRecLabelDecode, decode.rs:54).
+
+    vocab = ['\\0' blank] + dict chars (+ ' ' if use_space_char), blank index
+    0 (decode.rs:348-365). Emits text + confidence (+ per-char positions for
+    word boxes, the apply_with_positions variant decode.rs:452-496).
+    """
+
+    def __init__(self, charset: Sequence[str], *, use_space_char: bool = True):
+        chars = list(charset)
+        if use_space_char:
+            chars.append(" ")
+        self.charset: List[str] = chars
+        self.vocab_size = 1 + len(chars)  # +1 for blank at 0
+
+    def __call__(self, raw: CTCRaw | Tuple[np.ndarray, np.ndarray, np.ndarray]
+                 ) -> List[Tuple[str, float]]:
+        return [r[:2] for r in self.decode_with_positions(raw)]
+
+    def decode_with_positions(
+        self, raw
+    ) -> List[Tuple[str, float, List[int]]]:
+        """Returns (text, confidence, kept column indices) per sample."""
+        idx = np.asarray(raw[0])
+        prob = np.asarray(raw[1])
+        keep = np.asarray(raw[2])
+        out: List[Tuple[str, float, List[int]]] = []
+        for bi in range(idx.shape[0]):
+            cols = np.nonzero(keep[bi])[0]
+            chars = []
+            for c in cols:
+                ci = int(idx[bi, c]) - 1  # shift past blank
+                if 0 <= ci < len(self.charset):
+                    chars.append(self.charset[ci])
+                else:
+                    chars.append("")  # ignored token (out-of-dict id)
+            text = "".join(chars)
+            conf = float(prob[bi, cols].mean()) if cols.size else 0.0
+            out.append((text, conf, cols.tolist()))
+        return out
+
+
+def load_charset(path: str) -> List[str]:
+    """Load a PP-OCR dictionary file: one character per line
+    (utils/dict.rs:35)."""
+    with open(path, "r", encoding="utf-8") as f:
+        return [line.rstrip("\n") for line in f if line.rstrip("\n") != ""]
+
+
+@functools.lru_cache(maxsize=1)
+def default_charset() -> Tuple[str, ...]:
+    """Printable-ASCII fallback charset used when no dictionary file is
+    provided (development / tests). Real deployments load the model's dict
+    via :func:`load_charset`."""
+    return tuple(chr(c) for c in range(33, 127))

@@ -1,0 +1,216 @@
+"""OAROCR: the full det→rec pipeline with builder API.
+
+Re-expresses the reference's ``OAROCR``/``OAROCRBuilder``
+(oar-ocr/src/oarocr/ocr.rs:66-1233): text-type detection presets
+(:314-366), batched detection with per-image fallback (:561-592), global
+cross-image crop pooling with flush at 4096 (:594-658), wh-ratio-sorted
+recognition chunks (:802-897), and result assembly.
+
+TPU-first structure of one `predict` call:
+1. decode/accept host images, upload ONE padded uint8 page batch;
+2. detection: host plans matrices → one jitted program per shape bucket →
+   host contour geometry → sorted quads;
+3. recognition: all crops pooled across pages, sorted by aspect ratio
+   (ocr.rs:811) and chunked (:827); each chunk is one jitted
+   warp+rec+CTC program keyed by (batch bucket, width bucket);
+4. scatter texts back to per-page regions in detection order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.constants import MAX_POOLED_CROPS
+from ..core.types import BoxType, LimitType, ScoreMode
+from ..domain.text_region import OAROCRResult, TextRegion
+from ..errors import InvalidInputError
+from ..models.detection.detector import DBDetector
+from ..models.recognition.recognizer import CropPlan, CTCRecognizer
+from ..ops.resize import DetResizeConfig
+from ..processors.db_postprocess import DBPostProcessConfig
+from ..processors.geometry import order_quad_points
+from ..processors.sorting import sort_poly_boxes_indices, sort_quad_boxes_indices
+from ..runtime.runtime import Runtime, stack_padded
+from ..utils.tracing import stage_timer
+
+# Detection presets per text type (ocr.rs:314-366): (thresh, box_thresh,
+# unclip_ratio, limit_side_len, limit_type, box_type).
+TEXT_TYPE_PRESETS = {
+    "general": (0.3, 0.6, 2.0, 960, LimitType.MAX, BoxType.QUAD),
+    "table": (0.3, 0.4, 2.0, 960, LimitType.MAX, BoxType.QUAD),
+    "seal": (0.2, 0.6, 0.5, 736, LimitType.MIN, BoxType.POLY),
+}
+
+
+@dataclass
+class OAROCRConfig:
+    text_type: str = "general"
+    image_batch_size: int = 8           # det batch (accelerator default, ocr.rs:264-274)
+    region_batch_size: int = 64         # rec batch (accelerator default)
+    min_det_score: float = 0.0
+    use_textline_orientation: bool = False
+    max_side_len: int = 4000
+
+
+class OAROCR:
+    """The assembled pipeline. Use :class:`OAROCRBuilder` to construct."""
+
+    def __init__(self, detector: DBDetector, recognizer: CTCRecognizer,
+                 cfg: OAROCRConfig, runtime: Optional[Runtime] = None):
+        self.detector = detector
+        self.recognizer = recognizer
+        self.cfg = cfg
+        self.runtime = runtime or Runtime.default()
+
+    # ------------------------------------------------------------------
+    def predict(self, images: Sequence[np.ndarray]) -> List[OAROCRResult]:
+        """Run det+rec on a list of HWC uint8 RGB images."""
+
+        if not images:
+            return []
+        for im in images:
+            if im.ndim != 3 or im.shape[2] != 3 or im.dtype != np.uint8:
+                raise InvalidInputError(
+                    "images must be HWC uint8 RGB",
+                    shape=getattr(im, "shape", None),
+                    dtype=str(getattr(im, "dtype", None)))
+
+        shapes = [im.shape[:2] for im in images]
+        cfg = self.runtime.cfg
+        page_h = cfg.det_side_buckets.bucket(max(s[0] for s in shapes))
+        page_w = cfg.det_side_buckets.bucket(max(s[1] for s in shapes))
+        with stage_timer("ocr.upload"):
+            pages = self.runtime.put(stack_padded(list(images), (page_h, page_w)))
+
+        # --- detection, in image_batch_size chunks (ocr.rs:561-592) ---
+        results: List[OAROCRResult] = [
+            OAROCRResult(width=s[1], height=s[0]) for s in shapes
+        ]
+        per_page_boxes: List[List[np.ndarray]] = [[] for _ in images]
+        per_page_scores: List[List[float]] = [[] for _ in images]
+        bs = self.cfg.image_batch_size
+        for start in range(0, len(images), bs):
+            chunk = list(range(start, min(start + bs, len(images))))
+            det_out = self.detector.detect(
+                pages, [shapes[i] for i in chunk], page_indices=chunk)
+            for local_i, page_i in enumerate(chunk):
+                boxes, scores = det_out[local_i]
+                order = (sort_quad_boxes_indices(boxes)
+                         if self.detector.postprocess.cfg.box_type == BoxType.QUAD
+                         else sort_poly_boxes_indices(boxes))
+                per_page_boxes[page_i] = [boxes[i] for i in order]
+                per_page_scores[page_i] = [scores[i] for i in order]
+
+        # --- pool crops across pages (ocr.rs:594-658) ---
+        pool: List[Tuple[int, int, CropPlan]] = []  # (page, region_idx, plan)
+        for page_i, boxes in enumerate(per_page_boxes):
+            for region_i, box in enumerate(boxes):
+                quad = (order_quad_points(box) if box.shape == (4, 2)
+                        else order_quad_points(_poly_to_quad(box)))
+                pool.append((page_i, region_i,
+                             CropPlan.from_quad(page_i, quad)))
+
+        texts: dict = {}
+        for flush_start in range(0, len(pool), MAX_POOLED_CROPS):
+            batch = pool[flush_start : flush_start + MAX_POOLED_CROPS]
+            # sort by wh_ratio (ocr.rs:811) then fixed-size chunks (:827)
+            order = sorted(range(len(batch)),
+                           key=lambda i: batch[i][2].wh_ratio)
+            rbs = self.cfg.region_batch_size
+            for cs in range(0, len(order), rbs):
+                chunk_ids = order[cs : cs + rbs]
+                plans = [batch[i][2] for i in chunk_ids]
+                decoded = self.recognizer.recognize_chunk(pages, plans)
+                for i, (text, conf, cols) in zip(chunk_ids, decoded):
+                    page_i, region_i, _ = batch[i]
+                    texts[(page_i, region_i)] = (text, conf)
+
+        # --- assemble (ocr.rs:899 ff.) ---
+        for page_i, res in enumerate(results):
+            for region_i, box in enumerate(per_page_boxes[page_i]):
+                text, conf = texts.get((page_i, region_i), ("", 0.0))
+                res.regions.append(TextRegion(
+                    box=box, text=text, confidence=conf,
+                    det_score=per_page_scores[page_i][region_i]))
+        return results
+
+
+def _poly_to_quad(poly: np.ndarray) -> np.ndarray:
+    """Min-area quad of a polygon box (for cropping poly detections)."""
+    import cv2
+
+    rect = cv2.minAreaRect(np.asarray(poly, np.float32))
+    return cv2.boxPoints(rect).astype(np.float32)
+
+
+class OAROCRBuilder:
+    """Fluent builder mirroring OAROCRBuilder (ocr.rs:438-1233)."""
+
+    def __init__(self, text_type: str = "general"):
+        if text_type not in TEXT_TYPE_PRESETS:
+            raise InvalidInputError("unknown text_type", text_type=text_type)
+        self._cfg = OAROCRConfig(text_type=text_type)
+        thresh, box_thresh, unclip, side, limit_type, box_type = (
+            TEXT_TYPE_PRESETS[text_type])
+        self._det_post = DBPostProcessConfig(
+            thresh=thresh, box_thresh=box_thresh, unclip_ratio=unclip,
+            box_type=box_type)
+        self._det_resize = DetResizeConfig(
+            limit_side_len=side, limit_type=limit_type)
+        self._charset: Optional[Sequence[str]] = None
+        self._det_params = None
+        self._rec_params = None
+        self._runtime: Optional[Runtime] = None
+
+    def with_det_config(self, **kwargs) -> "OAROCRBuilder":
+        self._det_post = dataclasses.replace(self._det_post, **{
+            k: v for k, v in kwargs.items()
+            if k in {f.name for f in dataclasses.fields(DBPostProcessConfig)}})
+        resize_keys = {f.name for f in dataclasses.fields(DetResizeConfig)}
+        rk = {k: v for k, v in kwargs.items() if k in resize_keys}
+        if rk:
+            self._det_resize = dataclasses.replace(self._det_resize, **rk)
+        return self
+
+    def with_charset(self, charset: Sequence[str]) -> "OAROCRBuilder":
+        self._charset = charset
+        return self
+
+    def with_charset_file(self, path: str) -> "OAROCRBuilder":
+        from ..ops.ctc import load_charset
+
+        self._charset = load_charset(path)
+        return self
+
+    def with_det_params(self, params) -> "OAROCRBuilder":
+        self._det_params = params
+        return self
+
+    def with_rec_params(self, params) -> "OAROCRBuilder":
+        self._rec_params = params
+        return self
+
+    def with_runtime(self, runtime: Runtime) -> "OAROCRBuilder":
+        self._runtime = runtime
+        return self
+
+    def with_batch_sizes(self, image: Optional[int] = None,
+                         region: Optional[int] = None) -> "OAROCRBuilder":
+        if image is not None:
+            self._cfg.image_batch_size = image
+        if region is not None:
+            self._cfg.region_batch_size = region
+        return self
+
+    def build(self) -> OAROCR:
+        runtime = self._runtime or Runtime.default()
+        detector = DBDetector(
+            self._det_params, resize_cfg=self._det_resize,
+            post_cfg=self._det_post, runtime=runtime)
+        recognizer = CTCRecognizer(
+            self._rec_params, charset=self._charset, runtime=runtime)
+        return OAROCR(detector, recognizer, self._cfg, runtime)

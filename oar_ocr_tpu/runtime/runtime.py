@@ -1,0 +1,123 @@
+"""Model runtime: params on device + jitted executables per shape bucket.
+
+TPU-native replacement for the reference's ``OrtInfer`` engine
+(oar-ocr-core/src/core/inference/mod.rs:31, ort_infer_execution.rs:121-305).
+The mapping:
+
+- ONNX ``Session``            → a flax module + converted params on device
+- session pool (``Vec<Mutex<Session>>``, round-robin)
+                              → jax's executable cache: one compiled XLA
+                                program per (function, bucketed shape);
+                                dispatch is async and reentrant, so no pool
+                                or locks are needed
+- ``infer_first_output_f32`` zero-copy
+                              → outputs stay on device; only decode-reduced
+                                arrays are fetched (ops/ctc.py)
+- EP configuration            → RuntimeConfig (dtype, mesh, buckets)
+
+``ModelRuntime`` wraps one model: it owns the params, casts inputs to the
+compute dtype, and exposes ``apply`` whose jit cache is keyed by the padded
+bucket shapes the callers feed it.
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.runtime import RuntimeConfig
+from ..errors import InferenceError, ModelLoadError
+from ..utils.tracing import stage_timer
+
+
+class Runtime:
+    """Process-wide device context (devices, dtype policy, upload helpers)."""
+
+    _default: Optional["Runtime"] = None
+    _lock = threading.Lock()
+
+    def __init__(self, cfg: Optional[RuntimeConfig] = None):
+        self.cfg = RuntimeConfig.from_env(cfg)
+        self.cfg.validate()
+        self.devices = jax.devices()
+        self.device = self.devices[0]
+
+    @classmethod
+    def default(cls) -> "Runtime":
+        with cls._lock:
+            if cls._default is None:
+                cls._default = Runtime()
+            return cls._default
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def put(self, array: np.ndarray) -> jax.Array:
+        """Upload a host array to the primary device."""
+        return jax.device_put(array, self.device)
+
+
+class ModelRuntime:
+    """One model's params + jitted apply (the per-model `Session` analog)."""
+
+    def __init__(self, module, params, *, runtime: Optional[Runtime] = None,
+                 name: str = "model"):
+        self.module = module
+        self.runtime = runtime or Runtime.default()
+        self.name = name
+        self.params = jax.device_put(params, self.runtime.device)
+        self._apply = jax.jit(self._apply_impl)
+
+    def _apply_impl(self, params, x):
+        return self.module.apply(params, x)
+
+    def apply(self, x: jax.Array) -> jax.Array:
+        """Run the model; jit compiles once per input bucket shape."""
+        with stage_timer(f"{self.name}.apply", shape=tuple(x.shape)):
+            try:
+                return self._apply(self.params, x)
+            except Exception as e:  # pragma: no cover - device failure path
+                raise InferenceError(
+                    "model execution failed", model=self.name,
+                    input_shape=tuple(x.shape)) from e
+
+    def init_random(self, rng_seed: int, example: np.ndarray):
+        """Development-mode random init (no converted weights available)."""
+        rng = jax.random.PRNGKey(rng_seed)
+        return self.module.init(rng, jnp.asarray(example))
+
+
+def init_params(module, example_shape, *, seed: int = 0, dtype=jnp.float32):
+    """Initialize a flax module's params for an example input shape."""
+    rng = jax.random.PRNGKey(seed)
+    x = jnp.zeros(example_shape, dtype)
+    return module.init(rng, x)
+
+
+def pad_to(arr: np.ndarray, shape: Tuple[int, ...], value=0) -> np.ndarray:
+    """Zero-pad a host array up to ``shape`` (no-op when equal)."""
+    if tuple(arr.shape) == tuple(shape):
+        return arr
+    pads = [(0, t - s) for s, t in zip(arr.shape, shape)]
+    if any(p[1] < 0 for p in pads):
+        raise ValueError(f"cannot pad {arr.shape} to smaller {shape}")
+    return np.pad(arr, pads, constant_values=value)
+
+
+def stack_padded(images, target_hw: Tuple[int, int]) -> np.ndarray:
+    """Stack variable-size HWC uint8 images into (N, H, W, C) zero-padded."""
+    n = len(images)
+    h, w = target_hw
+    c = images[0].shape[2] if images[0].ndim == 3 else 1
+    out = np.zeros((n, h, w, c), dtype=np.uint8)
+    for i, img in enumerate(images):
+        ih, iw = img.shape[:2]
+        out[i, :ih, :iw] = img if img.ndim == 3 else img[..., None]
+    return out

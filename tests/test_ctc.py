@@ -1,0 +1,73 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oar_ocr_tpu.ops.ctc import (CTCLabelDecoder, argmax_last,
+                                 ctc_greedy_decode, default_charset)
+
+
+def test_argmax_last_tiebreak():
+    """decode.rs:27-31 — ties resolve to the LAST max index."""
+    x = jnp.array([[1.0, 3.0, 3.0, 2.0]])
+    assert int(argmax_last(x)[0]) == 2
+    y = jnp.array([[5.0, 5.0, 5.0]])
+    assert int(argmax_last(y)[0]) == 2
+
+
+def test_greedy_decode_dedup_and_blank():
+    """keep iff idx != blank and idx != prev (dedup before blank filter)."""
+    # timeline: a a blank a b b  → "aab"
+    v = 4  # blank, a, b, c
+    seq = [1, 1, 0, 1, 2, 2]
+    probs = np.full((1, len(seq), v), 0.01, np.float32)
+    for t, s in enumerate(seq):
+        probs[0, t, s] = 0.9
+    raw = ctc_greedy_decode(jnp.asarray(probs))
+    np.testing.assert_array_equal(
+        np.asarray(raw.keep)[0], [True, False, False, True, True, False])
+    dec = CTCLabelDecoder(["a", "b", "c"], use_space_char=False)
+    [(text, conf)] = dec(tuple(np.asarray(a) for a in raw))
+    assert text == "aab"
+    assert conf == pytest.approx(0.9, abs=1e-5)
+
+
+def test_confidence_zero_when_empty():
+    probs = np.zeros((1, 3, 4), np.float32)
+    probs[:, :, 0] = 1.0  # all blank
+    raw = ctc_greedy_decode(jnp.asarray(probs))
+    dec = CTCLabelDecoder(["a", "b", "c"], use_space_char=False)
+    [(text, conf)] = dec(tuple(np.asarray(a) for a in raw))
+    assert text == "" and conf == 0.0
+
+
+def test_valid_length_masking():
+    probs = np.zeros((1, 4, 3), np.float32)
+    probs[0, :, 1] = 1.0
+    probs[0, 1, 1] = 0.0
+    probs[0, 1, 2] = 1.0
+    raw = ctc_greedy_decode(jnp.asarray(probs),
+                            valid_lengths=jnp.array([2]))
+    # only first 2 timesteps can contribute
+    assert np.asarray(raw.keep)[0, 2:].sum() == 0
+
+
+def test_logits_path_matches_probs():
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(2, 5, 7)).astype(np.float32)
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    a = ctc_greedy_decode(jnp.asarray(logits), inputs_are_logits=True)
+    b = ctc_greedy_decode(jnp.asarray(probs))
+    np.testing.assert_array_equal(np.asarray(a.indices), np.asarray(b.indices))
+    np.testing.assert_allclose(np.asarray(a.probs), np.asarray(b.probs),
+                               atol=1e-4)
+
+
+def test_space_char_appended():
+    dec = CTCLabelDecoder(["a"], use_space_char=True)
+    assert dec.charset == ["a", " "]
+    assert dec.vocab_size == 3
+
+
+def test_default_charset_printable():
+    cs = default_charset()
+    assert "A" in cs and "0" in cs and " " not in cs

@@ -1,0 +1,81 @@
+"""End-to-end pipeline smoke tests with random-init weights.
+
+Mirrors the reference's tiny-image pipeline-invariant tests (SURVEY §4) —
+no real model weights needed; asserts plumbing, shapes, ordering, and that
+every stage composes on the CPU backend.
+"""
+
+import numpy as np
+import pytest
+
+from oar_ocr_tpu.errors import InvalidInputError
+from oar_ocr_tpu.pipelines.ocr import OAROCR, OAROCRBuilder, TEXT_TYPE_PRESETS
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    return (OAROCRBuilder("general")
+            .with_batch_sizes(image=2, region=8)
+            .build())
+
+
+def _doc_image(rng, h=200, w=300):
+    """White page with dark text-like bars (detectable by any net is not
+    guaranteed with random weights — we only assert plumbing)."""
+    img = np.full((h, w, 3), 255, np.uint8)
+    img[40:60, 30:200] = 20
+    img[100:118, 30:260] = 20
+    return img
+
+
+def test_predict_returns_results(pipeline, rng):
+    imgs = [_doc_image(rng), _doc_image(rng, 160, 240)]
+    results = pipeline.predict(imgs)
+    assert len(results) == 2
+    assert results[0].width == 300 and results[0].height == 200
+    for res in results:
+        for region in res.regions:
+            assert region.text is not None
+            assert 0.0 <= (region.confidence or 0.0) <= 1.0
+            assert region.box.shape[-1] == 2
+
+
+def test_predict_empty(pipeline):
+    assert pipeline.predict([]) == []
+
+
+def test_predict_rejects_bad_input(pipeline):
+    with pytest.raises(InvalidInputError):
+        pipeline.predict([np.zeros((10, 10), np.uint8)])
+    with pytest.raises(InvalidInputError):
+        pipeline.predict([np.zeros((10, 10, 3), np.float32)])
+
+
+def test_text_type_presets():
+    assert set(TEXT_TYPE_PRESETS) == {"general", "table", "seal"}
+    b = OAROCRBuilder("table")
+    assert b._det_post.box_thresh == 0.4
+    s = OAROCRBuilder("seal")
+    assert s._det_resize.limit_side_len == 736
+    with pytest.raises(InvalidInputError):
+        OAROCRBuilder("bogus")
+
+
+def test_builder_config_overrides():
+    b = (OAROCRBuilder("general")
+         .with_det_config(box_thresh=0.55, limit_side_len=640)
+         .with_charset(["a", "b", "c"]))
+    assert b._det_post.box_thresh == 0.55
+    assert b._det_resize.limit_side_len == 640
+    p = b.build()
+    assert p.recognizer.decoder.vocab_size == 5  # 3 chars + space + blank
+
+
+def test_detector_standalone(pipeline, rng):
+    imgs = [_doc_image(rng)]
+    out = pipeline.detector.detect_images(imgs)
+    assert len(out) == 1
+    boxes, scores = out[0]
+    assert len(boxes) == len(scores)
+    for b in boxes:
+        assert b[:, 0].max() <= 300 and b[:, 1].max() <= 200

@@ -1,0 +1,115 @@
+import cv2
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oar_ocr_tpu.ops.warp import (NormSpec, build_rec_crop_matrix,
+                                  crop_geometry, resize_matrix,
+                                  sample_transform, warp_crops)
+
+
+def _page(rng, h=120, w=160):
+    return rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+
+
+def test_resize_matrix_matches_cv2(rng):
+    img = _page(rng)
+    dst_h, dst_w = 60, 80
+    ref = cv2.resize(img, (dst_w, dst_h), interpolation=cv2.INTER_LINEAR)
+
+    pages = jnp.asarray(img[None])
+    mats = jnp.asarray(resize_matrix(120, 160, dst_h, dst_w)[None])
+    out = sample_transform(
+        pages, mats, jnp.zeros(1, jnp.int32),
+        jnp.array([dst_w], jnp.int32), jnp.array([dst_h], jnp.int32),
+        out_h=dst_h, out_w=dst_w, norm=NormSpec.identity())
+    out = np.asarray(out)[0]
+    # interior must match cv2 bilinear closely (borders differ ≤1px clamp)
+    # interior matches cv2 bilinear up to uint8 rounding of cv2's output
+    diff = np.abs(np.round(out[1:-1, 1:-1]) - ref[1:-1, 1:-1].astype(np.float32))
+    assert diff.mean() < 0.2
+    assert np.median(diff) == 0.0
+
+
+def test_axis_aligned_crop(rng):
+    img = _page(rng)
+    quad = np.array([[20, 30], [116, 30], [116, 62], [20, 62]], np.float32)
+    cw, ch, rot = crop_geometry(quad)
+    assert (cw, ch, rot) == (96, 32, False)
+    w = int(np.ceil(48 * cw / ch))  # 144
+    mat, rotated = build_rec_crop_matrix(quad, w, 48)
+    assert not rotated
+
+    pages = jnp.asarray(img[None])
+    out = warp_crops(pages, jnp.asarray(mat[None]), jnp.zeros(1, jnp.int32),
+                     jnp.array([w], jnp.int32), out_h=48, out_w=160,
+                     normalize=False)
+    out = np.asarray(out)[0]
+    # padding beyond valid_w is zero
+    assert np.abs(out[:, w:]).max() == 0.0
+    # reference: crop then resize with cv2
+    crop = cv2.warpPerspective(
+        img, cv2.getPerspectiveTransform(
+            quad, np.array([[0, 0], [cw, 0], [cw, ch], [0, ch]], np.float32)),
+        (cw, ch))
+    ref = cv2.resize(crop, (w, 48), interpolation=cv2.INTER_LINEAR)
+    # BGR swap in warp_crops is off only when normalize=False? No: swap is
+    # part of NormSpec.rec_bgr; identity keeps RGB. Compare directly.
+    diff = np.abs(out[2:-2, 2 : w - 2] - ref[2:-2, 2 : w - 2].astype(np.float32))
+    assert diff.mean() < 2.0
+
+
+def test_tall_crop_rotates():
+    quad = np.array([[10, 10], [30, 10], [30, 100], [10, 100]], np.float32)
+    cw, ch, rot = crop_geometry(quad)
+    assert rot  # 90 >= 20*1.5
+    # effective ratio after rotation: w=ch, h=cw
+    assert ch > cw
+
+
+def test_rotated_crop_content(rng):
+    """A tall crop is rotated 90° CCW: the quad's TR corner region appears
+    at the tile's top-left."""
+    img = np.zeros((120, 160, 3), np.uint8)
+    # paint the quad region with a horizontal gradient
+    img[10:100, 10:30] = np.linspace(10, 250, 20)[None, :, None].astype(np.uint8)
+    quad = np.array([[10, 10], [29, 10], [29, 99], [10, 99]], np.float32)
+    w = 100
+    mat, rotated = build_rec_crop_matrix(quad, w, 48)
+    assert rotated
+    out = np.asarray(warp_crops(
+        jnp.asarray(img[None]), jnp.asarray(mat[None]),
+        jnp.zeros(1, jnp.int32), jnp.array([w], jnp.int32),
+        out_h=48, out_w=128, normalize=False))[0]
+    # After 90° CCW rotation the gradient (which ran along source x) runs
+    # along the tile's -y axis: columns are constant, rows vary.
+    col_var = out[:, 5:90, 0].std(axis=0).mean()
+    row_var = out[:, 5:90, 0].std(axis=1).mean()
+    assert col_var > row_var * 3
+
+
+def test_normalization_fused(rng):
+    img = np.full((64, 64, 3), 255, np.uint8)
+    img[:, :, 0] = 0  # R=0, G=B=255
+    quad = np.array([[0, 0], [63, 0], [63, 31], [0, 31]], np.float32)
+    mat, _ = build_rec_crop_matrix(quad, 96, 48)
+    out = np.asarray(warp_crops(
+        jnp.asarray(img[None]), jnp.asarray(mat[None]),
+        jnp.zeros(1, jnp.int32), jnp.array([96], jnp.int32),
+        out_h=48, out_w=96, normalize=True))[0]
+    # BGR order: channel 0 = B = 255 → 1.0; channel 2 = R = 0 → -1.0
+    assert out[10, 10, 0] == pytest.approx(1.0, abs=0.02)
+    assert out[10, 10, 2] == pytest.approx(-1.0, abs=0.02)
+
+
+def test_multi_image_indexing(rng):
+    imgs = np.stack([np.full((32, 32, 3), 50, np.uint8),
+                     np.full((32, 32, 3), 200, np.uint8)])
+    quad = np.array([[0, 0], [31, 0], [31, 15], [0, 15]], np.float32)
+    mat, _ = build_rec_crop_matrix(quad, 64, 48)
+    mats = jnp.asarray(np.stack([mat, mat]))
+    out = np.asarray(warp_crops(
+        jnp.asarray(imgs), mats, jnp.array([0, 1], jnp.int32),
+        jnp.array([64, 64], jnp.int32), out_h=48, out_w=64, normalize=False))
+    assert abs(out[0, 5, 5, 0] - 50) < 1
+    assert abs(out[1, 5, 5, 0] - 200) < 1
