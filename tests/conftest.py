@@ -3,15 +3,21 @@
 Mirrors the reference's no-model CI stance (SURVEY §4: tests run without
 real hardware/models); multi-chip sharding is validated on a virtual CPU
 mesh per the build contract (__graft_entry__.dryrun_multichip).
+
+Note: this environment's sitecustomize registers the axon TPU backend at
+interpreter start and forces the platform, so plain env vars in conftest
+are too late — we override via jax.config before any backend is touched.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
