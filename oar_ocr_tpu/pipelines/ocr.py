@@ -52,6 +52,8 @@ class OAROCRConfig:
     image_batch_size: int = 8           # det batch (accelerator default, ocr.rs:264-274)
     region_batch_size: int = 64         # rec batch (accelerator default)
     min_det_score: float = 0.0
+    use_doc_orientation: bool = False
+    use_doc_rectification: bool = False
     use_textline_orientation: bool = False
     max_side_len: int = 4000
 
@@ -60,11 +62,14 @@ class OAROCR:
     """The assembled pipeline. Use :class:`OAROCRBuilder` to construct."""
 
     def __init__(self, detector: DBDetector, recognizer: CTCRecognizer,
-                 cfg: OAROCRConfig, runtime: Optional[Runtime] = None):
+                 cfg: OAROCRConfig, runtime: Optional[Runtime] = None,
+                 preprocessor=None, line_orienter=None):
         self.detector = detector
         self.recognizer = recognizer
         self.cfg = cfg
         self.runtime = runtime or Runtime.default()
+        self.preprocessor = preprocessor
+        self.line_orienter = line_orienter
 
     # ------------------------------------------------------------------
     def predict(self, images: Sequence[np.ndarray]) -> List[OAROCRResult]:
@@ -78,6 +83,13 @@ class OAROCR:
                     "images must be HWC uint8 RGB",
                     shape=getattr(im, "shape", None),
                     dtype=str(getattr(im, "dtype", None)))
+
+        # --- optional orientation / rectification chain ---
+        orig_shapes = [im.shape[:2] for im in images]
+        pre_pages = None
+        if self.preprocessor is not None:
+            pre_pages = self.preprocessor.preprocess(images)
+            images = [p.image for p in pre_pages]
 
         shapes = [im.shape[:2] for im in images]
         cfg = self.runtime.cfg
@@ -114,6 +126,19 @@ class OAROCR:
                 pool.append((page_i, region_i,
                              CropPlan.from_quad(page_i, quad)))
 
+        # --- textline orientation: rotate flagged crops 180° by composing
+        # the flip into the sampling matrix (ocr.rs:755-788) ---
+        line_angles: dict = {}
+        if self.line_orienter is not None and pool:
+            quads = [(p.page_index, p.quad) for _, _, p in pool]
+            cls = self.line_orienter.classify_quads(pages, quads)
+            for (page_i, region_i, plan), (c, _score) in zip(pool, cls):
+                if c == 1:
+                    plan.matrix = _compose_rot180(plan.matrix, plan.width)
+                    line_angles[(page_i, region_i)] = 180
+                else:
+                    line_angles[(page_i, region_i)] = 0
+
         texts: dict = {}
         for flush_start in range(0, len(pool), MAX_POOLED_CROPS):
             batch = pool[flush_start : flush_start + MAX_POOLED_CROPS]
@@ -129,14 +154,43 @@ class OAROCR:
                     page_i, region_i, _ = batch[i]
                     texts[(page_i, region_i)] = (text, conf)
 
-        # --- assemble (ocr.rs:899 ff.) ---
+        # --- assemble; map geometry back to the ORIGINAL frame when an
+        # orientation correction was applied and no rectification broke the
+        # mapping (ocr.rs:899, geometry.rs:848, preprocess.rs:10-12) ---
+        from ..processors.geometry import rotate_points_back
+
         for page_i, res in enumerate(results):
+            back_angle = None
+            if pre_pages is not None:
+                page = pre_pages[page_i]
+                if page.orientation is not None:
+                    res.orientation_angle = page.orientation.angle
+                res.rectified = page.rectified
+                if (page.orientation is not None
+                        and page.orientation.angle != 0 and page.can_map_back):
+                    back_angle = (360 - page.orientation.angle) % 360
+                    res.height, res.width = orig_shapes[page_i]
             for region_i, box in enumerate(per_page_boxes[page_i]):
                 text, conf = texts.get((page_i, region_i), ("", 0.0))
+                if back_angle is not None:
+                    box = rotate_points_back(
+                        box, back_angle, shapes[page_i][1], shapes[page_i][0])
                 res.regions.append(TextRegion(
                     box=box, text=text, confidence=conf,
-                    det_score=per_page_scores[page_i][region_i]))
+                    det_score=per_page_scores[page_i][region_i],
+                    orientation_angle=line_angles.get((page_i, region_i))))
         return results
+
+
+def _compose_rot180(matrix: np.ndarray, valid_w: int) -> np.ndarray:
+    """Compose a 180° in-tile rotation into a tile→page sampling matrix
+    (equivalent to the reference's crop rotate180, ocr.rs:785)."""
+    from ..core.constants import REC_IMAGE_SHAPE
+
+    f = np.array([[-1.0, 0.0, valid_w - 1.0],
+                  [0.0, -1.0, REC_IMAGE_SHAPE[1] - 1.0],
+                  [0.0, 0.0, 1.0]], np.float64)
+    return (matrix.astype(np.float64) @ f).astype(np.float32)
 
 
 def _poly_to_quad(poly: np.ndarray) -> np.ndarray:
@@ -206,6 +260,18 @@ class OAROCRBuilder:
             self._cfg.region_batch_size = region
         return self
 
+    def with_doc_orientation(self, enable: bool = True) -> "OAROCRBuilder":
+        self._cfg.use_doc_orientation = enable
+        return self
+
+    def with_doc_rectification(self, enable: bool = True) -> "OAROCRBuilder":
+        self._cfg.use_doc_rectification = enable
+        return self
+
+    def with_textline_orientation(self, enable: bool = True) -> "OAROCRBuilder":
+        self._cfg.use_textline_orientation = enable
+        return self
+
     def build(self) -> OAROCR:
         runtime = self._runtime or Runtime.default()
         detector = DBDetector(
@@ -213,4 +279,19 @@ class OAROCRBuilder:
             post_cfg=self._det_post, runtime=runtime)
         recognizer = CTCRecognizer(
             self._rec_params, charset=self._charset, runtime=runtime)
-        return OAROCR(detector, recognizer, self._cfg, runtime)
+        preprocessor = None
+        if self._cfg.use_doc_orientation or self._cfg.use_doc_rectification:
+            from .preprocess import DocumentPreprocessor
+
+            preprocessor = DocumentPreprocessor(
+                use_orientation=self._cfg.use_doc_orientation,
+                use_rectification=self._cfg.use_doc_rectification,
+                runtime=runtime)
+        line_orienter = None
+        if self._cfg.use_textline_orientation:
+            from ..models.classification.pp_lcnet import (
+                textline_orientation_classifier)
+
+            line_orienter = textline_orientation_classifier(runtime=runtime)
+        return OAROCR(detector, recognizer, self._cfg, runtime,
+                      preprocessor=preprocessor, line_orienter=line_orienter)

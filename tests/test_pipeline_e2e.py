@@ -79,3 +79,19 @@ def test_detector_standalone(pipeline, rng):
     assert len(boxes) == len(scores)
     for b in boxes:
         assert b[:, 0].max() <= 300 and b[:, 1].max() <= 200
+
+
+def test_pipeline_with_preprocessing_and_lineori(rng):
+    pipe = (OAROCRBuilder("general")
+            .with_doc_orientation()
+            .with_textline_orientation()
+            .with_det_config(box_thresh=0.05, thresh=0.45)
+            .with_batch_sizes(image=2, region=8)
+            .build())
+    imgs = [_doc_image(rng)]
+    results = pipe.predict(imgs)
+    assert len(results) == 1
+    res = results[0]
+    assert res.orientation_angle in (0, 90, 180, 270)
+    for region in res.regions:
+        assert region.orientation_angle in (0, 180)
