@@ -91,6 +91,11 @@ LAYOUT_VARIANTS: Dict[str, LayoutVariant] = {
         LayoutVariant("pp-doclayoutv3", "pp-doclayout",
                       tuple(_DOCLAYOUT_V2_25), (800, 800),
                       imagenet_norm=False),
+        # table cell detectors (task TableCellDetection; RT-DETR based)
+        LayoutVariant("rt-detr-l_wired_table_cell_det", "rtdetr",
+                      ("cell",), (640, 640)),
+        LayoutVariant("rt-detr-l_wireless_table_cell_det", "rtdetr",
+                      ("cell",), (640, 640)),
     ]
 }
 

@@ -1,0 +1,355 @@
+"""Structure-analysis result types and export (markdown / HTML / JSON).
+
+Re-expresses the reference's domain/structure.rs (2,799 LoC): LayoutElement
++ LayoutElementType taxonomy (:1873, :1983 — ~40 labels, from_label :2103,
+should_ocr :2274), StructureResult (:374) with to_markdown (:471), to_html
+(:903), to_json_value (:1052), save_results (:1072),
+concatenate_markdown_pages (:1223), text/markdown postprocessing
+(:1563, :1731), overlap removal (:2305), label fixes (:2343), TableResult
+(:2393), RegionBlock (:311), PageContinuationFlags (:331).
+
+Pure host code: assembly and serialization of pipeline outputs.
+"""
+
+from __future__ import annotations
+
+import enum
+import json
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class LayoutElementType(enum.Enum):
+    """Canonical layout element taxonomy (structure.rs:1983)."""
+
+    TEXT = "text"
+    PARAGRAPH_TITLE = "paragraph_title"
+    DOC_TITLE = "doc_title"
+    FIGURE_TITLE = "figure_title"
+    TABLE_TITLE = "table_title"
+    CHART_TITLE = "chart_title"
+    ABSTRACT = "abstract"
+    CONTENT = "content"
+    LIST = "list"
+    NUMBER = "number"
+    REFERENCE = "reference"
+    REFERENCE_CONTENT = "reference_content"
+    FOOTNOTE = "footnote"
+    HEADER = "header"
+    FOOTER = "footer"
+    HEADER_IMAGE = "header_image"
+    FOOTER_IMAGE = "footer_image"
+    ALGORITHM = "algorithm"
+    FORMULA = "formula"
+    DISPLAY_FORMULA = "display_formula"
+    INLINE_FORMULA = "inline_formula"
+    FORMULA_NUMBER = "formula_number"
+    IMAGE = "image"
+    FIGURE = "figure"
+    CHART = "chart"
+    TABLE = "table"
+    SEAL = "seal"
+    ASIDE_TEXT = "aside_text"
+    VERTICAL_TEXT = "vertical_text"
+    VISION_FOOTNOTE = "vision_footnote"
+    REGION = "region"
+    TITLE = "title"
+    UNKNOWN = "unknown"
+
+    @classmethod
+    def from_label(cls, label: str) -> "LayoutElementType":
+        """structure.rs:2103 — tolerant label parsing."""
+        norm = label.strip().lower().replace("-", "_").replace(" ", "_")
+        for t in cls:
+            if t.value == norm:
+                return t
+        return cls.UNKNOWN
+
+    @property
+    def is_title(self) -> bool:
+        return self in (LayoutElementType.DOC_TITLE,
+                        LayoutElementType.PARAGRAPH_TITLE,
+                        LayoutElementType.TITLE)
+
+    @property
+    def is_formula(self) -> bool:
+        return self in (LayoutElementType.FORMULA,
+                        LayoutElementType.DISPLAY_FORMULA,
+                        LayoutElementType.INLINE_FORMULA)
+
+    @property
+    def is_image_like(self) -> bool:
+        return self in (LayoutElementType.IMAGE, LayoutElementType.FIGURE,
+                        LayoutElementType.CHART,
+                        LayoutElementType.HEADER_IMAGE,
+                        LayoutElementType.FOOTER_IMAGE)
+
+    @property
+    def should_ocr(self) -> bool:
+        """structure.rs:2274 — tables/images/seals/formulas skip overall OCR."""
+        return not (self.is_image_like or self.is_formula or self in (
+            LayoutElementType.TABLE, LayoutElementType.SEAL,
+            LayoutElementType.REGION))
+
+    @property
+    def excluded_from_markdown(self) -> bool:
+        return self in (LayoutElementType.HEADER, LayoutElementType.FOOTER,
+                        LayoutElementType.NUMBER,
+                        LayoutElementType.HEADER_IMAGE,
+                        LayoutElementType.FOOTER_IMAGE)
+
+
+@dataclass
+class TableResult:
+    """structure.rs:2393 — one analyzed table."""
+
+    html: str
+    cell_boxes: Optional[np.ndarray] = None       # (N, 4) xyxy page coords
+    structure_score: float = 0.0
+    is_wired: Optional[bool] = None
+
+    def to_json(self) -> dict:
+        return {
+            "html": self.html,
+            "cell_boxes": self.cell_boxes.tolist()
+            if self.cell_boxes is not None else None,
+            "structure_score": self.structure_score,
+            "is_wired": self.is_wired,
+        }
+
+
+@dataclass
+class LayoutElement:
+    """structure.rs:1873 — one layout region with recognized content."""
+
+    element_type: LayoutElementType
+    box: np.ndarray                               # (4,) xyxy
+    score: float = 0.0
+    text: Optional[str] = None
+    table: Optional[TableResult] = None
+    formula_latex: Optional[str] = None
+    order_index: Optional[float] = None
+    text_regions: List = field(default_factory=list)  # stitched TextRegions
+
+    @property
+    def xyxy(self) -> Tuple[float, float, float, float]:
+        b = np.asarray(self.box, np.float32).reshape(4)
+        return float(b[0]), float(b[1]), float(b[2]), float(b[3])
+
+    def to_json(self) -> dict:
+        return {
+            "type": self.element_type.value,
+            "box": np.asarray(self.box).reshape(4).tolist(),
+            "score": self.score,
+            "text": self.text,
+            "table": self.table.to_json() if self.table else None,
+            "formula": self.formula_latex,
+            "order_index": self.order_index,
+        }
+
+
+@dataclass
+class RegionBlock:
+    """structure.rs:311 — coarse region grouping from PP-DocBlockLayout."""
+
+    box: np.ndarray
+    element_indices: List[int] = field(default_factory=list)
+
+
+@dataclass
+class PageContinuationFlags:
+    """structure.rs:331 — hints for cross-page markdown concatenation."""
+
+    starts_mid_paragraph: bool = False
+    ends_mid_paragraph: bool = False
+
+
+@dataclass
+class StructureResult:
+    """structure.rs:374 — full structure analysis of one page."""
+
+    elements: List[LayoutElement] = field(default_factory=list)
+    width: int = 0
+    height: int = 0
+    source_path: Optional[str] = None
+    continuation: PageContinuationFlags = field(
+        default_factory=PageContinuationFlags)
+    error: Optional[str] = None
+
+    # ---------------- markdown (structure.rs:471) ----------------
+    def to_markdown(self) -> str:
+        parts: List[str] = []
+        for el in self.elements:
+            t = el.element_type
+            if t.excluded_from_markdown:
+                continue
+            if t == LayoutElementType.TABLE and el.table is not None:
+                parts.append(el.table.html)
+            elif t.is_formula and el.formula_latex:
+                parts.append(f"$${el.formula_latex}$$")
+            elif t == LayoutElementType.DOC_TITLE:
+                parts.append(f"# {postprocess_text(el.text or '')}")
+            elif t in (LayoutElementType.PARAGRAPH_TITLE,
+                       LayoutElementType.TITLE):
+                parts.append(f"## {postprocess_text(el.text or '')}")
+            elif t in (LayoutElementType.FIGURE_TITLE,
+                       LayoutElementType.TABLE_TITLE,
+                       LayoutElementType.CHART_TITLE):
+                parts.append(f"*{postprocess_text(el.text or '')}*")
+            elif t.is_image_like:
+                parts.append("<!-- image -->")
+            elif t == LayoutElementType.SEAL:
+                if el.text:
+                    parts.append(f"**[Seal]** {postprocess_text(el.text)}")
+            else:
+                txt = postprocess_text(el.text or "")
+                if txt:
+                    parts.append(txt)
+        return postprocess_markdown("\n\n".join(p for p in parts if p))
+
+    # ---------------- html (structure.rs:903) ----------------
+    def to_html(self) -> str:
+        body: List[str] = []
+        for el in self.elements:
+            t = el.element_type
+            if t == LayoutElementType.TABLE and el.table is not None:
+                inner = _strip_html_wrapper(el.table.html)
+                body.append(inner)
+            elif t.is_formula and el.formula_latex:
+                body.append(f"<div class='formula'>$${el.formula_latex}$$</div>")
+            elif t == LayoutElementType.DOC_TITLE:
+                body.append(f"<h1>{_escape(el.text)}</h1>")
+            elif t.is_title:
+                body.append(f"<h2>{_escape(el.text)}</h2>")
+            elif t.is_image_like:
+                body.append("<div class='image'><!-- image --></div>")
+            elif el.text:
+                body.append(f"<p>{_escape(el.text)}</p>")
+        return ("<html><body>\n" + "\n".join(body) + "\n</body></html>")
+
+    # ---------------- json (structure.rs:1052) ----------------
+    def to_json_value(self) -> dict:
+        return {
+            "source_path": self.source_path,
+            "width": self.width,
+            "height": self.height,
+            "error": self.error,
+            "elements": [el.to_json() for el in self.elements],
+        }
+
+    def save_results(self, out_dir: str, stem: str = "page") -> Dict[str, str]:
+        """structure.rs:1072 — write markdown + html + json side by side."""
+        os.makedirs(out_dir, exist_ok=True)
+        paths = {}
+        for ext, content in (("md", self.to_markdown()),
+                             ("html", self.to_html()),
+                             ("json", json.dumps(self.to_json_value(),
+                                                 ensure_ascii=False, indent=2))):
+            p = os.path.join(out_dir, f"{stem}.{ext}")
+            with open(p, "w", encoding="utf-8") as f:
+                f.write(content)
+            paths[ext] = p
+        return paths
+
+
+def concatenate_markdown_pages(pages: Sequence[StructureResult]) -> str:
+    """structure.rs:1223 — join pages, merging paragraphs across page
+    breaks when continuation flags indicate a split paragraph."""
+
+    out: List[str] = []
+    for i, page in enumerate(pages):
+        md = page.to_markdown()
+        if (out and page.continuation.starts_mid_paragraph
+                and pages[i - 1].continuation.ends_mid_paragraph):
+            out[-1] = out[-1].rstrip() + " " + md.lstrip()
+        else:
+            out.append(md)
+    return "\n\n".join(out)
+
+
+# ---------------- text postprocessing (structure.rs:1563,:1731) ----------------
+
+_WS_RE = re.compile(r"[ \t]+")
+_MULTI_NL_RE = re.compile(r"\n{3,}")
+
+
+def postprocess_text(text: str) -> str:
+    """Whitespace normalization + hyphenation cleanup."""
+    t = _WS_RE.sub(" ", text).strip()
+    # join hyphenated line breaks: "exam-\nple" → "example"
+    t = re.sub(r"-\s*\n\s*", "", t)
+    t = t.replace("\n", " ")
+    return _WS_RE.sub(" ", t).strip()
+
+
+def postprocess_markdown(md: str) -> str:
+    return _MULTI_NL_RE.sub("\n\n", md).strip() + ("\n" if md else "")
+
+
+def remove_overlapping_elements(elements: List[LayoutElement],
+                                ioa_thresh: float = 0.9) -> List[LayoutElement]:
+    """structure.rs:2305 — drop an element mostly contained in a
+    same-or-higher-score element of a comparable type."""
+
+    keep = [True] * len(elements)
+    for i, a in enumerate(elements):
+        if not keep[i]:
+            continue
+        ax0, ay0, ax1, ay1 = a.xyxy
+        area_a = max((ax1 - ax0) * (ay1 - ay0), 1e-6)
+        for j, b in enumerate(elements):
+            if i == j or not keep[j]:
+                continue
+            bx0, by0, bx1, by1 = b.xyxy
+            iw = max(0.0, min(ax1, bx1) - max(ax0, bx0))
+            ih = max(0.0, min(ay1, by1) - max(ay0, by0))
+            ioa = iw * ih / area_a
+            if ioa > ioa_thresh and b.score >= a.score:
+                area_b = max((bx1 - bx0) * (by1 - by0), 1e-6)
+                if area_b >= area_a:
+                    keep[i] = False
+                    break
+    return [e for e, k in zip(elements, keep) if k]
+
+
+def fix_element_labels(elements: List[LayoutElement]) -> None:
+    """structure.rs:2343 — heuristic label fixes applied in place: a
+    'title' directly above a table becomes table_title; the top-most large
+    title becomes doc_title if none exists."""
+
+    tables = [e for e in elements if e.element_type == LayoutElementType.TABLE]
+    for el in elements:
+        if el.element_type in (LayoutElementType.TITLE,
+                               LayoutElementType.PARAGRAPH_TITLE):
+            x0, y0, x1, y1 = el.xyxy
+            for t in tables:
+                tx0, ty0, tx1, ty1 = t.xyxy
+                overlap_x = min(x1, tx1) - max(x0, tx0)
+                if overlap_x > 0.5 * (x1 - x0) and 0 <= ty0 - y1 < 60:
+                    el.element_type = LayoutElementType.TABLE_TITLE
+                    break
+    if not any(e.element_type == LayoutElementType.DOC_TITLE
+               for e in elements):
+        titles = [e for e in elements if e.element_type in (
+            LayoutElementType.TITLE, LayoutElementType.PARAGRAPH_TITLE)]
+        if titles:
+            top = min(titles, key=lambda e: e.xyxy[1])
+            page_top = min((e.xyxy[1] for e in elements), default=0.0)
+            if top.xyxy[1] <= page_top + 5.0:
+                top.element_type = LayoutElementType.DOC_TITLE
+
+
+def _escape(text: Optional[str]) -> str:
+    return ((text or "").replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;"))
+
+
+def _strip_html_wrapper(html: str) -> str:
+    inner = html
+    for tag in ("<html>", "</html>", "<body>", "</body>"):
+        inner = inner.replace(tag, "")
+    return inner.strip()

@@ -1,0 +1,222 @@
+"""SLANet table-structure recognition (autoregressive HTML-token decoder).
+
+Counterpart of the reference's SLANetModel (oar-ocr-core/src/models/
+recognition/slanet.rs:38-235 — BGR+ImageNet input :7-11, dual outputs
+structure_logits + bbox predictions :27-35, executed as an opaque ONNX
+graph with an internal autoregressive loop).
+
+TPU-first: the deployed SLANet topology — LCNet backbone + light FPN
+pooled to a visual memory, then a GRU step that at each timestep attends
+over the memory, emits a structure-token distribution and an 8-dof cell
+bbox — is expressed as a `lax.scan` over a fixed max step count with
+static shapes. Greedy argmax feedback happens inside the scan (no
+per-step host sync, the XLA analog of the reference's in-graph Loop).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.warp import NormSpec, resize_matrix, sample_transform
+from ...runtime.runtime import Runtime, init_params
+from ...utils.tracing import stage_timer
+from ..backbones import PPLCNetV3
+from ..layers import ConvBNAct
+
+# PaddleOCR table structure vocabulary (table_structure_dict.txt): control
+# tokens + HTML structure tokens. '<td></td>' and '<td' mark cells.
+TABLE_STRUCTURE_VOCAB: Tuple[str, ...] = (
+    "sos", "eos",
+    "<thead>", "</thead>", "<tbody>", "</tbody>",
+    "<tr>", "</tr>", "<td></td>", "<td", ">", "</td>",
+    ' colspan="2"', ' colspan="3"', ' colspan="4"', ' colspan="5"',
+    ' colspan="6"', ' colspan="7"', ' colspan="8"', ' colspan="9"',
+    ' colspan="10"', ' colspan="11"', ' colspan="12"', ' colspan="13"',
+    ' colspan="14"', ' colspan="15"', ' colspan="16"', ' colspan="17"',
+    ' colspan="18"', ' colspan="19"', ' colspan="20"',
+    ' rowspan="2"', ' rowspan="3"', ' rowspan="4"', ' rowspan="5"',
+    ' rowspan="6"', ' rowspan="7"', ' rowspan="8"', ' rowspan="9"',
+    ' rowspan="10"', ' rowspan="11"', ' rowspan="12"', ' rowspan="13"',
+    ' rowspan="14"', ' rowspan="15"', ' rowspan="16"', ' rowspan="17"',
+    ' rowspan="18"', ' rowspan="19"', ' rowspan="20"',
+)
+SOS_ID, EOS_ID = 0, 1
+CELL_TOKENS = {"<td></td>", "<td"}
+
+
+class SLADecoderCell(nn.Module):
+    """One GRU+attention decode step (scanned by SLAHead via nn.scan)."""
+
+    vocab_size: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self, carry, _):
+        h, tok, memory, keys = carry
+        q = nn.Dense(self.hidden, dtype=memory.dtype, name="attn_q")(h)
+        scores = jnp.sum(q[:, None, :] * keys, -1) / jnp.sqrt(self.hidden)
+        w = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(memory.dtype)
+        ctx = jnp.einsum("bl,blc->bc", w, memory)
+        emb = nn.Embed(self.vocab_size, self.hidden, dtype=memory.dtype,
+                       name="token_emb")(tok)
+        x = nn.Dense(self.hidden, dtype=memory.dtype, name="in_proj")(
+            jnp.concatenate([emb, ctx], -1))
+        new_h, _ = nn.GRUCell(self.hidden, name="gru")(h, x)
+        logits = nn.Dense(self.vocab_size, dtype=memory.dtype,
+                          name="out_struct")(new_h).astype(jnp.float32)
+        loc = jax.nn.sigmoid(
+            nn.Dense(8, dtype=memory.dtype, name="out_loc")(new_h)
+            .astype(jnp.float32))
+        nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+        return (new_h, nxt, memory, keys), (logits, loc)
+
+
+class SLAHead(nn.Module):
+    """Autoregressive decoder scanned over max_steps (static shapes)."""
+
+    vocab_size: int
+    hidden: int = 256
+    max_steps: int = 500
+
+    @nn.compact
+    def __call__(self, memory):
+        b = memory.shape[0]
+        keys = nn.Dense(self.hidden, dtype=memory.dtype, name="attn_k")(memory)
+        h0 = jnp.zeros((b, self.hidden), memory.dtype)
+        tok0 = jnp.full((b,), SOS_ID, jnp.int32)
+        scan = nn.scan(
+            SLADecoderCell,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            length=self.max_steps,
+            out_axes=0,
+        )(self.vocab_size, self.hidden, name="cell")
+        _, (logits, locs) = scan((h0, tok0, memory, keys), None)
+        # scan stacks on axis 0 → (T, B, …) → (B, T, …)
+        return (jnp.transpose(logits, (1, 0, 2)),
+                jnp.transpose(locs, (1, 0, 2)))
+
+
+class SLANet(nn.Module):
+    """Input (N, 488, 488, 3) normalized; outputs (N, T, vocab) logits and
+    (N, T, 8) normalized cell-corner coordinates."""
+
+    vocab_size: int = len(TABLE_STRUCTURE_VOCAB)
+    backbone_scale: float = 1.0
+    max_steps: int = 500
+
+    @nn.compact
+    def __call__(self, x):
+        c2, c3, c4, c5 = PPLCNetV3(scale=self.backbone_scale, mode="det")(x)
+        f = ConvBNAct(96, (1, 1), act="hswish")(c5)
+        b, h, w, c = f.shape
+        # the decoder is tiny — run it in f32 so the scan carry dtype is
+        # stable regardless of the backbone compute dtype
+        memory = f.reshape(b, h * w, c).astype(jnp.float32)
+        return SLAHead(self.vocab_size, max_steps=self.max_steps)(memory)
+
+
+@dataclass
+class TableStructure:
+    """Decoded structure for one table crop."""
+
+    tokens: List[str]
+    cell_boxes: np.ndarray        # (num_cells, 8) absolute crop coords
+    score: float
+
+    @property
+    def html_body(self) -> str:
+        return "".join(self.tokens)
+
+
+class SLANetModel:
+    """Wrapper: table crop quad → structure tokens + cell boxes."""
+
+    INPUT_HW = (488, 488)
+
+    def __init__(self, params=None, *, max_steps: int = 500,
+                 runtime: Optional[Runtime] = None):
+        self.runtime = runtime or Runtime.default()
+        self.model = SLANet(max_steps=max_steps)
+        if params is None:
+            params = init_params(
+                self.model, (1, self.INPUT_HW[0], self.INPUT_HW[1], 3),
+                dtype=jnp.float32)
+        self.params = jax.device_put(params, self.runtime.device)
+        self._step = jax.jit(self._step_impl)
+
+    def _step_impl(self, params, pages_u8, mats, img_idx):
+        ih, iw = self.INPUT_HW
+        n = mats.shape[0]
+        base = NormSpec.imagenet_rgb()
+        norm = NormSpec(base.alpha, base.beta, swap_rb=True)  # BGR (slanet.rs:7-11)
+        x = sample_transform(
+            pages_u8, mats, img_idx,
+            jnp.full((n,), iw, jnp.int32), jnp.full((n,), ih, jnp.int32),
+            out_h=ih, out_w=iw, norm=norm,
+            out_dtype=self.runtime.compute_dtype)
+        logits, locs = self.model.apply(params, x)
+        probs = jax.nn.softmax(logits, -1)
+        ids = jnp.argmax(logits, -1).astype(jnp.int32)
+        conf = jnp.max(probs, -1)
+        return ids, conf, locs
+
+    def recognize(self, pages_u8, regions: Sequence[Tuple[int, Tuple[int, int, int, int]]]
+                  ) -> List[TableStructure]:
+        """regions: (page_index, (x0, y0, x1, y1)) table crops."""
+        if not regions:
+            return []
+        mats, idxs, sizes = [], [], []
+        ih, iw = self.INPUT_HW
+        for page_i, (x0, y0, x1, y1) in regions:
+            w, h = max(x1 - x0, 1), max(y1 - y0, 1)
+            m = resize_matrix(h, w, ih, iw).astype(np.float64)
+            shift = np.array([[1, 0, x0], [0, 1, y0], [0, 0, 1]], np.float64)
+            mats.append((shift @ m).astype(np.float32))
+            idxs.append(page_i)
+            sizes.append((w, h))
+        with stage_timer("slanet.device", batch=len(regions)):
+            ids, conf, locs = self._step(
+                self.params, pages_u8, jnp.asarray(np.stack(mats)),
+                jnp.asarray(np.asarray(idxs, np.int32)))
+            ids, conf, locs = np.asarray(ids), np.asarray(conf), np.asarray(locs)
+
+        out = []
+        for i, (w, h) in enumerate(sizes):
+            tokens, boxes, scores = decode_structure(ids[i], conf[i], locs[i])
+            boxes = boxes * np.array([w, h] * 4, np.float32)
+            out.append(TableStructure(
+                tokens=tokens, cell_boxes=boxes,
+                score=float(np.mean(scores)) if scores else 0.0))
+        return out
+
+
+def decode_structure(ids: np.ndarray, conf: np.ndarray, locs: np.ndarray,
+                     vocab: Sequence[str] = TABLE_STRUCTURE_VOCAB
+                     ) -> Tuple[List[str], np.ndarray, List[float]]:
+    """Token ids → HTML token list + per-cell boxes, stopping at EOS
+    (processors/table_structure_decode.rs:1-120 semantics: structure tokens
+    accumulate; each cell token also captures its bbox)."""
+
+    tokens: List[str] = []
+    boxes: List[np.ndarray] = []
+    scores: List[float] = []
+    for t in range(len(ids)):
+        tid = int(ids[t])
+        if tid == EOS_ID:
+            break
+        if tid == SOS_ID:
+            continue
+        tok = vocab[tid] if tid < len(vocab) else ""
+        tokens.append(tok)
+        scores.append(float(conf[t]))
+        if tok in CELL_TOKENS:
+            boxes.append(locs[t].astype(np.float32))
+    return tokens, (np.stack(boxes) if boxes
+                    else np.zeros((0, 8), np.float32)), scores

@@ -1,0 +1,225 @@
+"""OARStructure: the full document-structure pipeline.
+
+Re-expresses the reference's OARStructure/OARStructureBuilder
+(oar-ocr/src/oarocr/structure.rs:128-3492): page preprocess → layout
+detection (cross-page batched :3296) → formula recognition (batched across
+pages :1914) → seal text → reading-order sort (:2077 xycut_enhanced) →
+overall OCR (cross-page pooled :2821) → table analysis (:2604) → stitching
+(:2800) → StructureResult with markdown/HTML/JSON export.
+
+Stage order and batching follow the reference call stack (SURVEY §3.2);
+every device stage reuses the shared uploaded page batch, so a multi-page
+document crosses PCIe once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..domain.layout import LayoutBox
+from ..domain.structure import (LayoutElement, LayoutElementType,
+                                StructureResult, fix_element_labels,
+                                remove_overlapping_elements)
+from ..domain.text_region import TextRegion
+from ..errors import InvalidInputError
+from ..models.detection.layout import LayoutDetector
+from ..processors.layout_sorting import sort_layout_enhanced
+from ..runtime.runtime import Runtime, stack_padded
+from ..utils.tracing import stage_timer
+from .ocr import OAROCR, OAROCRBuilder
+from .stitching import ResultStitcher, StitchConfig
+from .table_analyzer import TableAnalyzer, TableRegionInput
+
+
+@dataclass
+class OARStructureConfig:
+    layout_variant: str = "pp-doclayout_plus-l"
+    layout_score_thresh: float = 0.5
+    image_batch_size: int = 4
+    use_tables: bool = True
+    use_formulas: bool = True
+    use_seals: bool = True
+    use_overall_ocr: bool = True
+
+
+class OARStructure:
+    def __init__(self, *, layout: LayoutDetector, ocr: Optional[OAROCR],
+                 tables: Optional[TableAnalyzer],
+                 formulas=None, seal_ocr: Optional[OAROCR] = None,
+                 stitcher: Optional[ResultStitcher] = None,
+                 cfg: OARStructureConfig = OARStructureConfig(),
+                 runtime: Optional[Runtime] = None):
+        self.layout = layout
+        self.ocr = ocr
+        self.tables = tables
+        self.formulas = formulas
+        self.seal_ocr = seal_ocr
+        self.stitcher = stitcher or ResultStitcher()
+        self.cfg = cfg
+        self.runtime = runtime or Runtime.default()
+
+    # -------------------------------------------------------------
+    def predict(self, images: Sequence[np.ndarray]) -> List[StructureResult]:
+        """Multi-page batched structure analysis
+        (predict_images, structure.rs:3249)."""
+
+        if not images:
+            return []
+        for im in images:
+            if im.ndim != 3 or im.shape[2] != 3 or im.dtype != np.uint8:
+                raise InvalidInputError("images must be HWC uint8 RGB",
+                                        shape=getattr(im, "shape", None))
+
+        shapes = [im.shape[:2] for im in images]
+        cfg = self.runtime.cfg
+        ph = cfg.det_side_buckets.bucket(max(s[0] for s in shapes))
+        pw = cfg.det_side_buckets.bucket(max(s[1] for s in shapes))
+        with stage_timer("structure.upload"):
+            pages = self.runtime.put(stack_padded(list(images), (ph, pw)))
+
+        # --- layout detection in chunks (structure.rs:3296) ---
+        layout_boxes: List[List[LayoutBox]] = []
+        bs = self.cfg.image_batch_size
+        for s in range(0, len(images), bs):
+            idx = list(range(s, min(s + bs, len(images))))
+            layout_boxes.extend(self.layout.detect(
+                pages, [shapes[i] for i in idx], page_indices=idx))
+
+        # --- build elements per page ---
+        page_elements: List[List[LayoutElement]] = []
+        for page_i, boxes in enumerate(layout_boxes):
+            els = [LayoutElement(
+                element_type=LayoutElementType.from_label(b.label),
+                box=b.box, score=b.score, order_index=b.order_index)
+                for b in boxes]
+            els = remove_overlapping_elements(els)
+            fix_element_labels(els)
+            page_elements.append(els)
+
+        # --- formulas batched across pages (structure.rs:1914) ---
+        if self.formulas is not None and self.cfg.use_formulas:
+            crops, owners = [], []
+            for page_i, els in enumerate(page_elements):
+                for el in els:
+                    if el.element_type.is_formula:
+                        x0, y0, x1, y1 = [int(v) for v in el.xyxy]
+                        crop = images[page_i][max(y0, 0):y1, max(x0, 0):x1]
+                        if crop.size:
+                            crops.append(crop)
+                            owners.append(el)
+            if crops:
+                with stage_timer("structure.formulas", batch=len(crops)):
+                    for el, res in zip(owners, self.formulas.recognize(crops)):
+                        el.formula_latex = res.latex
+
+        # --- overall OCR, pooled across pages (structure.rs:2821) ---
+        ocr_regions: List[List[TextRegion]] = [[] for _ in images]
+        if self.ocr is not None and self.cfg.use_overall_ocr:
+            with stage_timer("structure.overall_ocr"):
+                ocr_results = self.ocr.predict(list(images))
+            for page_i, r in enumerate(ocr_results):
+                ocr_regions[page_i] = r.regions
+
+        # --- seal text (poly det preset on seal regions) ---
+        if self.seal_ocr is not None and self.cfg.use_seals:
+            for page_i, els in enumerate(page_elements):
+                seal_els = [el for el in els
+                            if el.element_type == LayoutElementType.SEAL]
+                for el in seal_els:
+                    x0, y0, x1, y1 = [int(v) for v in el.xyxy]
+                    crop = images[page_i][max(y0, 0):y1, max(x0, 0):x1]
+                    if not crop.size:
+                        continue
+                    with stage_timer("structure.seal"):
+                        res = self.seal_ocr.predict([np.ascontiguousarray(crop)])
+                    el.text = "\n".join(res[0].texts)
+
+        # --- tables (structure.rs:2604-2659) ---
+        if self.tables is not None and self.cfg.use_tables:
+            inputs, owners = [], []
+            for page_i, els in enumerate(page_elements):
+                for el in els:
+                    if el.element_type == LayoutElementType.TABLE:
+                        x0, y0, x1, y1 = el.xyxy
+                        regs = ocr_regions[page_i]
+                        inputs.append(TableRegionInput(
+                            page_index=page_i, box=(x0, y0, x1, y1),
+                            ocr_boxes=[r.box for r in regs],
+                            ocr_texts=[r.text or "" for r in regs]))
+                        owners.append(el)
+            if inputs:
+                with stage_timer("structure.tables", batch=len(inputs)):
+                    for el, tr in zip(owners,
+                                      self.tables.analyze_tables(pages, inputs)):
+                        el.table = tr
+
+        # --- sort + stitch per page (structure.rs:2077, :2800) ---
+        results: List[StructureResult] = []
+        for page_i, els in enumerate(page_elements):
+            h, w = shapes[page_i]
+            stitched = self.stitcher.stitch(els, ocr_regions[page_i], w, h)
+            order = sort_layout_enhanced(stitched, w, h)
+            results.append(StructureResult(
+                elements=[stitched[i] for i in order], width=w, height=h))
+        return results
+
+    def predict_image(self, image: np.ndarray) -> StructureResult:
+        """Single-page convenience (structure.rs:2808)."""
+        return self.predict([image])[0]
+
+
+class OARStructureBuilder:
+    """Fluent builder (structure.rs:1336 OARStructureBuilder)."""
+
+    def __init__(self):
+        self._cfg = OARStructureConfig()
+        self._runtime: Optional[Runtime] = None
+        self._layout_params = None
+
+    def with_layout_variant(self, name: str) -> "OARStructureBuilder":
+        self._cfg.layout_variant = name
+        return self
+
+    def with_runtime(self, runtime: Runtime) -> "OARStructureBuilder":
+        self._runtime = runtime
+        return self
+
+    def with_tables(self, enable: bool = True) -> "OARStructureBuilder":
+        self._cfg.use_tables = enable
+        return self
+
+    def with_formulas(self, enable: bool = True) -> "OARStructureBuilder":
+        self._cfg.use_formulas = enable
+        return self
+
+    def with_seals(self, enable: bool = True) -> "OARStructureBuilder":
+        self._cfg.use_seals = enable
+        return self
+
+    def with_overall_ocr(self, enable: bool = True) -> "OARStructureBuilder":
+        self._cfg.use_overall_ocr = enable
+        return self
+
+    def build(self) -> OARStructure:
+        runtime = self._runtime or Runtime.default()
+        layout = LayoutDetector(
+            self._cfg.layout_variant, self._layout_params,
+            score_thresh=self._cfg.layout_score_thresh, runtime=runtime)
+        ocr = (OAROCRBuilder("general").with_runtime(runtime).build()
+               if self._cfg.use_overall_ocr else None)
+        tables = (TableAnalyzer(runtime=runtime)
+                  if self._cfg.use_tables else None)
+        formulas = None
+        if self._cfg.use_formulas:
+            from ..models.recognition.formula import FormulaRecognizer
+
+            formulas = FormulaRecognizer(runtime=runtime)
+        seal_ocr = (OAROCRBuilder("seal").with_runtime(runtime).build()
+                    if self._cfg.use_seals else None)
+        return OARStructure(layout=layout, ocr=ocr, tables=tables,
+                            formulas=formulas, seal_ocr=seal_ocr,
+                            cfg=self._cfg, runtime=runtime)

@@ -1,0 +1,162 @@
+"""Table analysis: classification → cell detection / structure → HTML.
+
+Re-expresses the reference's TableAnalyzer (oar-ocr/src/oarocr/
+table_analyzer.rs:285 analyze_tables, :303 single-table path; contract
+:1-14): per table region — crop, classify wired/wireless, (orientation),
+run cell detection (wired) and/or end-to-end SLANet structure, match the
+page's OCR regions into cells, emit HTML with cells mapped back to page
+coordinates. Errors surface per table instead of emitting stubs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..domain.structure import TableResult
+from ..domain.text_region import TextRegion
+from ..errors import OCRError
+from ..models.classification.pp_lcnet import ImageClassifier, table_classifier
+from ..models.detection.layout import LayoutDetector
+from ..models.recognition.slanet import SLANetModel
+from ..processors.table import (cell_aabbs, match_ocr_to_cells,
+                                parse_cell_grid_info, wrap_table_html)
+from ..runtime.runtime import Runtime
+from ..utils.tracing import stage_timer
+
+
+@dataclass
+class TableRegionInput:
+    """One table to analyze: page index + xyxy box + that page's OCR."""
+
+    page_index: int
+    box: Tuple[float, float, float, float]
+    ocr_boxes: Sequence[np.ndarray] = ()
+    ocr_texts: Sequence[str] = ()
+
+
+class TableAnalyzer:
+    def __init__(self, *,
+                 classifier: Optional[ImageClassifier] = None,
+                 structure: Optional[SLANetModel] = None,
+                 cell_detector: Optional[LayoutDetector] = None,
+                 use_cell_detection: bool = True,
+                 runtime: Optional[Runtime] = None):
+        self.runtime = runtime or Runtime.default()
+        self.classifier = classifier or table_classifier(runtime=self.runtime)
+        self.structure = structure or SLANetModel(runtime=self.runtime)
+        self.cell_detector = cell_detector if cell_detector is not None else (
+            LayoutDetector("rt-detr-l_wired_table_cell_det",
+                           score_thresh=0.3, runtime=self.runtime)
+            if use_cell_detection else None)
+
+    def analyze_tables(self, pages_u8, tables: Sequence[TableRegionInput]
+                       ) -> List[TableResult]:
+        """Analyze all table regions (batched per stage across tables —
+        the cross-page batching idea of structure.rs:3296)."""
+
+        if not tables:
+            return []
+        results: List[Optional[TableResult]] = [None] * len(tables)
+
+        # stage 1: wired/wireless classification on the table quads
+        quads = []
+        for t in tables:
+            x0, y0, x1, y1 = t.box
+            quads.append((t.page_index, np.array(
+                [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], np.float32)))
+        with stage_timer("table.classify", batch=len(tables)):
+            cls = self.classifier.classify_quads(pages_u8, quads)
+
+        # stage 2: SLANet structure for every table
+        regions = [(t.page_index,
+                    (int(t.box[0]), int(t.box[1]),
+                     int(t.box[2]), int(t.box[3]))) for t in tables]
+        structures = self.structure.recognize(pages_u8, regions)
+
+        # stage 3: wired tables also get cell detection (sharper cells)
+        wired_idx = [i for i, (c, _s) in enumerate(cls) if c == 0]
+        cell_boxes_by_table: dict = {}
+        if self.cell_detector is not None and wired_idx:
+            shapes = []
+            page_idx = []
+            for i in wired_idx:
+                t = tables[i]
+                x0, y0, x1, y1 = t.box
+                shapes.append((max(int(y1 - y0), 1), max(int(x1 - x0), 1)))
+                page_idx.append(t.page_index)
+            # NOTE: cell det crops are sampled straight from the page via
+            # the detector's resize matrix offset — approximated here by
+            # detecting on the page region bounding box.
+            dets = self._detect_cells(pages_u8, tables, wired_idx)
+            for i, boxes in zip(wired_idx, dets):
+                if len(boxes):
+                    cell_boxes_by_table[i] = boxes
+
+        # assemble per table
+        for i, t in enumerate(tables):
+            try:
+                st = structures[i]
+                x0, y0 = t.box[0], t.box[1]
+                # cells in page coords
+                if i in cell_boxes_by_table:
+                    cells_xyxy = cell_boxes_by_table[i]
+                else:
+                    ab = cell_aabbs(st.cell_boxes)
+                    cells_xyxy = ab + np.array([x0, y0, x0, y0], np.float32) \
+                        if len(ab) else np.zeros((0, 4), np.float32)
+                corner_cells = _xyxy_to_corners(cells_xyxy)
+                texts = match_ocr_to_cells(
+                    corner_cells, list(t.ocr_boxes), list(t.ocr_texts))
+                html = wrap_table_html(st.tokens, texts)
+                results[i] = TableResult(
+                    html=html, cell_boxes=cells_xyxy,
+                    structure_score=st.score,
+                    is_wired=(cls[i][0] == 0))
+            except Exception as e:  # surface, don't stub (contract :8)
+                raise OCRError("table analysis failed", table_index=i) from e
+        return [r for r in results if r is not None]
+
+    def _detect_cells(self, pages_u8, tables, wired_idx) -> List[np.ndarray]:
+        """Run the RT-DETR cell detector on each wired table region; boxes
+        returned in page coordinates."""
+        from ..ops.warp import resize_matrix
+
+        import jax.numpy as jnp
+
+        det = self.cell_detector
+        ih, iw = det.variant.input_hw
+        mats, idxs, offsets, sizes = [], [], [], []
+        for i in wired_idx:
+            t = tables[i]
+            x0, y0, x1, y1 = t.box
+            w, h = max(x1 - x0, 1.0), max(y1 - y0, 1.0)
+            m = resize_matrix(int(h), int(w), ih, iw).astype(np.float64)
+            shift = np.array([[1, 0, x0], [0, 1, y0], [0, 0, 1]], np.float64)
+            mats.append((shift @ m).astype(np.float32))
+            idxs.append(t.page_index)
+            offsets.append((x0, y0))
+            sizes.append((h, w))
+        with stage_timer("table.cells", batch=len(wired_idx)):
+            b, s, l, v = det._step(
+                det.params, pages_u8, jnp.asarray(np.stack(mats)),
+                jnp.asarray(np.asarray(idxs, np.int32)),
+                jnp.asarray(np.asarray(sizes, np.float32)))
+            b, s, v = np.asarray(b), np.asarray(s), np.asarray(v)
+        out = []
+        for k, i in enumerate(wired_idx):
+            ox, oy = offsets[k]
+            boxes = b[k][v[k]]
+            boxes = boxes + np.array([ox, oy, ox, oy], np.float32)
+            out.append(boxes)
+        return out
+
+
+def _xyxy_to_corners(xyxy: np.ndarray) -> np.ndarray:
+    """(N, 4) xyxy → (N, 8) corner form used by the cell matcher."""
+    if len(xyxy) == 0:
+        return np.zeros((0, 8), np.float32)
+    x0, y0, x1, y1 = xyxy[:, 0], xyxy[:, 1], xyxy[:, 2], xyxy[:, 3]
+    return np.stack([x0, y0, x1, y0, x1, y1, x0, y1], axis=1).astype(np.float32)

@@ -1,0 +1,88 @@
+"""Trimmable KV cache: preallocated buckets, append, rollback, reorder.
+
+Re-expresses oar-ocr-vl/src/kv_trim.rs:20-50 — the fixed-capacity KV cache
+backing every VLM: append via slice writes, speculative rollback via
+``trim_to`` (a length counter here — buffers are never shrunk), and
+``keep_indices`` gather for branch reordering — plus the power-of-two
+capacity bucketing of decoder_graph.rs:14-24 (PADDLE_DECODE_CACHE_LEN
+16384): each bucket is one compiled program, replacing CUDA-graph capture
+with XLA's executable cache (SURVEY §2.5 "Decoder CUDA graphs").
+
+Functional style: the cache is an immutable pytree; every operation
+returns a new cache. Under jit with donated buffers the updates are
+in-place on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config.runtime import pow2_buckets
+
+KV_CAPACITY_BUCKETS = pow2_buckets(256, 16384)
+
+
+def decoder_cache_capacity(prompt_len: int, max_new_tokens: int,
+                           cap: int = 16384) -> int:
+    """next-power-of-two(prompt + max_new), capped
+    (decoder_graph.rs:14 decoder_cache_capacity)."""
+    need = prompt_len + max_new_tokens
+    c = 256
+    while c < need and c < cap:
+        c *= 2
+    return min(c, cap)
+
+
+class KVCache(NamedTuple):
+    """Per-layer stacked KV: k/v (L, B, H_kv, C, D); length (B,) int32."""
+
+    k: jax.Array
+    v: jax.Array
+    length: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.k.shape[3]
+
+    @staticmethod
+    def create(layers: int, batch: int, heads: int, capacity: int,
+               head_dim: int, dtype=jnp.bfloat16) -> "KVCache":
+        shape = (layers, batch, heads, capacity, head_dim)
+        return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                       jnp.zeros((batch,), jnp.int32))
+
+    def append(self, layer: int, k_new: jax.Array, v_new: jax.Array,
+               pos: jax.Array) -> "KVCache":
+        """Write (B, H, T_new, D) at position ``pos`` (scalar int32) in
+        layer ``layer``. Length is advanced separately by `advance`
+        (append per layer, advance once per step)."""
+
+        k = self.k.at[layer].set(jax.lax.dynamic_update_slice(
+            self.k[layer], k_new.astype(self.k.dtype), (0, 0, pos, 0)))
+        v = self.v.at[layer].set(jax.lax.dynamic_update_slice(
+            self.v[layer], v_new.astype(self.v.dtype), (0, 0, pos, 0)))
+        return KVCache(k, v, self.length)
+
+    def advance(self, n: int | jax.Array) -> "KVCache":
+        return KVCache(self.k, self.v, self.length + n)
+
+    def trim_to(self, new_length: jax.Array) -> "KVCache":
+        """Speculative rollback (kv_trim.rs trim_to): stale slots beyond
+        the restored length are masked out by the generation mask, so a
+        pure length reset is sufficient."""
+        return KVCache(self.k, self.v,
+                       jnp.broadcast_to(jnp.asarray(new_length, jnp.int32),
+                                        self.length.shape))
+
+    def keep_indices(self, indices: jax.Array) -> "KVCache":
+        """Gather batch entries (branch reordering / continuation —
+        kv_trim.rs keep_indices)."""
+        return KVCache(self.k[:, indices], self.v[:, indices],
+                       self.length[indices])
+
+    def layer(self, i: int) -> Tuple[jax.Array, jax.Array]:
+        return self.k[i], self.v[i]

@@ -1,0 +1,290 @@
+"""PaddleOCR-VL orchestrator: preprocess → prefill → fused decode loop.
+
+Re-expresses oar-ocr-vl/src/paddleocr_vl/model.rs:212-599
+(generate_tokens): image preprocessing via smart_resize, prompt assembly
+with image placeholder tokens (:302-336), batched left-padded prefill
+(:452-467), the greedy decode loop (:514-570), and tokenizer decode
+(:599).
+
+TPU-first: the decode loop is a `lax.scan` running entirely on device —
+one compiled program per (batch, prompt-bucket, KV-capacity) triple with
+the KV cache donated between steps; token ids return to the host once,
+after the loop (vs. the reference's per-step device sync + CUDA graphs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import InvalidInputError
+from ..runtime.runtime import Runtime
+from ..utils.tracing import stage_timer
+from .attention import (combine_masks, create_causal_mask,
+                        create_left_padding_mask)
+from .kv_cache import KVCache, decoder_cache_capacity
+from .paddleocr_vl import (TASK_PROMPTS, PaddleOCRVLConfig,
+                           PaddleOCRVLModule)
+from .processing import VisionProcessorConfig, grid_shape, smart_resize
+
+
+class ByteTokenizer:
+    """Reversible development tokenizer (UTF-8 bytes + specials). Real
+    deployments load the converted model's HF tokenizer via
+    ``HFTokenizer``."""
+
+    OFFSET = 128  # ids 0..127 reserved for specials
+
+    def encode(self, text: str) -> List[int]:
+        return [b + self.OFFSET for b in text.encode("utf-8")]
+
+    def decode(self, ids: Sequence[int]) -> str:
+        data = bytes(i - self.OFFSET for i in ids
+                     if self.OFFSET <= i < self.OFFSET + 256)
+        return data.decode("utf-8", errors="replace")
+
+
+class HFTokenizer:
+    def __init__(self, path: str):
+        from tokenizers import Tokenizer
+
+        self._tok = Tokenizer.from_file(path)
+
+    def encode(self, text: str) -> List[int]:
+        return self._tok.encode(text).ids
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return self._tok.decode(list(ids))
+
+
+@dataclass
+class GenerationResult:
+    text: str
+    token_ids: List[int]
+    num_prompt_tokens: int
+
+
+class PaddleOCRVL:
+    """Public VLM entry: images + task → text."""
+
+    def __init__(self, params=None, *, cfg: Optional[PaddleOCRVLConfig] = None,
+                 tokenizer=None, runtime: Optional[Runtime] = None,
+                 seed: int = 0):
+        self.runtime = runtime or Runtime.default()
+        self.cfg = cfg or PaddleOCRVLConfig()
+        self.vcfg = VisionProcessorConfig(patch_size=self.cfg.v_patch,
+                                          merge_size=self.cfg.v_merge)
+        self.tokenizer = tokenizer or ByteTokenizer()
+        self.module = PaddleOCRVLModule(self.cfg)
+        if params is None:
+            params = self._init_params(seed)
+        self.params = jax.device_put(params, self.runtime.device)
+        self._encode_vision = jax.jit(
+            lambda p, patches, valid: self.module.apply(
+                p, patches, valid, method=PaddleOCRVLModule.encode_vision))
+        self._embed_tokens = jax.jit(
+            lambda p, i: self.module.apply(
+                p, i, method=PaddleOCRVLModule.embed_tokens))
+        self._prefill_decode = jax.jit(
+            self._prefill_decode_impl, static_argnames=("max_new", "capacity"))
+
+    def _init_params(self, seed: int):
+        c = self.cfg
+        rng = jax.random.PRNGKey(seed)
+        t = (self.cfg.v_merge ** 2)
+        patches = jnp.zeros((1, t, c.v_patch * c.v_patch * 3), jnp.float32)
+        valid = jnp.ones((1, t), bool)
+        ids = jnp.zeros((1, 4), jnp.int32)
+        pos = jnp.zeros((3, 1, 4), jnp.int32)
+        return self.module.init(rng, patches, valid, ids, pos,
+                                method=PaddleOCRVLModule.init_all)
+
+    # ------------------------------------------------------------------
+    def _prefill_decode_impl(self, params, embeds, position_ids, prompt_mask,
+                             valid_lengths, *, max_new: int, capacity: int):
+        """One program: prefill + scan decode. Returns (ids (B, max_new))."""
+
+        c = self.cfg
+        b, t, _ = embeds.shape
+        cache = KVCache.create(c.layers, b, c.kv_heads, capacity,
+                               c.head_dim, dtype=embeds.dtype)
+        causal = create_causal_mask(t)
+        pad = create_left_padding_mask(valid_lengths, t)
+        # during prefill the cache region beyond t is empty; mask covers
+        # only the first t slots
+        kv_mask = jnp.zeros((1, 1, 1, capacity), bool).at[..., :t].set(True)
+        full = combine_masks(causal, pad)
+        full = jnp.concatenate(
+            [jnp.broadcast_to(full, (b, 1, t, t)),
+             jnp.zeros((b, 1, t, capacity - t), bool)], -1)
+        logits, cache = self.module.apply(
+            params, embeds, position_ids, cache, full,
+            method=PaddleOCRVLModule.prefill)
+        cache = cache.advance(t)
+        first = jnp.argmax(logits, -1).astype(jnp.int32)
+        next_pos = jnp.max(position_ids, axis=(0, 2)) + 1      # (B,)
+
+        def step(carry, i):
+            tok, cache, done, npos = carry
+            pos_ids = jnp.broadcast_to(npos[None, :, None], (3, b, 1))
+            logits, cache = self.module.apply(
+                params, tok, pos_ids, cache, t + i,
+                method=PaddleOCRVLModule.decode_step)
+            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            nxt = jnp.where(done, c.eos_id, nxt)
+            done = done | (nxt == c.eos_id)
+            return (nxt, cache, done, npos + 1), tok
+
+        done0 = first == c.eos_id
+        (_, cache, _, _), ids = jax.lax.scan(
+            step, (first, cache, done0, next_pos + 1),
+            jnp.arange(max_new), length=max_new)
+        return jnp.transpose(ids, (1, 0))     # (B, max_new)
+
+    # ------------------------------------------------------------------
+    def _prepare_image(self, image: np.ndarray
+                       ) -> Tuple[np.ndarray, Tuple[int, int]]:
+        """smart_resize + patchify → ((T, patch²·3) float32, grid)."""
+        import cv2
+
+        h, w = image.shape[:2]
+        th, tw = smart_resize(h, w, self.vcfg)
+        resized = cv2.resize(image, (tw, th), interpolation=cv2.INTER_LINEAR)
+        x = resized.astype(np.float32) / 255.0
+        x = (x - 0.5) / 0.5
+        p = self.cfg.v_patch
+        gh, gw = th // p, tw // p
+        # NaViT merge-aware patch order: 2×2 blocks stay adjacent so the
+        # projector's reshape merges spatial neighbors
+        m = self.cfg.v_merge
+        x = x.reshape(gh // m, m, p, gw // m, m, p, 3)
+        x = x.transpose(0, 3, 1, 4, 2, 5, 6)   # (gh/m, gw/m, m, m, p, p, 3)
+        patches = x.reshape(gh * gw, p * p * 3)
+        return patches, (gh, gw)
+
+    def generate(self, images: Sequence[np.ndarray], task: str = "ocr",
+                 *, max_new_tokens: int = 512) -> List[GenerationResult]:
+        if task not in TASK_PROMPTS:
+            raise InvalidInputError("unknown task", task=task,
+                                    known=sorted(TASK_PROMPTS))
+        if not images:
+            return []
+        c = self.cfg
+
+        # --- vision ---
+        prepared = [self._prepare_image(im) for im in images]
+        max_t = max(p.shape[0] for p, _ in prepared)
+        m2 = c.v_merge ** 2
+        max_t = ((max_t + m2 - 1) // m2) * m2
+        b = len(images)
+        patch_dim = c.v_patch * c.v_patch * 3
+        patch_batch = np.zeros((b, max_t, patch_dim), np.float32)
+        valid = np.zeros((b, max_t), bool)
+        for i, (p, _) in enumerate(prepared):
+            patch_batch[i, : p.shape[0]] = p
+            valid[i, : p.shape[0]] = True
+        with stage_timer("vl.vision", batch=b, tokens=max_t):
+            img_embeds = self._encode_vision(
+                self.params, jnp.asarray(patch_batch, self.runtime.compute_dtype),
+                jnp.asarray(valid))
+
+        # --- prompts (model.rs:312-313 template) ---
+        prompt_rows, img_slots, n_img_tokens = [], [], []
+        for i, (p, (gh, gw)) in enumerate(prepared):
+            n_tok = p.shape[0] // m2
+            prefix = self.tokenizer.encode("User: ")
+            suffix = self.tokenizer.encode(
+                f"{TASK_PROMPTS[task]}\nAssistant: ")
+            row = (prefix + [c.image_start_id] + [c.image_pad_id] * n_tok
+                   + [c.image_end_id] + suffix)
+            prompt_rows.append(row)
+            n_img_tokens.append(n_tok)
+
+        max_len = max(len(r) for r in prompt_rows)
+        ids = np.full((b, max_len), 0, np.int32)
+        valid_lengths = np.zeros((b,), np.int32)
+        positions = np.zeros((3, b, max_len), np.int32)
+        img_positions = []
+        for i, row in enumerate(prompt_rows):
+            off = max_len - len(row)            # left padding (model.rs:452)
+            ids[i, off:] = row
+            valid_lengths[i] = len(row)
+            gh, gw = grid_shape(*smart_resize(*images[i].shape[:2], self.vcfg),
+                                self.vcfg)
+            positions[:, i, :], span = _mrope_positions(
+                row, off, max_len, (gh // c.v_merge, gw // c.v_merge),
+                c.image_pad_id)
+            img_positions.append(span)
+
+        # --- fuse embeds: text embedding then scatter image embeds ---
+        ids_dev = jnp.asarray(ids)
+        embeds = self._embed_tokens(self.params, ids_dev)
+        embeds = np.array(embeds.astype(jnp.float32))
+        img_embeds_np = np.asarray(img_embeds.astype(jnp.float32))
+        for i, (start, n_tok) in enumerate(img_positions):
+            embeds[i, start : start + n_tok] = img_embeds_np[i, :n_tok]
+
+        capacity = decoder_cache_capacity(max_len, max_new_tokens)
+        with stage_timer("vl.generate", batch=b, prompt=max_len,
+                         capacity=capacity):
+            out_ids = self._prefill_decode(
+                self.params,
+                jnp.asarray(embeds, self.runtime.compute_dtype),
+                jnp.asarray(positions), None,
+                jnp.asarray(valid_lengths),
+                max_new=max_new_tokens, capacity=capacity)
+            out_ids = np.asarray(out_ids)
+
+        results = []
+        for i in range(b):
+            row = out_ids[i].tolist()
+            if c.eos_id in row:
+                row = row[: row.index(c.eos_id)]
+            results.append(GenerationResult(
+                text=self.tokenizer.decode(row), token_ids=row,
+                num_prompt_tokens=int(valid_lengths[i])))
+        return results
+
+
+def _mrope_positions(row: List[int], offset: int, total: int,
+                     grid_hw: Tuple[int, int], image_pad_id: int
+                     ) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """3-D MRoPE positions for one left-padded prompt row (Qwen2-VL
+    convention, ernie.rs:26): text advances all axes together; image
+    tokens share one temporal index with (h, w) walking the merged grid.
+    Returns ((3, total) positions, (img_start_abs, img_len))."""
+
+    gh, gw = grid_hw
+    pos = np.zeros((3, total), np.int32)
+    t = 0
+    img_start_abs, img_len = offset, 0
+    i = 0
+    n = len(row)
+    while i < n:
+        tok = row[i]
+        if tok == image_pad_id:
+            # count the run
+            j = i
+            while j < n and row[j] == image_pad_id:
+                j += 1
+            run = j - i
+            img_start_abs = offset + i
+            img_len = run
+            for k in range(run):
+                hh, ww = divmod(k, max(gw, 1))
+                pos[0, offset + i + k] = t
+                pos[1, offset + i + k] = t + hh
+                pos[2, offset + i + k] = t + ww
+            t = t + max(gh, gw)
+            i = j
+        else:
+            pos[:, offset + i] = t
+            t += 1
+            i += 1
+    return pos, (img_start_abs, img_len)

@@ -1,0 +1,60 @@
+"""VLM image processing: smart resize and patch-grid planning.
+
+Re-expresses oar-ocr-vl/src/utils/image.rs:177-240 ``smart_resize`` (round
+H/W to multiples of factor = patch_size·merge_size; shrink if area >
+max_pixels by sqrt(HW/max) flooring to factor; grow if < min_pixels
+ceiling to factor; reject aspect ratio > 200) and the image-token count
+rule t·h·w/merge² (paddleocr_vl/model.rs:307-309).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Tuple
+
+from ..errors import InvalidInputError
+
+
+@dataclass(frozen=True)
+class VisionProcessorConfig:
+    patch_size: int = 14
+    merge_size: int = 2
+    min_pixels: int = 56 * 56
+    max_pixels: int = 28 * 28 * 1280
+
+    @property
+    def factor(self) -> int:
+        return self.patch_size * self.merge_size
+
+
+def smart_resize(h: int, w: int, cfg: VisionProcessorConfig
+                 ) -> Tuple[int, int]:
+    """Target (h, w) for the vision encoder (utils/image.rs:177)."""
+
+    if max(h, w) / max(min(h, w), 1) > 200:
+        raise InvalidInputError("aspect ratio > 200 unsupported",
+                                h=h, w=w)
+    factor = cfg.factor
+    hb = max(factor, round(h / factor) * factor)
+    wb = max(factor, round(w / factor) * factor)
+    if hb * wb > cfg.max_pixels:
+        beta = math.sqrt((h * w) / cfg.max_pixels)
+        hb = max(factor, math.floor(h / beta / factor) * factor)
+        wb = max(factor, math.floor(w / beta / factor) * factor)
+    elif hb * wb < cfg.min_pixels:
+        beta = math.sqrt(cfg.min_pixels / (h * w))
+        hb = math.ceil(h * beta / factor) * factor
+        wb = math.ceil(w * beta / factor) * factor
+    return hb, wb
+
+
+def grid_shape(h: int, w: int, cfg: VisionProcessorConfig) -> Tuple[int, int]:
+    """Patch grid (gh, gw) at patch_size granularity."""
+    return h // cfg.patch_size, w // cfg.patch_size
+
+
+def num_image_tokens(h: int, w: int, cfg: VisionProcessorConfig) -> int:
+    """Token count after 2×2 merge (model.rs:307-309)."""
+    gh, gw = grid_shape(h, w, cfg)
+    return (gh * gw) // (cfg.merge_size ** 2)

@@ -1,0 +1,86 @@
+import numpy as np
+import pytest
+
+from oar_ocr_tpu.errors import DownloadError, ModelLoadError
+from oar_ocr_tpu.registry.models import (MODEL_REGISTRY, resolve_model_path,
+                                         sha256_file)
+from oar_ocr_tpu.runtime.weights import (ConversionMap, ModelSource,
+                                         conv_oihw_to_hwio, dense_oi_to_io,
+                                         flatten_params, load_params,
+                                         save_params, unflatten_params)
+
+
+def test_registry_has_core_models():
+    for name in ("pp-ocrv5_mobile_det", "pp-ocrv5_mobile_rec", "uvdoc",
+                 "slanet", "pp-doclayout_plus-l", "unimernet"):
+        assert name in MODEL_REGISTRY
+    assert len(MODEL_REGISTRY) >= 35
+    tasks = {e.task for e in MODEL_REGISTRY.values()}
+    assert "text_detection" in tasks and "formula_recognition" in tasks
+
+
+def test_resolve_model_path(tmp_path):
+    p = tmp_path / "model.safetensors"
+    p.write_bytes(b"x")
+    assert resolve_model_path(str(p)) == str(p)
+    with pytest.raises(ModelLoadError):
+        resolve_model_path("not-a-model-name")
+    with pytest.raises(DownloadError):
+        resolve_model_path("pp-ocrv5_mobile_det")
+
+
+def test_params_roundtrip(tmp_path):
+    import jax
+
+    tree = {"params": {"Conv_0": {"kernel": np.ones((3, 3, 3, 8), np.float32),
+                                  "bias": np.zeros(8, np.float32)},
+                       "Dense_0": {"kernel": np.ones((8, 4), np.float32)}}}
+    path = str(tmp_path / "m.safetensors")
+    save_params(tree, path)
+    loaded = load_params(path)
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["Conv_0"]["kernel"]),
+        tree["params"]["Conv_0"]["kernel"])
+    # bytes source
+    with open(path, "rb") as f:
+        loaded2 = load_params(ModelSource.from_bytes(f.read()))
+    assert "Dense_0" in loaded2["params"]
+
+
+def test_flatten_unflatten():
+    tree = {"a": {"b": np.arange(3), "c": {"d": np.arange(2)}}}
+    flat = flatten_params(tree)
+    assert set(flat) == {"a/b", "a/c/d"}
+    back = unflatten_params(flat)
+    np.testing.assert_array_equal(np.asarray(back["a"]["c"]["d"]), [0, 1])
+
+
+def test_layout_transforms():
+    w = np.arange(2 * 3 * 4 * 5).reshape(2, 3, 4, 5)
+    out = conv_oihw_to_hwio(w)
+    assert out.shape == (4, 5, 3, 2)
+    d = np.arange(6).reshape(2, 3)
+    assert dense_oi_to_io(d).shape == (3, 2)
+
+
+def test_conversion_map():
+    src = {"conv1.weight": np.zeros((8, 3, 3, 3)),
+           "fc.weight": np.zeros((10, 8))}
+    cm = (ConversionMap("toy")
+          .map("params/Conv_0/kernel", "conv1.weight", conv_oihw_to_hwio)
+          .map("params/Dense_0/kernel", "fc.weight", dense_oi_to_io))
+    tree = cm.convert(src)
+    assert np.asarray(tree["params"]["Conv_0"]["kernel"]).shape == (3, 3, 3, 8)
+    assert cm.unused_sources(src) == []
+    with pytest.raises(ModelLoadError):
+        cm.convert({"conv1.weight": np.zeros((8, 3, 3, 3))})
+    # non-strict tolerates missing
+    partial = cm.convert({"conv1.weight": np.zeros((8, 3, 3, 3))},
+                         strict=False)
+    assert "Dense_0" not in partial.get("params", {})
+
+
+def test_sha256_file(tmp_path):
+    p = tmp_path / "f"
+    p.write_bytes(b"hello")
+    assert sha256_file(str(p)).startswith("2cf24dba")

@@ -1,0 +1,55 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oar_ocr_tpu.models.detection.layout import LayoutDetector
+from oar_ocr_tpu.pipelines.structure import (OARStructure, OARStructureConfig,
+                                             OARStructureBuilder)
+
+
+@pytest.fixture(scope="module")
+def layout_only_pipeline():
+    layout = LayoutDetector("picodet-s_layout_3cls", score_thresh=0.01)
+    return OARStructure(layout=layout, ocr=None, tables=None,
+                        formulas=None, seal_ocr=None,
+                        cfg=OARStructureConfig(
+                            use_tables=False, use_formulas=False,
+                            use_seals=False, use_overall_ocr=False))
+
+
+def test_structure_layout_only(layout_only_pipeline, rng):
+    img = rng.integers(0, 255, (200, 300, 3), dtype=np.uint8)
+    results = layout_only_pipeline.predict([img, img])
+    assert len(results) == 2
+    res = results[0]
+    assert res.width == 300 and res.height == 200
+    md = res.to_markdown()
+    html = res.to_html()
+    j = res.to_json_value()
+    assert isinstance(md, str) and "<html>" in html
+    assert j["width"] == 300
+
+
+def test_structure_empty(layout_only_pipeline):
+    assert layout_only_pipeline.predict([]) == []
+
+
+def test_table_analyzer_plumbing(rng):
+    from oar_ocr_tpu.models.recognition.slanet import SLANetModel
+    from oar_ocr_tpu.pipelines.table_analyzer import (TableAnalyzer,
+                                                      TableRegionInput)
+
+    analyzer = TableAnalyzer(structure=SLANetModel(max_steps=8),
+                             use_cell_detection=False)
+    pages = jnp.asarray(rng.integers(0, 255, (1, 256, 256, 3), dtype=np.uint8))
+    inp = TableRegionInput(
+        page_index=0, box=(20, 20, 220, 200),
+        ocr_boxes=[np.array([[30, 30], [100, 30], [100, 50], [30, 50]],
+                            np.float32)],
+        ocr_texts=["cell text"])
+    out = analyzer.analyze_tables(pages, [inp])
+    assert len(out) == 1
+    tr = out[0]
+    assert tr.html.startswith("<html><body><table>")
+    assert tr.is_wired in (True, False)
+    assert analyzer.analyze_tables(pages, []) == []

@@ -1,0 +1,170 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oar_ocr_tpu.vl.attention import (apply_rope, combine_masks,
+                                      create_causal_mask,
+                                      create_generation_mask,
+                                      create_left_padding_mask,
+                                      mrope_cos_sin, rope_frequencies,
+                                      scaled_dot_product_attention)
+from oar_ocr_tpu.vl.kv_cache import KVCache, decoder_cache_capacity
+from oar_ocr_tpu.vl.otsl import needs_table_postprocess, otsl_to_html
+from oar_ocr_tpu.vl.processing import (VisionProcessorConfig,
+                                       num_image_tokens, smart_resize)
+
+
+class TestAttention:
+    def test_sdpa_matches_reference(self, rng):
+        q = jnp.asarray(rng.normal(size=(1, 2, 4, 8)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(1, 2, 6, 8)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(1, 2, 6, 8)).astype(np.float32))
+        out = scaled_dot_product_attention(q, k, v)
+        ref = np.einsum("bhqk,bhkd->bhqd",
+                        jax.nn.softmax(np.einsum("bhqd,bhkd->bhqk", q, k)
+                                       / np.sqrt(8), axis=-1), v)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    def test_gqa_repeats_kv(self, rng):
+        q = jnp.asarray(rng.normal(size=(1, 4, 3, 8)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(1, 2, 5, 8)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(1, 2, 5, 8)).astype(np.float32))
+        out = scaled_dot_product_attention(q, k, v)
+        assert out.shape == (1, 4, 3, 8)
+        # heads 0,1 share kv head 0
+        out2 = scaled_dot_product_attention(q[:, :2], k[:, :1], v[:, :1])
+        np.testing.assert_allclose(np.asarray(out[:, :2]),
+                                   np.asarray(out2), atol=1e-5)
+
+    def test_causal_mask(self):
+        m = np.asarray(create_causal_mask(3))[0, 0]
+        assert m.tolist() == [[True, False, False],
+                              [True, True, False],
+                              [True, True, True]]
+
+    def test_left_padding_mask(self):
+        m = np.asarray(create_left_padding_mask(jnp.asarray([2, 4]), 4))
+        assert m[0, 0, 0].tolist() == [False, False, True, True]
+        assert m[1, 0, 0].tolist() == [True, True, True, True]
+
+    def test_generation_mask(self):
+        m = np.asarray(create_generation_mask(jnp.asarray([3]), 8))
+        assert m[0, 0, 0].tolist() == [True] * 3 + [False] * 5
+
+    def test_combine_masks(self):
+        a = jnp.asarray([[True, False]])
+        b = jnp.asarray([[True, True]])
+        assert np.asarray(combine_masks(a, b)).tolist() == [[True, False]]
+        assert combine_masks(None, None) is None
+
+    def test_rope_norm_preserved(self, rng):
+        cos, sin = rope_frequencies(8, 16)
+        x = jnp.asarray(rng.normal(size=(1, 16, 8)).astype(np.float32))
+        out = apply_rope(x, cos[None], sin[None])
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=-1),
+                                   np.linalg.norm(np.asarray(x), axis=-1),
+                                   rtol=1e-5)
+
+    def test_rope_position_zero_identity(self, rng):
+        cos, sin = rope_frequencies(8, 4)
+        x = jnp.asarray(rng.normal(size=(1, 1, 8)).astype(np.float32))
+        out = apply_rope(x, cos[None, :1], sin[None, :1])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+    def test_mrope_sections(self):
+        pos = jnp.zeros((3, 1, 5), jnp.int32)
+        cos, sin = mrope_cos_sin(pos, 16, (4, 2, 2))
+        assert cos.shape == (1, 5, 8)
+        np.testing.assert_allclose(np.asarray(cos), 1.0)
+
+
+class TestKVCache:
+    def test_append_and_mask(self):
+        cache = KVCache.create(2, 1, 2, 8, 4, dtype=jnp.float32)
+        k = jnp.ones((1, 2, 3, 4))
+        cache = cache.append(0, k, k, jnp.int32(0)).advance(3)
+        assert int(cache.length[0]) == 3
+        assert float(cache.k[0, 0, 0, 2, 0]) == 1.0
+        assert float(cache.k[0, 0, 0, 3, 0]) == 0.0
+
+    def test_trim_rollback(self):
+        cache = KVCache.create(1, 2, 1, 8, 4)
+        cache = cache.advance(5).trim_to(2)
+        assert cache.length.tolist() == [2, 2]
+
+    def test_keep_indices(self):
+        cache = KVCache.create(1, 3, 1, 4, 2)
+        cache = KVCache(cache.k, cache.v, jnp.asarray([1, 2, 3]))
+        out = cache.keep_indices(jnp.asarray([2, 0]))
+        assert out.length.tolist() == [3, 1]
+
+    def test_capacity_buckets(self):
+        assert decoder_cache_capacity(100, 100) == 256
+        assert decoder_cache_capacity(300, 300) == 1024
+        assert decoder_cache_capacity(16000, 9000) == 16384
+
+
+class TestProcessing:
+    def test_smart_resize_rounds_to_factor(self):
+        cfg = VisionProcessorConfig()
+        h, w = smart_resize(100, 200, cfg)
+        assert h % 28 == 0 and w % 28 == 0
+
+    def test_smart_resize_max_pixels(self):
+        cfg = VisionProcessorConfig(max_pixels=28 * 28 * 16)
+        h, w = smart_resize(2000, 2000, cfg)
+        assert h * w <= cfg.max_pixels
+
+    def test_smart_resize_min_pixels(self):
+        cfg = VisionProcessorConfig()
+        h, w = smart_resize(10, 10, cfg)
+        assert h * w >= cfg.min_pixels
+
+    def test_aspect_ratio_limit(self):
+        from oar_ocr_tpu.errors import InvalidInputError
+
+        with pytest.raises(InvalidInputError):
+            smart_resize(10, 4000, VisionProcessorConfig())
+
+    def test_num_image_tokens(self):
+        cfg = VisionProcessorConfig()
+        assert num_image_tokens(56, 56, cfg) == 4  # 4x4 patches / 4
+
+
+class TestOTSL:
+    def test_needs_postprocess(self):
+        assert needs_table_postprocess("<fcel>a<nl>")
+        assert not needs_table_postprocess("<table><tr></tr></table>")
+        assert not needs_table_postprocess("plain text")
+
+    def test_basic_grid(self):
+        html = otsl_to_html("<fcel>A<fcel>B<nl><fcel>C<ecel><nl>")
+        assert html == ("<table><tr><td>A</td><td>B</td></tr>"
+                        "<tr><td>C</td><td></td></tr></table>")
+
+    def test_colspan(self):
+        html = otsl_to_html("<fcel>A<lcel><nl><fcel>B<fcel>C<nl>")
+        assert '<td colspan="2">A</td>' in html
+
+    def test_rowspan(self):
+        html = otsl_to_html("<fcel>A<fcel>B<nl><ucel><fcel>C<nl>")
+        assert '<td rowspan="2">A</td>' in html
+
+    def test_headers(self):
+        html = otsl_to_html("<ched>H1<ched>H2<nl><fcel>a<fcel>b<nl>")
+        assert "<th>H1</th>" in html
+
+
+def test_vl_generate_tiny(rng):
+    from oar_ocr_tpu.vl.model import PaddleOCRVL
+    from oar_ocr_tpu.vl.paddleocr_vl import PaddleOCRVLConfig
+
+    vlm = PaddleOCRVL(cfg=PaddleOCRVLConfig().tiny())
+    img = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    out = vlm.generate([img], task="ocr", max_new_tokens=4)
+    assert len(out) == 1
+    assert len(out[0].token_ids) <= 4
+    assert out[0].num_prompt_tokens > 10
+    with pytest.raises(Exception):
+        vlm.generate([img], task="bogus")
