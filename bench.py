@@ -76,10 +76,14 @@ def main():
 
     def rec_pass():
         rbs = pipe.cfg.region_batch_size
+        pending = [
+            (plans[s : s + rbs],
+             pipe.recognizer.dispatch_chunk(pages, plans[s : s + rbs]))
+            for s in range(0, len(plans), rbs)
+        ]
         out = []
-        for s in range(0, len(plans), rbs):
-            out.extend(pipe.recognizer.recognize_chunk(
-                pages, plans[s : s + rbs]))
+        for chunk, handle in pending:
+            out.extend(pipe.recognizer.collect_chunk(handle, chunk))
         return out
 
     # warmup / compile

@@ -74,7 +74,10 @@ REC_WIDTH_BUCKETS = BucketTable((160, 320, 480, 640, 960, 1280, 1920, 2560, 3200
 # Recognition batch buckets: pad batch to one of these so the rec graph
 # compiles a handful of times (region_batch_size default 16/64).
 REC_BATCH_BUCKETS = BucketTable((8, 16, 32, 64, 128))
-DET_BATCH_BUCKETS = BucketTable((1, 2, 4, 8))
+DET_BATCH_BUCKETS = BucketTable((1, 2, 4, 8, 16))
+# Native-resolution crop sampling tiles (two-stage rec preprocess).
+REC_NATIVE_H_BUCKETS = BucketTable((32, 48, 96, 192))
+REC_NATIVE_W_BUCKETS = BucketTable((160, 320, 640, 960, 1280, 1920))
 
 
 @dataclass(frozen=True)
@@ -108,6 +111,8 @@ class RuntimeConfig:
     rec_width_buckets: BucketTable = REC_WIDTH_BUCKETS
     rec_batch_buckets: BucketTable = REC_BATCH_BUCKETS
     det_batch_buckets: BucketTable = DET_BATCH_BUCKETS
+    rec_native_h_buckets: BucketTable = REC_NATIVE_H_BUCKETS
+    rec_native_w_buckets: BucketTable = REC_NATIVE_W_BUCKETS
     mesh: MeshConfig = field(default_factory=MeshConfig)
     # Kill switches (reference keeps per-feature env kill switches,
     # docs/environment-variables.md:5-30; here they are config fields with

@@ -2,9 +2,23 @@
 
 Counterpart of the reference's DBModel.forward (oar-ocr-core/src/models/
 detection/db.rs:281 — preprocess → OrtInfer → DBPostProcess) re-split for
-TPU: the resize + normalize + conv-net forward is ONE jitted program fed
-raw uint8 pages (ops/warp.sample_transform fuses the preprocess), and only
-contour geometry runs on host (processors/db_postprocess.py).
+TPU, engineered around the measured link asymmetry (device→host is the
+bottleneck — SURVEY §7 "ship bitmasks, not f32 maps"):
+
+- preprocess: per-image resize+normalize as interpolation **matmuls** on
+  the MXU (ops/det_device.separable_resize_normalize) — detection resizes
+  are axis-aligned, no gather needed;
+- forward + threshold (+optional dilation) + **bit-packing** in the same
+  jitted program: the host receives 1 bit/pixel;
+- probability maps stay resident on device; per-candidate box scores
+  (box_score_fast, db_score.rs:34) are computed there too
+  (ops/det_device.quad_scores) — only (K,) floats cross the link;
+- contour geometry / unclip on host (processors/db_postprocess.py).
+
+The polygon path (seal text) still fetches the f32 map: its scores run on
+arbitrary simplified contours which the convex-quad device scorer cannot
+represent; seal pages are small so the transfer is acceptable. ScoreMode
+SLOW likewise uses the host path for exact contour scoring.
 """
 
 from __future__ import annotations
@@ -17,13 +31,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...config.runtime import RuntimeConfig
+from ...config.runtime import BucketTable
+from ...core.types import BoxType, ScoreMode
+from ...ops.det_device import (pack_bits, quad_scores,
+                               separable_resize_normalize)
 from ...ops.resize import DetResizeConfig, det_target_size
-from ...ops.warp import NormSpec, resize_matrix, sample_transform
 from ...processors.db_postprocess import DBPostProcess, DBPostProcessConfig
 from ...runtime.runtime import Runtime, init_params, stack_padded
 from ...utils.tracing import stage_timer
 from .db import DBNet
+
+# candidate-count buckets for the device scoring call
+SCORE_BUCKETS = BucketTable((32, 128, 512))
+_SCORE_CHUNK = 8
 
 
 @dataclass
@@ -57,16 +77,31 @@ class DBDetector:
             params = init_params(self.model, (1, 64, 64, 3))
         self.params = jax.device_put(params, self.runtime.device)
         self._step = jax.jit(
-            self._step_impl, static_argnames=("out_h", "out_w"))
+            self._step_impl,
+            static_argnames=("out_h", "out_w", "dilate"))
+        self._scores = jax.jit(
+            functools.partial(quad_scores, chunk=_SCORE_CHUNK))
 
-    def _step_impl(self, params, pages_u8, mats, img_idx, valid_w, valid_h,
-                   *, out_h: int, out_w: int):
-        x = sample_transform(
-            pages_u8, mats, img_idx, valid_w, valid_h,
-            out_h=out_h, out_w=out_w, norm=NormSpec.imagenet_rgb(),
+    def _step_impl(self, params, pages_u8, src_h, src_w, dst_h, dst_w,
+                   thresh, *, out_h: int, out_w: int, dilate: bool):
+        from ...core.constants import IMAGENET_MEAN, IMAGENET_STD
+
+        alpha = jnp.asarray(
+            [1.0 / (255.0 * s) for s in IMAGENET_STD], jnp.float32)
+        beta = jnp.asarray(
+            [-m / s for m, s in zip(IMAGENET_MEAN, IMAGENET_STD)], jnp.float32)
+        x = separable_resize_normalize(
+            pages_u8, src_h, src_w, dst_h, dst_w, alpha, beta,
+            out_h=out_h, out_w=out_w,
             out_dtype=self.runtime.compute_dtype)
-        prob = self.model.apply(params, x)
-        return prob.astype(jnp.float32)
+        prob = self.model.apply(params, x).astype(jnp.float32)
+        bitmap = prob > thresh
+        if dilate:
+            # 2×2 structuring-element dilation (db_postprocess.rs dilation)
+            bitmap = jax.lax.reduce_window(
+                bitmap, False, jax.lax.bitwise_or, (1, 2, 2), (1, 1, 1),
+                [(0, 0), (0, 1), (0, 1)])
+        return prob, pack_bits(bitmap)
 
     def plan(self, shapes: Sequence[Tuple[int, int]]) -> List[DetPlan]:
         """Compute per-image det resize targets (exact reference math)."""
@@ -75,14 +110,15 @@ class DBDetector:
             for (h, w) in shapes
         ]
 
+    # ------------------------------------------------------------------
     def detect(
         self,
         pages_u8: jax.Array,                 # (P, H, W, 3) uint8 on device
         shapes: Sequence[Tuple[int, int]],   # original (h, w) per page
         page_indices: Optional[Sequence[int]] = None,
     ) -> List[Tuple[List[np.ndarray], List[float]]]:
-        """Detect text boxes on each page. Returns [(boxes, scores)] per page
-        in original-image coordinates."""
+        """Detect text boxes on each page. Returns [(boxes, scores)] per
+        page in original-image coordinates."""
 
         plans = self.plan(shapes)
         cfg = self.runtime.cfg
@@ -91,34 +127,98 @@ class DBDetector:
         out_w = cfg.det_side_buckets.bucket(max(p.dst_w for p in plans))
         nb = cfg.det_batch_buckets.bucket(n)
 
-        mats = np.zeros((nb, 3, 3), np.float32)
-        mats[:, 0, 0] = mats[:, 1, 1] = mats[:, 2, 2] = 1.0
-        valid_w = np.zeros((nb,), np.int32)
-        valid_h = np.zeros((nb,), np.int32)
-        img_idx = np.zeros((nb,), np.int32)
-        for i, p in enumerate(plans):
-            mats[i] = resize_matrix(p.src_h, p.src_w, p.dst_h, p.dst_w)
-            valid_w[i] = p.dst_w
-            valid_h[i] = p.dst_h
-            img_idx[i] = page_indices[i] if page_indices is not None else i
+        # gather the requested pages into a contiguous device batch of the
+        # bucketed size (cheap on-device copy; pads repeat page 0)
+        src_idx = list(page_indices) if page_indices is not None else list(range(n))
+        idx = src_idx + [src_idx[0]] * (nb - n)
+        if idx == list(range(pages_u8.shape[0])):
+            batch = pages_u8
+        else:
+            batch = pages_u8[jnp.asarray(idx, jnp.int32)]
 
+        src_h = np.array([p.src_h for p in plans] + [1] * (nb - n), np.int32)
+        src_w = np.array([p.src_w for p in plans] + [1] * (nb - n), np.int32)
+        dst_h = np.array([p.dst_h for p in plans] + [1] * (nb - n), np.int32)
+        dst_w = np.array([p.dst_w for p in plans] + [1] * (nb - n), np.int32)
+
+        pp_cfg = self.postprocess.cfg
         with stage_timer("det.device", batch=nb, hw=(out_h, out_w)):
-            prob = self._step(
-                self.params, pages_u8, jnp.asarray(mats),
-                jnp.asarray(img_idx), jnp.asarray(valid_w),
-                jnp.asarray(valid_h), out_h=out_h, out_w=out_w)
-            prob = np.asarray(prob)
+            prob_dev, packed = self._step(
+                self.params, batch, jnp.asarray(src_h), jnp.asarray(src_w),
+                jnp.asarray(dst_h), jnp.asarray(dst_w),
+                jnp.float32(pp_cfg.thresh),
+                out_h=out_h, out_w=out_w, dilate=pp_cfg.use_dilation)
+            packed_np = np.asarray(packed)
 
+        if (pp_cfg.box_type == BoxType.POLY
+                or pp_cfg.score_mode == ScoreMode.SLOW):
+            return self._host_path(prob_dev, packed_np, plans, out_w)
+
+        # --- quad path: host contours, device scores ---
+        with stage_timer("det.candidates", batch=n):
+            bitmap_all = np.unpackbits(
+                packed_np, axis=-1, count=out_w).astype(np.uint8)
+            cand_boxes: List[np.ndarray] = []
+            cand_img: List[int] = []
+            cand_owner: List[Tuple[int, int]] = []   # (page, local idx)
+            per_page_count = []
+            for i, p in enumerate(plans):
+                bitmap = bitmap_all[i, : p.dst_h, : p.dst_w]
+                minis = self.postprocess.quad_candidates(bitmap)
+                per_page_count.append(len(minis))
+                for mb in minis:
+                    # round+clamp exactly as the host scorer would before
+                    # rasterizing (db_score.rs floor/ceil clamp semantics)
+                    q = np.round(mb)
+                    q[:, 0] = np.clip(q[:, 0], 0, p.dst_w - 1)
+                    q[:, 1] = np.clip(q[:, 1], 0, p.dst_h - 1)
+                    cand_boxes.append(q.astype(np.float32))
+                    cand_img.append(i)
+                    cand_owner.append((i, len(cand_boxes) - 1))
+
+        results: List[Tuple[List[np.ndarray], List[float]]] = [
+            ([], []) for _ in plans]
+        if cand_boxes:
+            k = len(cand_boxes)
+            kb = max(SCORE_BUCKETS.bucket(k), _SCORE_CHUNK)
+            quads = np.zeros((kb, 4, 2), np.float32)
+            quads[:k] = np.stack(cand_boxes)
+            img_idx = np.zeros((kb,), np.int32)
+            img_idx[:k] = cand_img
+            with stage_timer("det.scores", k=k):
+                scores = np.asarray(self._scores(
+                    prob_dev, jnp.asarray(quads), jnp.asarray(img_idx)))[:k]
+
+            with stage_timer("det.finalize", k=k):
+                ci = 0
+                for i, p in enumerate(plans):
+                    boxes, bscores = [], []
+                    for _ in range(per_page_count[i]):
+                        mini_box = cand_boxes[ci]
+                        out = self.postprocess.finalize_quad(
+                            mini_box, float(scores[ci]),
+                            p.src_w / float(p.dst_w),
+                            p.src_h / float(p.dst_h),
+                            p.src_w, p.src_h)
+                        ci += 1
+                        if out is not None:
+                            boxes.append(out[0])
+                            bscores.append(out[1])
+                    results[i] = (boxes, bscores)
+        return results
+
+    def _host_path(self, prob_dev, packed_np, plans, out_w):
+        """Poly / slow-score path: fetch the f32 map and run the full host
+        postprocess (exact reference semantics)."""
+        prob = np.asarray(prob_dev)
         results = []
-        with stage_timer("det.postprocess", batch=n):
+        with stage_timer("det.postprocess_host", batch=len(plans)):
+            bitmap_all = np.unpackbits(
+                packed_np, axis=-1, count=out_w).astype(np.uint8)
             for i, p in enumerate(plans):
                 pred = prob[i, : p.dst_h, : p.dst_w]
-                bitmap = (pred > self.postprocess.cfg.thresh).astype(np.uint8)
-                if self.postprocess.cfg.use_dilation:
-                    import cv2
-                    bitmap = cv2.dilate(bitmap, np.ones((2, 2), np.uint8))
-                boxes, scores = self.postprocess(pred, bitmap, p.src_w, p.src_h)
-                results.append((boxes, scores))
+                bitmap = bitmap_all[i, : p.dst_h, : p.dst_w]
+                results.append(self.postprocess(pred, bitmap, p.src_w, p.src_h))
         return results
 
     def detect_images(self, images: Sequence[np.ndarray]):

@@ -30,24 +30,41 @@ REC_H = REC_IMAGE_SHAPE[1]  # 48
 
 @dataclass
 class CropPlan:
-    """One text region scheduled for recognition."""
+    """One text region scheduled for recognition (two-stage preprocess:
+    native-resolution warp then separable resize — matching the
+    reference's warpPerspective→resize chain, transform.rs +
+    resize_recognition.rs)."""
 
     page_index: int
     quad: np.ndarray          # (4,2) TL,TR,BR,BL in page coords
     width: int                # resized width at h=48 (post-rotation ratio)
-    matrix: np.ndarray        # (3,3) tile px → page px
+    matrix: np.ndarray        # (3,3) NATIVE crop px → page px
     rotated: bool
+    native_w: int             # crop size after rotation
+    native_h: int
+    flip180: bool = False     # textline-orientation 180° rotation
+
+    # native sampling caps: crops taller/wider than this are sampled at
+    # the cap (bounds worst-case gather volume; typical text is far below)
+    MAX_NATIVE_H = 192
+    MAX_NATIVE_W = 1920
 
     @staticmethod
     def from_quad(page_index: int, quad: np.ndarray) -> "CropPlan":
-        from ...ops.warp import crop_geometry
+        from ...ops.warp import build_native_crop_matrix, resize_matrix
 
-        cw, ch, rot = crop_geometry(quad)
-        ew, eh = (ch, cw) if rot else (cw, ch)
-        ratio = ew / float(eh)
+        mat, rw, rh = build_native_crop_matrix(quad)
+        ratio = rw / float(rh) if rh > 0 else 1.0
         width = max(1, min(int(math.ceil(REC_H * ratio)), REC_MAX_WIDTH))
-        mat, _ = build_rec_crop_matrix(quad, width, REC_H)
-        return CropPlan(page_index, np.asarray(quad, np.float32), width, mat, rot)
+        if rw > CropPlan.MAX_NATIVE_W or rh > CropPlan.MAX_NATIVE_H:
+            scale = min(CropPlan.MAX_NATIVE_W / rw, CropPlan.MAX_NATIVE_H / rh)
+            nw, nh = max(int(rw * scale), 1), max(int(rh * scale), 1)
+            mat = (mat.astype(np.float64)
+                   @ resize_matrix(rh, rw, nh, nw).astype(np.float64)
+                   ).astype(np.float32)
+            rw, rh = nw, nh
+        return CropPlan(page_index, np.asarray(quad, np.float32), width,
+                        mat, False, rw, rh)
 
     @property
     def wh_ratio(self) -> float:
@@ -75,15 +92,82 @@ class CTCRecognizer:
         if params is None:
             params = init_params(self.model, (1, REC_H, 64, 3))
         self.params = jax.device_put(params, self.runtime.device)
-        self._step = jax.jit(self._step_impl, static_argnames=("out_w",))
+        self._step = jax.jit(self._step_impl,
+                             static_argnames=("out_w", "nat_h", "nat_w"))
 
-    def _step_impl(self, params, pages_u8, mats, img_idx, valid_w, *, out_w):
-        tiles = warp_crops(pages_u8, mats, img_idx, valid_w,
-                           out_h=REC_H, out_w=out_w,
-                           out_dtype=self.runtime.compute_dtype)
+    def _step_impl(self, params, pages_u8, mats, img_idx, valid_w,
+                   native_w, native_h, *, out_w, nat_h, nat_w):
+        from ...ops.det_device import separable_resize_normalize
+        from ...ops.warp import NormSpec, sample_transform
+
+        # stage 1: perspective warp at NATIVE crop resolution (the
+        # reference's warpPerspective, transform.rs:148)
+        native = sample_transform(
+            pages_u8, mats, img_idx, native_w, native_h,
+            out_h=nat_h, out_w=nat_w, norm=NormSpec.identity(),
+            out_dtype=jnp.float32)
+        # stage 2: separable bilinear resize to (48, w_i) on the MXU with
+        # the rec normalization fused (x·2/255 − 1, BGR —
+        # normalization.rs:202-210); channel flip implements BGR
+        native = native[..., ::-1]
+        b = mats.shape[0]
+        tiles = separable_resize_normalize(
+            native, native_h, native_w,
+            jnp.full((b,), REC_H, jnp.int32), valid_w,
+            jnp.full((3,), 2.0 / 255.0, jnp.float32),
+            jnp.full((3,), -1.0, jnp.float32),
+            out_h=REC_H, out_w=out_w,
+            out_dtype=self.runtime.compute_dtype)
         probs = self.model.apply(params, tiles)
         raw = ctc_greedy_decode(probs)
         return raw.indices, raw.probs, raw.keep
+
+    def dispatch_chunk(self, pages_u8: jax.Array,
+                       plans: Sequence[CropPlan]):
+        """Launch one ratio-sorted chunk asynchronously; returns a handle
+        of device arrays. Dispatching every chunk before collecting any
+        keeps the device busy while the host decodes earlier chunks (the
+        TPU analog of the reference's session-pool overlap)."""
+
+        cfg = self.runtime.cfg
+        n = len(plans)
+        nb = cfg.rec_batch_buckets.bucket(n)
+        out_w = cfg.rec_width_buckets.bucket(max(p.width for p in plans))
+        nat_h = cfg.rec_native_h_buckets.bucket(max(p.native_h for p in plans))
+        nat_w = cfg.rec_native_w_buckets.bucket(max(p.native_w for p in plans))
+
+        mats = np.zeros((nb, 3, 3), np.float32)
+        mats[:, 0, 0] = mats[:, 1, 1] = mats[:, 2, 2] = 1.0
+        img_idx = np.zeros((nb,), np.int32)
+        valid_w = np.zeros((nb,), np.int32)
+        native_w = np.ones((nb,), np.int32)
+        native_h = np.ones((nb,), np.int32)
+        for i, p in enumerate(plans):
+            mats[i] = p.matrix
+            img_idx[i] = p.page_index
+            valid_w[i] = min(p.width, out_w)
+            native_w[i] = min(p.native_w, nat_w)
+            native_h[i] = min(p.native_h, nat_h)
+
+        with stage_timer("rec.dispatch", batch=nb, width=out_w,
+                         native=(nat_h, nat_w)):
+            return self._step(
+                self.params, pages_u8, jnp.asarray(mats),
+                jnp.asarray(img_idx), jnp.asarray(valid_w),
+                jnp.asarray(native_w), jnp.asarray(native_h),
+                out_w=out_w, nat_h=nat_h, nat_w=nat_w)
+
+    def collect_chunk(self, handle, plans: Sequence[CropPlan]
+                      ) -> List[Tuple[str, float, List[int]]]:
+        """Fetch + dictionary-decode one dispatched chunk."""
+        n = len(plans)
+        idx, prob, keep = handle
+        with stage_timer("rec.device", batch=n):
+            idx, prob, keep = (np.asarray(idx), np.asarray(prob),
+                               np.asarray(keep))
+        with stage_timer("rec.decode", batch=n):
+            return self.decoder.decode_with_positions(
+                (idx[:n], prob[:n], keep[:n]))
 
     def recognize_chunk(
         self, pages_u8: jax.Array, plans: Sequence[CropPlan]
@@ -93,28 +177,4 @@ class CTCRecognizer:
 
         if not plans:
             return []
-        cfg = self.runtime.cfg
-        n = len(plans)
-        nb = cfg.rec_batch_buckets.bucket(n)
-        out_w = cfg.rec_width_buckets.bucket(max(p.width for p in plans))
-
-        mats = np.zeros((nb, 3, 3), np.float32)
-        mats[:, 0, 0] = mats[:, 1, 1] = mats[:, 2, 2] = 1.0
-        img_idx = np.zeros((nb,), np.int32)
-        valid_w = np.zeros((nb,), np.int32)
-        for i, p in enumerate(plans):
-            mats[i] = p.matrix
-            img_idx[i] = p.page_index
-            valid_w[i] = min(p.width, out_w)
-
-        with stage_timer("rec.device", batch=nb, width=out_w):
-            idx, prob, keep = self._step(
-                self.params, pages_u8, jnp.asarray(mats),
-                jnp.asarray(img_idx), jnp.asarray(valid_w), out_w=out_w)
-            idx, prob, keep = (np.asarray(idx), np.asarray(prob),
-                               np.asarray(keep))
-
-        with stage_timer("rec.decode", batch=n):
-            decoded = self.decoder.decode_with_positions((idx[:n], prob[:n],
-                                                          keep[:n]))
-        return decoded
+        return self.collect_chunk(self.dispatch_chunk(pages_u8, plans), plans)

@@ -1,0 +1,138 @@
+"""Device-side detection ops: separable resize, bit-packing, quad scoring.
+
+Performance-critical redesign of the detection path driven by measured
+link characteristics (device→host runs ~40-50 MB/s on this setup, while
+host→device is ~1.2 GB/s and the MXU is idle during preprocessing):
+
+1. ``separable_resize_normalize`` — axis-aligned per-image resize expressed
+   as two interpolation matmuls (out = R_y · img · C_xᵀ) built on device
+   from per-image scales. Bilinear tent weights are exact; the contraction
+   runs on the MXU instead of the VPU-hostile 4-neighbor gather
+   (ops/warp.sample_transform), which remains for true perspective crops.
+2. ``pack_bits`` — thresholded probability maps leave the device as 1
+   bit/pixel (32× less than f32), host contours run on the unpacked bitmap.
+3. ``quad_scores`` — box_score_fast (db_score.rs:34 — mean probability
+   inside the mini-box) evaluated on device against the *resident* prob
+   map via half-plane tests over convex quads, so the full-resolution map
+   never crosses the link.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _interp_weights(dst_pad: int, src_len: int, src_valid, dst_valid,
+                    dtype=jnp.float32) -> jax.Array:
+    """(B, dst_pad, src_len) bilinear tent weights in cv2's half-pixel
+    convention, with border clamp (weights sum to 1 inside the valid
+    region, 0 outside)."""
+
+    o = jnp.arange(dst_pad, dtype=jnp.float32)[None, :]         # (1, Do)
+    scale = (src_valid / dst_valid).astype(jnp.float32)[:, None]  # (B, 1)
+    pos = (o + 0.5) * scale - 0.5                               # (B, Do)
+    pos = jnp.clip(pos, 0.0, src_valid.astype(jnp.float32)[:, None] - 1.0)
+    i = jnp.arange(src_len, dtype=jnp.float32)[None, None, :]   # (1, 1, S)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, :, None] - i))    # (B, Do, S)
+    w = jnp.where(o[:, :, None] < dst_valid.astype(jnp.float32)[:, None, None],
+                  w, 0.0)
+    return w.astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "out_dtype"))
+def separable_resize_normalize(
+    images: jax.Array,         # (B, H, W, C) uint8/float, zero-padded
+    src_h: jax.Array,          # (B,) int32 valid source heights
+    src_w: jax.Array,          # (B,) int32 valid source widths
+    dst_h: jax.Array,          # (B,) int32 valid target heights
+    dst_w: jax.Array,          # (B,) int32 valid target widths
+    alpha: jax.Array,          # (C,) fused normalize: out*alpha + beta
+    beta: jax.Array,
+    *,
+    out_h: int,
+    out_w: int,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Per-image bilinear resize to (dst_h[b], dst_w[b]) inside a padded
+    (out_h, out_w) tile, with fused normalization. f32 weights on the MXU
+    (precision HIGHEST) keep bilinear exact to float rounding."""
+
+    images_u8 = images
+    b, h, w, c = images_u8.shape
+    ry = _interp_weights(out_h, h, src_h, dst_h)                # (B, Ho, H)
+    cx = _interp_weights(out_w, w, src_w, dst_w)                # (B, Wo, W)
+    img = images_u8.astype(jnp.float32)
+    # (B, Ho, H) × (B, H, W, C) → (B, Ho, W, C)
+    t = jax.lax.dot_general(
+        ry, img, (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST)
+    # (B, Wo, W) × (B, Ho, W, C): contract W
+    t = t.transpose(0, 1, 3, 2)                                 # (B, Ho, C, W)
+    out = jax.lax.dot_general(
+        t, cx, (((3,), (2,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST)                    # (B, Ho, C, Wo)
+    out = out.transpose(0, 1, 3, 2)                             # (B, Ho, Wo, C)
+    out = out * alpha + beta
+    row = jnp.arange(out_h, dtype=jnp.int32)[None, :, None, None]
+    col = jnp.arange(out_w, dtype=jnp.int32)[None, None, :, None]
+    mask = (row < dst_h[:, None, None, None]) & (col < dst_w[:, None, None, None])
+    return jnp.where(mask, out, 0.0).astype(out_dtype)
+
+
+def pack_bits(bitmap: jax.Array) -> jax.Array:
+    """(…, W) bool/int → (…, W/8) uint8, MSB-first (np.unpackbits order).
+    W must be a multiple of 8 (det tiles are multiples of 32)."""
+
+    shape = bitmap.shape
+    w = shape[-1]
+    x = bitmap.astype(jnp.uint8).reshape(shape[:-1] + (w // 8, 8))
+    weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return jnp.sum(x * weights, axis=-1).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def quad_scores(prob: jax.Array, quads: jax.Array, img_idx: jax.Array,
+                *, chunk: int = 8) -> jax.Array:
+    """Mean probability inside each convex quad (box_score_fast).
+
+    prob (B, H, W) f32 resident on device; quads (K, 4, 2) float (x, y)
+    in prob-map coordinates (pre-rounded on host for fillPoly parity);
+    img_idx (K,) int32. K must be a multiple of ``chunk``. Inclusive
+    half-plane tests at pixel centers; quads may wind either way.
+    """
+
+    b, h, w = prob.shape
+    k = quads.shape[0]
+    px = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    py = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+
+    # normalize winding via the shoelace sign
+    x, y = quads[..., 0], quads[..., 1]
+    area2 = jnp.sum(x * jnp.roll(y, -1, 1) - jnp.roll(x, -1, 1) * y, axis=1)
+    sign = jnp.where(area2 >= 0, 1.0, -1.0)[:, None]            # (K, 1)
+
+    def group(gi, acc):
+        q = jax.lax.dynamic_slice(quads, (gi * chunk, 0, 0), (chunk, 4, 2))
+        gsign = jax.lax.dynamic_slice(sign, (gi * chunk, 0), (chunk, 1))
+        gidx = jax.lax.dynamic_slice(img_idx, (gi * chunk,), (chunk,))
+        pmap = prob[gidx]                                       # (c, H, W)
+        inside = jnp.ones((chunk, h, w), bool)
+        for e in range(4):
+            p0 = q[:, e]
+            p1 = q[:, (e + 1) % 4]
+            ex = (p1[:, 0] - p0[:, 0])[:, None, None]
+            ey = (p1[:, 1] - p0[:, 1])[:, None, None]
+            cross = ex * (py - p0[:, 1][:, None, None]) - \
+                ey * (px - p0[:, 0][:, None, None])
+            inside = inside & (cross * gsign[:, :, None] >= 0)
+        num = jnp.sum(jnp.where(inside, pmap, 0.0), axis=(1, 2))
+        den = jnp.sum(inside, axis=(1, 2)).astype(jnp.float32)
+        val = jnp.where(den > 0, num / den, 0.0)
+        return jax.lax.dynamic_update_slice(acc, val, (gi * chunk,))
+
+    acc = jnp.zeros((k,), jnp.float32)
+    return jax.lax.fori_loop(0, k // chunk, group, acc)

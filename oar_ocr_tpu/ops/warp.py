@@ -180,6 +180,33 @@ def crop_geometry(quad: np.ndarray) -> Tuple[int, int, bool]:
     return cw, ch, ch >= cw * 1.5
 
 
+def build_native_crop_matrix(quad: np.ndarray) -> Tuple[np.ndarray, int, int]:
+    """Matrix mapping NATIVE-resolution crop pixels → source pixels, with
+    the tall-crop rotation folded in. Returns (matrix, rw, rh) where
+    (rw, rh) is the crop size after rotation.
+
+    Used by the two-stage rec preprocess: gather-warp at native resolution
+    (exactly the reference's warpPerspective to (crop_w, crop_h),
+    transform.rs:136-148), then resize separably on the MXU — matching the
+    reference's warp-then-resize pipeline operation-for-operation while
+    gathering ~3× fewer samples than a fused full-resolution warp.
+    """
+
+    import cv2
+
+    quad = np.asarray(quad, np.float32).reshape(4, 2)
+    cw, ch, rot = crop_geometry(quad)
+    pts_std = np.array([[0, 0], [cw, 0], [cw, ch], [0, ch]], np.float32)
+    m1 = cv2.getPerspectiveTransform(pts_std, quad)
+    if rot:
+        r = np.array([[0.0, -1.0, cw - 1.0],
+                      [1.0, 0.0, 0.0],
+                      [0.0, 0.0, 1.0]], np.float64)
+        m1 = m1 @ r
+        return m1.astype(np.float32), ch, cw
+    return m1.astype(np.float32), cw, ch
+
+
 def build_rec_crop_matrix(quad: np.ndarray, dst_w: int, dst_h: int) -> Tuple[np.ndarray, bool]:
     """Matrix mapping (dst_h, dst_w) recognizer-tile pixels → source pixels.
 

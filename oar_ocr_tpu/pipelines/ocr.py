@@ -55,6 +55,7 @@ class OAROCRConfig:
     use_doc_orientation: bool = False
     use_doc_rectification: bool = False
     use_textline_orientation: bool = False
+    return_word_boxes: bool = False
     max_side_len: int = 4000
 
 
@@ -134,25 +135,43 @@ class OAROCR:
             cls = self.line_orienter.classify_quads(pages, quads)
             for (page_i, region_i, plan), (c, _score) in zip(pool, cls):
                 if c == 1:
-                    plan.matrix = _compose_rot180(plan.matrix, plan.width)
+                    plan.matrix = _compose_rot180(
+                        plan.matrix, plan.native_w, plan.native_h)
+                    plan.flip180 = True
                     line_angles[(page_i, region_i)] = 180
                 else:
                     line_angles[(page_i, region_i)] = 0
 
         texts: dict = {}
+        word_box_map: dict = {}
         for flush_start in range(0, len(pool), MAX_POOLED_CROPS):
             batch = pool[flush_start : flush_start + MAX_POOLED_CROPS]
-            # sort by wh_ratio (ocr.rs:811) then fixed-size chunks (:827)
+            # sort by wh_ratio (ocr.rs:811) then fixed-size chunks (:827);
+            # dispatch every chunk before collecting any so host decode
+            # overlaps device execution
             order = sorted(range(len(batch)),
                            key=lambda i: batch[i][2].wh_ratio)
             rbs = self.cfg.region_batch_size
+            pending = []
             for cs in range(0, len(order), rbs):
                 chunk_ids = order[cs : cs + rbs]
                 plans = [batch[i][2] for i in chunk_ids]
-                decoded = self.recognizer.recognize_chunk(pages, plans)
-                for i, (text, conf, cols) in zip(chunk_ids, decoded):
+                handle = self.recognizer.dispatch_chunk(pages, plans)
+                pending.append((chunk_ids, plans, handle))
+            for chunk_ids, plans, handle in pending:
+                decoded = self.recognizer.collect_chunk(handle, plans)
+                for i, plan, (text, conf, cols) in zip(chunk_ids, plans,
+                                                       decoded):
                     page_i, region_i, _ = batch[i]
                     texts[(page_i, region_i)] = (text, conf)
+                    if self.cfg.return_word_boxes and text:
+                        from ..processors.word_boxes import word_boxes
+
+                        wb = word_boxes(
+                            plan.matrix, plan.native_w, plan.native_h,
+                            plan.width, max((plan.width + 7) // 8, 1),
+                            cols, text)
+                        word_box_map[(page_i, region_i)] = wb
 
         # --- assemble; map geometry back to the ORIGINAL frame when an
         # orientation correction was applied and no rectification broke the
@@ -175,20 +194,27 @@ class OAROCR:
                 if back_angle is not None:
                     box = rotate_points_back(
                         box, back_angle, shapes[page_i][1], shapes[page_i][0])
+                wb = word_box_map.get((page_i, region_i))
+                if wb is not None and back_angle is not None:
+                    wb = [(w, rotate_points_back(
+                        q, back_angle, shapes[page_i][1], shapes[page_i][0]))
+                        for w, q in wb]
                 res.regions.append(TextRegion(
                     box=box, text=text, confidence=conf,
                     det_score=per_page_scores[page_i][region_i],
-                    orientation_angle=line_angles.get((page_i, region_i))))
+                    orientation_angle=line_angles.get((page_i, region_i)),
+                    word_boxes=[q for _, q in wb] if wb else None,
+                    word_texts=[w for w, _ in wb] if wb else None))
         return results
 
 
-def _compose_rot180(matrix: np.ndarray, valid_w: int) -> np.ndarray:
-    """Compose a 180° in-tile rotation into a tile→page sampling matrix
+def _compose_rot180(matrix: np.ndarray, native_w: int,
+                    native_h: int) -> np.ndarray:
+    """Compose a 180° rotation into a native-crop sampling matrix
     (equivalent to the reference's crop rotate180, ocr.rs:785)."""
-    from ..core.constants import REC_IMAGE_SHAPE
 
-    f = np.array([[-1.0, 0.0, valid_w - 1.0],
-                  [0.0, -1.0, REC_IMAGE_SHAPE[1] - 1.0],
+    f = np.array([[-1.0, 0.0, native_w - 1.0],
+                  [0.0, -1.0, native_h - 1.0],
                   [0.0, 0.0, 1.0]], np.float64)
     return (matrix.astype(np.float64) @ f).astype(np.float32)
 
@@ -270,6 +296,10 @@ class OAROCRBuilder:
 
     def with_textline_orientation(self, enable: bool = True) -> "OAROCRBuilder":
         self._cfg.use_textline_orientation = enable
+        return self
+
+    def with_word_boxes(self, enable: bool = True) -> "OAROCRBuilder":
+        self._cfg.return_word_boxes = enable
         return self
 
     def build(self) -> OAROCR:

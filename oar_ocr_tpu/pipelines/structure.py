@@ -124,19 +124,24 @@ class OARStructure:
             for page_i, r in enumerate(ocr_results):
                 ocr_regions[page_i] = r.regions
 
-        # --- seal text (poly det preset on seal regions) ---
+        # --- seal text, batched across pages (poly det preset;
+        # detect_seal_text structure.rs:2009) ---
         if self.seal_ocr is not None and self.cfg.use_seals:
+            seal_crops, seal_owners = [], []
             for page_i, els in enumerate(page_elements):
-                seal_els = [el for el in els
-                            if el.element_type == LayoutElementType.SEAL]
-                for el in seal_els:
+                for el in els:
+                    if el.element_type != LayoutElementType.SEAL:
+                        continue
                     x0, y0, x1, y1 = [int(v) for v in el.xyxy]
                     crop = images[page_i][max(y0, 0):y1, max(x0, 0):x1]
-                    if not crop.size:
-                        continue
-                    with stage_timer("structure.seal"):
-                        res = self.seal_ocr.predict([np.ascontiguousarray(crop)])
-                    el.text = "\n".join(res[0].texts)
+                    if crop.size:
+                        seal_crops.append(np.ascontiguousarray(crop))
+                        seal_owners.append(el)
+            if seal_crops:
+                with stage_timer("structure.seal", batch=len(seal_crops)):
+                    res = self.seal_ocr.predict(seal_crops)
+                for el, r in zip(seal_owners, res):
+                    el.text = "\n".join(r.texts)
 
         # --- tables (structure.rs:2604-2659) ---
         if self.tables is not None and self.cfg.use_tables:

@@ -190,6 +190,46 @@ class DBPostProcess:
             bitmap.astype(np.uint8), cv2.RETR_LIST, cv2.CHAIN_APPROX_SIMPLE)
         return [c.reshape(-1, 2).astype(np.float32) for c in contours]
 
+    # ------- split-phase quad API (scores computed on device) -------
+
+    def quad_candidates(self, bitmap: np.ndarray) -> List[np.ndarray]:
+        """Phase 1 of the quad path: contours → min-size-filtered
+        mini-boxes, scores NOT yet computed (they are evaluated on device
+        against the resident prob map — ops/det_device.quad_scores)."""
+
+        out: List[np.ndarray] = []
+        for contour in self._contours(bitmap)[: self.cfg.max_candidates]:
+            mb = get_mini_box(contour)
+            if mb is None:
+                continue
+            mini_box, min_side = mb
+            if min_side < self.cfg.min_size:
+                continue
+            out.append(mini_box)
+        return out
+
+    def finalize_quad(self, mini_box: np.ndarray, score: float,
+                      width_scale: float, height_scale: float,
+                      dest_w: int, dest_h: int
+                      ) -> Optional[Tuple[np.ndarray, float]]:
+        """Phase 2: threshold on score, unclip, re-minbox, size filter,
+        scale to original coords (db_bitmap.rs:118-151)."""
+
+        if score < self.cfg.box_thresh:
+            return None
+        delta = unclip_delta(mini_box, self.cfg.unclip_ratio)
+        if delta <= 0:
+            return None
+        unclipped = expand_rect(mini_box, delta)
+        mb2 = get_mini_box(unclipped)
+        if mb2 is None:
+            return None
+        box_points, sside = mb2
+        if sside < self.cfg.min_size + 2.0:
+            return None
+        return (_scale_clamp(box_points, width_scale, height_scale,
+                             dest_w, dest_h), score)
+
     def _boxes_from_bitmap(self, pred, bitmap, dest_w, dest_h):
         """Quad path (db_bitmap.rs:84-151)."""
         h, w = bitmap.shape

@@ -23,6 +23,7 @@ bucket shapes the callers feed it.
 from __future__ import annotations
 
 import functools
+import os
 import threading
 import time
 from typing import Any, Callable, Dict, Optional, Tuple
@@ -36,6 +37,29 @@ from ..errors import InferenceError, ModelLoadError
 from ..utils.tracing import stage_timer
 
 
+_CACHE_ENABLED = False
+
+
+def _enable_compilation_cache() -> None:
+    """Persist compiled executables across processes (the warm-start analog
+    of the reference's cuDNN-algo caching note, docs/FAQ.md:30 — first-call
+    penalty). Safe to call repeatedly; disabled via OAR_TPU_NO_COMPILE_CACHE."""
+
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED or os.environ.get("OAR_TPU_NO_COMPILE_CACHE"):
+        return
+    cache_dir = os.environ.get(
+        "OAR_TPU_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".oar_ocr_tpu", "xla_cache"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _CACHE_ENABLED = True
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
 class Runtime:
     """Process-wide device context (devices, dtype policy, upload helpers)."""
 
@@ -45,6 +69,7 @@ class Runtime:
     def __init__(self, cfg: Optional[RuntimeConfig] = None):
         self.cfg = RuntimeConfig.from_env(cfg)
         self.cfg.validate()
+        _enable_compilation_cache()
         self.devices = jax.devices()
         self.device = self.devices[0]
 

@@ -1,0 +1,95 @@
+"""Speculative decoding primitives: draft → single-pass verify → rollback.
+
+Re-expresses the mechanisms behind the reference's two speculative
+families (SURVEY §2.5):
+- GLM-OCR **MTP**: one trained multi-token-prediction layer reused
+  recurrently to draft N tokens, verified by the target in one causal pass
+  (glmocr/mtp.rs:1-6, verify at text.rs:1198);
+- HunyuanOCR **DFlash**: a block draft model predicting a masked block
+  non-causally, verified the same way (hunyuanocr/dflash.rs:1-7).
+
+The TPU-native core both share is implemented here jit-side:
+``verify_draft`` compares target argmaxes against the draft block and
+accepts the longest agreeing prefix (+1 corrected token), and the KV cache
+rolls back via a length reset (vl/kv_cache.KVCache.trim_to) — the
+speculative-rollback design the reference builds its ``TrimmableKvCache``
+around. Family-specific draft networks plug in as callables.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .kv_cache import KVCache
+
+
+class VerifyResult(NamedTuple):
+    accepted: jax.Array       # (B,) int32 — number of draft tokens accepted
+    next_tokens: jax.Array    # (B, K+1) int32 — accepted prefix + correction
+    num_emitted: jax.Array    # (B,) int32 — accepted + 1
+
+
+def verify_draft(draft_tokens: jax.Array,
+                 target_logits: jax.Array) -> VerifyResult:
+    """Greedy speculative verification.
+
+    ``draft_tokens`` (B, K): the draft block. ``target_logits`` (B, K+1, V):
+    target logits at the position *before* each draft token plus one extra
+    position (the standard verify pass over [last_committed, draft...]).
+
+    Token i is accepted iff the target's argmax at position i equals
+    draft[i] AND all earlier drafts were accepted. The emitted sequence is
+    the accepted prefix followed by the target's own argmax at the first
+    disagreement (or the bonus K+1-th token when everything matched).
+    """
+
+    b, k = draft_tokens.shape
+    target = jnp.argmax(target_logits, -1).astype(jnp.int32)   # (B, K+1)
+    match = target[:, :k] == draft_tokens                      # (B, K)
+    prefix_ok = jnp.cumprod(match.astype(jnp.int32), axis=1)
+    accepted = jnp.sum(prefix_ok, axis=1).astype(jnp.int32)    # (B,)
+
+    # emitted[i] = draft[i] for i < accepted; emitted[accepted] = target
+    # correction at that position; positions beyond are padding (repeat)
+    pos = jnp.arange(k + 1)[None, :]
+    emitted = jnp.where(pos < accepted[:, None],
+                        jnp.pad(draft_tokens, ((0, 0), (0, 1))),
+                        jnp.take_along_axis(target, jnp.minimum(
+                            jnp.maximum(pos, accepted[:, None]),
+                            k * jnp.ones_like(pos)), axis=1))
+    emitted = jnp.where(pos <= accepted[:, None], emitted,
+                        emitted[:, :1] * 0 - 1)                # -1 pad
+    return VerifyResult(accepted, emitted.astype(jnp.int32), accepted + 1)
+
+
+def rollback_cache(cache: KVCache, committed_length: jax.Array) -> KVCache:
+    """Discard speculated cache entries beyond the committed length
+    (kv_trim.rs trim_to semantics)."""
+    return cache.trim_to(committed_length)
+
+
+class MTPDraftState(NamedTuple):
+    """Recurrent state of an MTP draft layer between draft steps."""
+
+    hidden: jax.Array          # (B, D) last target hidden state
+    token: jax.Array           # (B,) last committed token
+
+
+def recurrent_draft(draft_step: Callable, state: MTPDraftState,
+                    k: int) -> Tuple[jax.Array, MTPDraftState]:
+    """Roll one draft layer K times (GLM MTP: the single trained layer is
+    reused recurrently, mtp.rs:1-6). ``draft_step(hidden, token) →
+    (new_hidden, logits)``. Returns (draft_tokens (B, K), final state)."""
+
+    def body(carry, _):
+        h, tok = carry
+        h, logits = draft_step(h, tok)
+        nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+        return (h, nxt), nxt
+
+    (h, tok), drafts = jax.lax.scan(body, (state.hidden, state.token),
+                                    None, length=k)
+    return jnp.transpose(drafts, (1, 0)), MTPDraftState(h, tok)

@@ -1,0 +1,125 @@
+import numpy as np
+import pytest
+
+from oar_ocr_tpu.domain.layout import LayoutBox
+from oar_ocr_tpu.processors.layout_postprocess import (
+    apply_nms_with_merge, associate_ocr_with_layout, remove_overlapping_boxes,
+    unclip_boxes)
+from oar_ocr_tpu.utils.image import (BatchLoadPolicy, crop_bounding_box,
+                                     load_image, load_images, mask_regions,
+                                     resize_and_pad)
+
+
+def _lb(label, score, box):
+    return LayoutBox(label=label, score=score, box=np.array(box, np.float32))
+
+
+class TestLayoutPost:
+    def test_unclip(self):
+        b = _lb("text", 0.9, [10, 10, 30, 20])
+        unclip_boxes([b], 1.5, 1.0, page_w=35, page_h=100)
+        assert b.box[0] == pytest.approx(5.0)
+        assert b.box[2] == pytest.approx(35.0)  # clamped
+
+    def test_nms_merge_unions(self):
+        boxes = [_lb("t", 0.9, [0, 0, 10, 10]),
+                 _lb("t", 0.5, [2, 2, 14, 12]),
+                 _lb("t", 0.4, [50, 50, 60, 60])]
+        out = apply_nms_with_merge(boxes, iou_thresh=0.3)
+        assert len(out) == 2
+        merged = out[0]
+        np.testing.assert_allclose(merged.box, [0, 0, 14, 12])
+
+    def test_nms_merge_respects_class(self):
+        boxes = [_lb("a", 0.9, [0, 0, 10, 10]),
+                 _lb("b", 0.8, [1, 1, 11, 11])]
+        out = apply_nms_with_merge(boxes, iou_thresh=0.3)
+        assert len(out) == 2
+
+    def test_associate(self):
+        layout = [_lb("text", 0.9, [0, 0, 100, 50]),
+                  _lb("text", 0.9, [0, 60, 100, 120])]
+        ocr = [np.array([[10, 70], [90, 70], [90, 100], [10, 100]], np.float32),
+               np.array([[10, 5], [50, 5], [50, 40], [10, 40]], np.float32),
+               np.array([[300, 300], [310, 300], [310, 310], [300, 310]],
+                        np.float32)]
+        out = associate_ocr_with_layout(ocr, layout)
+        assert out == [1, 0, None]
+
+    def test_remove_overlapping(self):
+        boxes = [_lb("a", 0.9, [0, 0, 100, 100]),
+                 _lb("b", 0.5, [10, 10, 20, 20])]
+        out = remove_overlapping_boxes(boxes)
+        assert len(out) == 1 and out[0].label == "a"
+
+
+class TestImageUtils:
+    def test_resize_and_pad(self, rng):
+        img = rng.integers(0, 255, (50, 100, 3), dtype=np.uint8)
+        out, scale = resize_and_pad(img, 64, 64)
+        assert out.shape == (64, 64, 3)
+        assert scale == pytest.approx(0.64)
+        assert out[40:].max() == 0  # bottom padding
+
+    def test_mask_regions(self, rng):
+        img = np.zeros((20, 20, 3), np.uint8)
+        box = np.array([[5, 5], [15, 5], [15, 15], [5, 15]], np.float32)
+        out = mask_regions(img, [box], value=255)
+        assert out[10, 10, 0] == 255 and out[0, 0, 0] == 0
+
+    def test_crop_bounding_box(self, rng):
+        img = rng.integers(0, 255, (30, 40, 3), dtype=np.uint8)
+        crop = crop_bounding_box(img, 5.2, 3.7, 15.1, 10.0)
+        assert crop.shape == (7, 11, 3)
+
+    def test_load_image_missing(self, tmp_path):
+        from oar_ocr_tpu.errors import ImageLoadError
+
+        with pytest.raises(ImageLoadError):
+            load_image(str(tmp_path / "nope.png"))
+        imgs, ok = load_images([str(tmp_path / "nope.png")],
+                               BatchLoadPolicy.SKIP_ERRORS)
+        assert imgs == [] and ok == []
+
+    def test_load_roundtrip(self, tmp_path, rng):
+        import cv2
+
+        img = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+        p = str(tmp_path / "x.png")
+        cv2.imwrite(p, img[:, :, ::-1])
+        loaded = load_image(p)
+        np.testing.assert_array_equal(loaded, img)
+
+
+class TestEdgeProcessors:
+    def test_cropping_processor(self, rng):
+        from oar_ocr_tpu.pipelines.processors import TextCroppingProcessor
+
+        img = rng.integers(0, 255, (100, 100, 3), dtype=np.uint8)
+        quad = np.array([[10, 10], [60, 10], [60, 30], [10, 30]], np.float32)
+        crops = TextCroppingProcessor().process(img, [quad])
+        assert crops[0].shape == (20, 50, 3)
+        tall = np.array([[10, 10], [25, 10], [25, 70], [10, 70]], np.float32)
+        crop = TextCroppingProcessor().process(img, [tall])[0]
+        assert crop.shape[1] > crop.shape[0]  # rotated to horizontal
+
+    def test_chain(self):
+        from oar_ocr_tpu.pipelines.processors import (ChainProcessor,
+                                                      ImageRotationProcessor)
+
+        img = np.zeros((10, 20, 3), np.uint8)
+        chain = ChainProcessor(ImageRotationProcessor(90).process,
+                               ImageRotationProcessor(270).process)
+        assert chain.process(img).shape == img.shape
+
+
+def test_cli_parser():
+    from oar_ocr_tpu.cli import build_parser
+
+    ap = build_parser()
+    args = ap.parse_args(["ocr", "x.png", "--text-type", "table"])
+    assert args.text_type == "table"
+    args = ap.parse_args(["structure", "y.png", "--format", "html"])
+    assert args.format == "html"
+    args = ap.parse_args(["vl", "z.png", "--task", "table", "--dev-tiny"])
+    assert args.dev_tiny
