@@ -1,0 +1,218 @@
+// Native DB-postprocess candidate extraction.
+//
+// C++ counterpart of the host half of the reference's DB postprocess
+// (oar-ocr-core/src/processors/db_bitmap.rs — there native Rust; here a
+// CPython extension). One pass over the BIT-PACKED bitmap the device
+// ships (oar_ocr_tpu/ops/det_device.pack_bits):
+//   unpack → connected components (8-connectivity, iterative flood fill)
+//   → boundary pixels → convex hull (monotone chain) → min-area
+//   rectangle (rotating calipers) → candidate quads + short sides.
+// Replaces np.unpackbits (8× temporary) + cv2.findContours + per-contour
+// Python with a single native call.
+//
+// Exposed as: db_candidates(packed: bytes, height, width, row_stride,
+//                           min_size, max_candidates)
+//   -> list[(8 floats: x1,y1,x2,y2,x3,y3,x4,y4, min_side)]
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Pt {
+  float x, y;
+};
+
+static double cross(const Pt& o, const Pt& a, const Pt& b) {
+  return (double)(a.x - o.x) * (b.y - o.y) -
+         (double)(a.y - o.y) * (b.x - o.x);
+}
+
+// Andrew monotone chain; returns hull in counter-clockwise order.
+static std::vector<Pt> convex_hull(std::vector<Pt> pts) {
+  std::sort(pts.begin(), pts.end(), [](const Pt& a, const Pt& b) {
+    return a.x < b.x || (a.x == b.x && a.y < b.y);
+  });
+  pts.erase(std::unique(pts.begin(), pts.end(),
+                        [](const Pt& a, const Pt& b) {
+                          return a.x == b.x && a.y == b.y;
+                        }),
+            pts.end());
+  const size_t n = pts.size();
+  if (n < 3) return pts;
+  std::vector<Pt> hull(2 * n);
+  size_t k = 0;
+  for (size_t i = 0; i < n; ++i) {
+    while (k >= 2 && cross(hull[k - 2], hull[k - 1], pts[i]) <= 0) --k;
+    hull[k++] = pts[i];
+  }
+  const size_t lower = k + 1;
+  for (size_t i = n - 1; i-- > 0;) {
+    while (k >= lower && cross(hull[k - 2], hull[k - 1], pts[i]) <= 0) --k;
+    hull[k++] = pts[i];
+  }
+  hull.resize(k - 1);
+  return hull;
+}
+
+// Rotating calipers min-area rect over a convex hull.
+// Writes 4 corners + returns min side; corners unordered (Python applies
+// the PaddleX ordering).
+static float min_area_rect(const std::vector<Pt>& hull, float out[8]) {
+  const size_t n = hull.size();
+  if (n == 1) {
+    for (int i = 0; i < 4; ++i) {
+      out[2 * i] = hull[0].x;
+      out[2 * i + 1] = hull[0].y;
+    }
+    return 0.f;
+  }
+  if (n == 2) {
+    out[0] = hull[0].x; out[1] = hull[0].y;
+    out[2] = hull[1].x; out[3] = hull[1].y;
+    out[4] = hull[1].x; out[5] = hull[1].y;
+    out[6] = hull[0].x; out[7] = hull[0].y;
+    return 0.f;
+  }
+  double best_area = 1e30;
+  float best[8] = {0};
+  float best_side = 0.f;
+  for (size_t i = 0; i < n; ++i) {
+    const Pt& p0 = hull[i];
+    const Pt& p1 = hull[(i + 1) % n];
+    double ex = p1.x - p0.x, ey = p1.y - p0.y;
+    double len = std::sqrt(ex * ex + ey * ey);
+    if (len < 1e-9) continue;
+    ex /= len; ey /= len;
+    // perpendicular
+    double px = -ey, py = ex;
+    double min_e = 1e30, max_e = -1e30, min_p = 1e30, max_p = -1e30;
+    for (const Pt& q : hull) {
+      double de = (q.x - p0.x) * ex + (q.y - p0.y) * ey;
+      double dp = (q.x - p0.x) * px + (q.y - p0.y) * py;
+      min_e = std::min(min_e, de); max_e = std::max(max_e, de);
+      min_p = std::min(min_p, dp); max_p = std::max(max_p, dp);
+    }
+    double w = max_e - min_e, h = max_p - min_p;
+    double area = w * h;
+    if (area < best_area) {
+      best_area = area;
+      best_side = (float)std::min(w, h);
+      int k = 0;
+      const double corners[4][2] = {{min_e, min_p}, {max_e, min_p},
+                                    {max_e, max_p}, {min_e, max_p}};
+      for (auto& c : corners) {
+        best[k++] = (float)(p0.x + c[0] * ex + c[1] * px);
+        best[k++] = (float)(p0.y + c[0] * ey + c[1] * py);
+      }
+    }
+  }
+  std::memcpy(out, best, sizeof(best));
+  return best_side;
+}
+
+static PyObject* db_candidates(PyObject*, PyObject* args) {
+  Py_buffer buf;
+  int height, width, stride, max_candidates;
+  float min_size;
+  if (!PyArg_ParseTuple(args, "y*iiifi", &buf, &height, &width, &stride,
+                        &min_size, &max_candidates)) {
+    return nullptr;
+  }
+  const uint8_t* packed = (const uint8_t*)buf.buf;
+  if ((Py_ssize_t)height * stride > buf.len) {
+    PyBuffer_Release(&buf);
+    PyErr_SetString(PyExc_ValueError, "packed buffer too small");
+    return nullptr;
+  }
+
+  // unpack into a padded mask (1-px border simplifies neighbor checks)
+  const int W = width + 2, H = height + 2;
+  std::vector<uint8_t> mask((size_t)W * H, 0);
+  for (int y = 0; y < height; ++y) {
+    const uint8_t* row = packed + (size_t)y * stride;
+    uint8_t* out = &mask[(size_t)(y + 1) * W + 1];
+    for (int xb = 0; xb < stride; ++xb) {
+      uint8_t b = row[xb];
+      if (!b) continue;
+      int base = xb * 8;
+      for (int k = 0; k < 8; ++k) {
+        int x = base + k;
+        if (x < width && (b & (0x80 >> k))) out[x] = 1;
+      }
+    }
+  }
+
+  PyObject* result = PyList_New(0);
+  std::vector<int32_t> stack;
+  std::vector<Pt> boundary;
+  int found = 0;
+  const int neigh[8] = {-1, 1, -W, W, -W - 1, -W + 1, W - 1, W + 1};
+
+  for (int y = 1; y <= height && found < max_candidates; ++y) {
+    for (int x = 1; x <= width && found < max_candidates; ++x) {
+      int idx = y * W + x;
+      if (mask[idx] != 1) continue;
+      // flood fill component, collect boundary pixels
+      boundary.clear();
+      stack.clear();
+      stack.push_back(idx);
+      mask[idx] = 2;
+      while (!stack.empty()) {
+        int cur = stack.back();
+        stack.pop_back();
+        int cy = cur / W, cx = cur % W;
+        bool is_boundary = false;
+        for (int d = 0; d < 4; ++d) {  // 4-neighbors decide boundary
+          if (!mask[cur + neigh[d]]) is_boundary = true;
+        }
+        if (is_boundary) {
+          boundary.push_back({(float)(cx - 1), (float)(cy - 1)});
+        }
+        for (int d = 0; d < 8; ++d) {  // 8-connectivity for the component
+          int nb = cur + neigh[d];
+          if (mask[nb] == 1) {
+            mask[nb] = 2;
+            stack.push_back(nb);
+          }
+        }
+      }
+      if (boundary.size() < 2) continue;
+      std::vector<Pt> hull = convex_hull(boundary);
+      if (hull.empty()) continue;
+      float quad[8];
+      float side = min_area_rect(hull, quad);
+      if (side < min_size || side <= 0.f) continue;
+      PyObject* tup = PyTuple_New(9);
+      for (int i = 0; i < 8; ++i) {
+        PyTuple_SET_ITEM(tup, i, PyFloat_FromDouble(quad[i]));
+      }
+      PyTuple_SET_ITEM(tup, 8, PyFloat_FromDouble(side));
+      PyList_Append(result, tup);
+      Py_DECREF(tup);
+      ++found;
+    }
+  }
+  PyBuffer_Release(&buf);
+  return result;
+}
+
+static PyMethodDef Methods[] = {
+    {"db_candidates", db_candidates, METH_VARARGS,
+     "packed bitmap -> DB candidate quads"},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+static struct PyModuleDef Module = {
+    PyModuleDef_HEAD_INIT, "oar_native", nullptr, -1, Methods,
+};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit_oar_native(void) { return PyModule_Create(&Module); }

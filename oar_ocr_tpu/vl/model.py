@@ -143,7 +143,7 @@ class PaddleOCRVL:
 
         done0 = first == c.eos_id
         (_, cache, _, _), ids = jax.lax.scan(
-            step, (first, cache, done0, next_pos + 1),
+            step, (first, cache, done0, next_pos),
             jnp.arange(max_new), length=max_new)
         return jnp.transpose(ids, (1, 0))     # (B, max_new)
 

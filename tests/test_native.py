@@ -1,0 +1,77 @@
+"""Native C++ candidate extraction vs the pure-Python/cv2 reference path
+(the SIMD==scalar parity-test discipline of the reference, simd.rs:10-14)."""
+
+import numpy as np
+import pytest
+
+from oar_ocr_tpu import native
+from oar_ocr_tpu.processors.db_postprocess import (DBPostProcess,
+                                                   DBPostProcessConfig,
+                                                   order_mini_box_points)
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native extension not built")
+
+
+def _pack(bm):
+    return np.packbits(bm, axis=1)
+
+
+def test_rectangle_matches_cv2_path():
+    bm = np.zeros((64, 96), np.uint8)
+    bm[20:32, 10:50] = 1
+    nat = native.db_candidates(_pack(bm), 64, 96, 3.0, 100)
+    ref = DBPostProcess(DBPostProcessConfig()).quad_candidates(bm)
+    assert len(nat) == len(ref) == 1
+    nat_box = order_mini_box_points(nat[0][0])
+    np.testing.assert_allclose(nat_box, ref[0], atol=1.0)
+
+
+def test_multiple_components():
+    bm = np.zeros((64, 96), np.uint8)
+    bm[5:15, 5:40] = 1
+    bm[30:45, 50:90] = 1
+    nat = native.db_candidates(_pack(bm), 64, 96, 3.0, 100)
+    assert len(nat) == 2
+
+
+def test_min_size_filter():
+    bm = np.zeros((32, 32), np.uint8)
+    bm[10:12, 10:12] = 1  # 2x2 blob, side < 3
+    assert native.db_candidates(_pack(bm), 32, 32, 3.0, 100) == []
+
+
+def test_rotated_component(rng):
+    """Random rotated rectangle: native min-area rect ≈ cv2's."""
+    import cv2
+
+    bm = np.zeros((128, 128), np.uint8)
+    rect = (((64, 64), (60, 20), 30))
+    pts = cv2.boxPoints(rect).astype(np.int32)
+    cv2.fillPoly(bm, [pts], 1)
+    nat = native.db_candidates(_pack(bm), 128, 128, 3.0, 100)
+    ref = DBPostProcess(DBPostProcessConfig()).quad_candidates(bm)
+    assert len(nat) == len(ref) == 1
+    # compare areas and short sides
+    def area(q):
+        x, y = q[:, 0], q[:, 1]
+        return abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2
+    assert area(nat[0][0]) == pytest.approx(area(ref[0]), rel=0.05)
+    assert nat[0][1] == pytest.approx(20, abs=1.5)
+
+
+def test_width_masking():
+    """Bits beyond the valid width must be ignored."""
+    bm = np.zeros((16, 16), np.uint8)
+    bm[2:10, 12:16] = 1   # only valid within width=12? no: set at 12..16
+    packed = _pack(bm)
+    out = native.db_candidates(packed, 16, 12, 1.0, 10)
+    assert out == []      # everything is beyond width 12
+
+
+def test_max_candidates():
+    bm = np.zeros((64, 64), np.uint8)
+    for i in range(6):
+        bm[i * 10 + 2 : i * 10 + 8, 2:60] = 1
+    out = native.db_candidates(_pack(bm), 64, 64, 1.0, 3)
+    assert len(out) == 3

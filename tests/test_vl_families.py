@@ -1,0 +1,70 @@
+import jax
+import numpy as np
+import pytest
+
+from oar_ocr_tpu.vl.families import (FAMILY_CLASSES, FAMILY_CONFIGS,
+                                     GLMOCR, VLMFamily)
+
+
+def test_family_registry_covers_lineup():
+    expected = {"hunyuanocr", "glmocr", "mineru", "mineru_diffusion",
+                "hpd_parsing", "ovisocr2", "monkeyocrv2"}
+    assert set(FAMILY_CONFIGS) == expected
+    assert set(FAMILY_CLASSES) == expected
+    assert FAMILY_CONFIGS["hunyuanocr"].decoder.rope_kind == "xdrope"
+    assert FAMILY_CONFIGS["ovisocr2"].decoder.layer_pattern == (
+        "delta", "delta", "delta", "attn")
+    assert FAMILY_CONFIGS["glmocr"].draft_len > 0
+
+
+@pytest.fixture(scope="module")
+def glm():
+    return GLMOCR(tiny=True)
+
+
+@pytest.fixture(scope="module")
+def img(  ):
+    return np.random.default_rng(0).integers(
+        0, 255, (64, 96, 3), dtype=np.uint8)
+
+
+def test_glm_generate(glm, img):
+    out = glm.generate([img], "ocr", max_new_tokens=6)
+    assert len(out) == 1 and isinstance(out[0], str)
+
+
+def test_glm_unknown_task(glm, img):
+    from oar_ocr_tpu.errors import InvalidInputError
+
+    with pytest.raises(InvalidInputError):
+        glm.generate([img], "nope")
+
+
+def test_speculative_matches_greedy(glm, img):
+    """Exactness: speculative greedy decoding must produce the same text
+    as plain greedy decoding (draft quality only affects latency)."""
+
+    greedy = glm.generate([img], "ocr", max_new_tokens=8)[0]
+    spec = glm.generate_speculative([img], "ocr", max_new_tokens=8)[0]
+    assert spec == greedy
+
+
+def test_monkeyocr_prompts():
+    cfg = FAMILY_CONFIGS["monkeyocrv2"]
+    assert "OTSL" in cfg.prompt_templates["table"]
+
+
+def test_mineru_two_step(img):
+    from oar_ocr_tpu.vl.families import MinerU
+
+    fam = MinerU(tiny=True)
+    out = fam.parse_two_step(img, max_new_tokens=4)
+    assert set(out) == {"layout", "content"}
+
+
+def test_hpd_fork_parse(img):
+    from oar_ocr_tpu.vl.families import HPDParsing
+
+    fam = HPDParsing(tiny=True)
+    out = fam.parse_with_forks(img, max_new_tokens=4)
+    assert "parent" in out and isinstance(out["children"], list)
