@@ -67,11 +67,14 @@ def main():
 
     def det_pass():
         bs = pipe.cfg.image_batch_size
-        out = []
+        pending = []
         for s in range(0, N_PAGES, bs):
             idx = list(range(s, min(s + bs, N_PAGES)))
-            out.extend(pipe.detector.detect(
+            pending.append(pipe.detector.dispatch(
                 pages, [shapes[i] for i in idx], page_indices=idx))
+        out = []
+        for handle in pending:
+            out.extend(pipe.detector.collect(handle))
         return out
 
     def rec_pass():

@@ -111,14 +111,15 @@ class DBDetector:
         ]
 
     # ------------------------------------------------------------------
-    def detect(
+    def dispatch(
         self,
-        pages_u8: jax.Array,                 # (P, H, W, 3) uint8 on device
-        shapes: Sequence[Tuple[int, int]],   # original (h, w) per page
+        pages_u8: jax.Array,
+        shapes: Sequence[Tuple[int, int]],
         page_indices: Optional[Sequence[int]] = None,
-    ) -> List[Tuple[List[np.ndarray], List[float]]]:
-        """Detect text boxes on each page. Returns [(boxes, scores)] per
-        page in original-image coordinates."""
+    ):
+        """Launch the device half asynchronously; returns a handle for
+        `collect`. Dispatching several batches before collecting any
+        overlaps host geometry with device compute."""
 
         plans = self.plan(shapes)
         cfg = self.runtime.cfg
@@ -142,12 +143,30 @@ class DBDetector:
         dst_w = np.array([p.dst_w for p in plans] + [1] * (nb - n), np.int32)
 
         pp_cfg = self.postprocess.cfg
-        with stage_timer("det.device", batch=nb, hw=(out_h, out_w)):
+        with stage_timer("det.dispatch", batch=nb, hw=(out_h, out_w)):
             prob_dev, packed = self._step(
                 self.params, batch, jnp.asarray(src_h), jnp.asarray(src_w),
                 jnp.asarray(dst_h), jnp.asarray(dst_w),
                 jnp.float32(pp_cfg.thresh),
                 out_h=out_h, out_w=out_w, dilate=pp_cfg.use_dilation)
+        return (plans, prob_dev, packed, out_w)
+
+    def detect(
+        self,
+        pages_u8: jax.Array,                 # (P, H, W, 3) uint8 on device
+        shapes: Sequence[Tuple[int, int]],   # original (h, w) per page
+        page_indices: Optional[Sequence[int]] = None,
+    ) -> List[Tuple[List[np.ndarray], List[float]]]:
+        """Detect text boxes on each page. Returns [(boxes, scores)] per
+        page in original-image coordinates."""
+
+        return self.collect(self.dispatch(pages_u8, shapes, page_indices))
+
+    def collect(self, handle) -> List[Tuple[List[np.ndarray], List[float]]]:
+        plans, prob_dev, packed, out_w = handle
+        n = len(plans)
+        pp_cfg = self.postprocess.cfg
+        with stage_timer("det.device", batch=n):
             packed_np = np.asarray(packed)
 
         if (pp_cfg.box_type == BoxType.POLY

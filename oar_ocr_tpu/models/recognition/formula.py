@@ -172,6 +172,28 @@ def crop_formula_margins(img: np.ndarray, *, thresh: int = 245,
     return img[y0:y1, x0:x1]
 
 
+def unimernet_preprocess(img: np.ndarray, *, target_h: int = 192,
+                         target_w: int = 672) -> np.ndarray:
+    """UniMERNet's distinct preprocessing (processors/
+    unimernet_preprocess.rs:1-281): grayscale-equalized crop, resize
+    keeping ratio, pad to multiples of 32, ImageNet-style scaling."""
+
+    import cv2
+
+    c = crop_formula_margins(img, thresh=240, pad=4)
+    h, w = c.shape[:2]
+    scale = min(target_h / h, target_w / w)
+    nh = max(int(h * scale), 1)
+    nw = max(int(w * scale), 1)
+    # pad to multiple of 32
+    ph = -(-nh // 32) * 32
+    pw = -(-nw // 32) * 32
+    r = cv2.resize(c, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    out = np.full((min(ph, target_h), min(pw, target_w), 3), 255, np.uint8)
+    out[:nh, :nw] = r[: out.shape[0], : out.shape[1]]
+    return out
+
+
 def normalize_latex(latex: str) -> str:
     """LaTeX whitespace normalization (formula_preprocess.rs)."""
     import re

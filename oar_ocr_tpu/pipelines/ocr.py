@@ -106,10 +106,13 @@ class OAROCR:
         per_page_boxes: List[List[np.ndarray]] = [[] for _ in images]
         per_page_scores: List[List[float]] = [[] for _ in images]
         bs = self.cfg.image_batch_size
+        det_pending = []
         for start in range(0, len(images), bs):
             chunk = list(range(start, min(start + bs, len(images))))
-            det_out = self.detector.detect(
-                pages, [shapes[i] for i in chunk], page_indices=chunk)
+            det_pending.append((chunk, self.detector.dispatch(
+                pages, [shapes[i] for i in chunk], page_indices=chunk)))
+        for chunk, handle in det_pending:
+            det_out = self.detector.collect(handle)
             for local_i, page_i in enumerate(chunk):
                 boxes, scores = det_out[local_i]
                 order = (sort_quad_boxes_indices(boxes)

@@ -69,9 +69,12 @@ class Runtime:
     def __init__(self, cfg: Optional[RuntimeConfig] = None):
         self.cfg = RuntimeConfig.from_env(cfg)
         self.cfg.validate()
-        _enable_compilation_cache()
         self.devices = jax.devices()
         self.device = self.devices[0]
+        # persistent cache only for real accelerators: XLA:CPU AOT results
+        # are machine-feature-pinned and can SIGILL across detection drift
+        if self.device.platform in ("tpu", "axon"):
+            _enable_compilation_cache()
 
     @classmethod
     def default(cls) -> "Runtime":

@@ -91,7 +91,7 @@ class AttnLayer(nn.Module):
     layer_idx: int
 
     @nn.compact
-    def __call__(self, x, cos, sin, cache: KVCache, pos, mask):
+    def __call__(self, x, cos, sin, cache: KVCache, pos, mask, dstate):
         c = self.cfg
         hd = c.head_dim
         b, t, _ = x.shape
@@ -111,7 +111,7 @@ class AttnLayer(nn.Module):
         x = x + nn.Dense(c.hidden, use_bias=False, dtype=x.dtype, name="o")(o)
         h = RMSNorm(name="post_norm")(x)
         x = x + SwiGLU(c.ffn)(h)
-        return x, cache
+        return x, cache, dstate
 
 
 class DeltaLayer(nn.Module):
@@ -122,7 +122,7 @@ class DeltaLayer(nn.Module):
     layer_idx: int
 
     @nn.compact
-    def __call__(self, x, cos, sin, cache: KVCache, pos, mask):
+    def __call__(self, x, cos, sin, cache: KVCache, pos, mask, dstate):
         c = self.cfg
         hd = c.head_dim
         b, t, _ = x.shape
@@ -137,17 +137,20 @@ class DeltaLayer(nn.Module):
         def heads(y):
             return y.reshape(b, t, c.heads, hd).transpose(0, 2, 1, 3)
 
-        o = gated_delta_rule(heads(q), heads(k), heads(v),
-                             alpha.transpose(0, 2, 1),
-                             beta.transpose(0, 2, 1))
+        # persistent recurrent state: slice `layer_idx` of the carried
+        # (L, B, H, Dk, Dv) delta-state tensor (the linear-attention
+        # analog of the KV cache — O(1) per step)
+        o, s_final = gated_delta_rule(
+            heads(q), heads(k), heads(v),
+            alpha.transpose(0, 2, 1), beta.transpose(0, 2, 1),
+            initial_state=dstate[self.layer_idx], return_state=True)
+        dstate = dstate.at[self.layer_idx].set(s_final)
         o = o.transpose(0, 2, 1, 3).reshape(b, t, c.heads * hd)
         x = x + nn.Dense(c.hidden, use_bias=False, dtype=x.dtype,
                          name="o")(o.astype(x.dtype))
         h = RMSNorm(name="post_norm")(x)
         x = x + SwiGLU(c.ffn)(h)
-        # NOTE: for sequence-chunked decode the delta state would persist
-        # via gated_delta_step; prefill-style full recompute is used here.
-        return x, cache
+        return x, cache, dstate
 
 
 class CausalLM(nn.Module):
@@ -169,28 +172,55 @@ class CausalLM(nn.Module):
     def embed_tokens(self, ids):
         return self.tok_emb(ids)
 
-    def trunk(self, embeds, position_ids, cache, pos, mask):
+    def empty_delta_state(self, batch: int) -> jnp.ndarray:
+        c = self.cfg
+        return jnp.zeros((c.layers, batch, c.heads, c.head_dim,
+                          c.head_dim), jnp.float32)
+
+    def trunk(self, embeds, position_ids, cache, pos, mask, dstate=None):
         cos, sin = _rope_tables(self.cfg, position_ids)
         cos = cos.astype(embeds.dtype)
         sin = sin.astype(embeds.dtype)
+        if dstate is None:
+            dstate = self.empty_delta_state(embeds.shape[0])
         x = embeds
         for layer in self.decoder_layers:
-            x, cache = layer(x, cos, sin, cache, pos, mask)
-        return self.final_norm(x), cache
+            x, cache, dstate = layer(x, cos, sin, cache, pos, mask, dstate)
+        return self.final_norm(x), cache, dstate
 
-    def prefill(self, embeds, position_ids, cache, mask):
-        hidden, cache = self.trunk(embeds, position_ids, cache,
-                                   jnp.int32(0), mask)
+    def prefill(self, embeds, position_ids, cache, mask, dstate=None):
+        hidden, cache, dstate = self.trunk(embeds, position_ids, cache,
+                                           jnp.int32(0), mask, dstate)
         return (self.lm_head(hidden[:, -1]).astype(jnp.float32), hidden,
-                cache)
+                cache, dstate)
 
-    def decode_step(self, tok_ids, position_ids, cache, pos):
+    def decode_step(self, tok_ids, position_ids, cache, pos,
+                    dstate=None):
         embeds = self.tok_emb(tok_ids)[:, None, :]
         mask = create_generation_mask(cache.length + 1, cache.capacity)
-        hidden, cache = self.trunk(embeds, position_ids, cache, pos, mask)
+        hidden, cache, dstate = self.trunk(embeds, position_ids, cache, pos,
+                                           mask, dstate)
         cache = cache.advance(1)
         return (self.lm_head(hidden[:, -1]).astype(jnp.float32), hidden,
-                cache)
+                cache, dstate)
+
+    def decode_block_bidir(self, tok_ids, position_ids, cache, pos):
+        """Non-causal pass over a (B, T) block: every block position
+        attends to the committed prefix AND the whole block — the SDAR
+        diffusion predictor's view (mineru_diffusion/model.rs: masked
+        positions predicted in parallel, bidirectional within the block).
+        The returned cache is DISCARDED by diffusion trials and kept only
+        on the final commit pass."""
+
+        b, t = tok_ids.shape
+        embeds = self.tok_emb(tok_ids)
+        cap = cache.capacity
+        cap_pos = jnp.arange(cap)[None, None, None, :]
+        limit = cache.length[:, None, None, None] + t
+        mask = jnp.broadcast_to(cap_pos < limit, (b, 1, t, cap))
+        hidden, cache, _ = self.trunk(embeds, position_ids, cache, pos, mask)
+        cache = cache.advance(t)
+        return self.lm_head(hidden).astype(jnp.float32), hidden, cache
 
     def decode_block(self, tok_ids, position_ids, cache, pos):
         """Causal pass over a (B, T) block appended at cache position
@@ -205,7 +235,7 @@ class CausalLM(nn.Module):
         q_pos = jnp.arange(t)[None, None, :, None]
         limit = cache.length[:, None, None, None] + q_pos + 1
         mask = cap_pos < limit
-        hidden, cache = self.trunk(embeds, position_ids, cache, pos, mask)
+        hidden, cache, _ = self.trunk(embeds, position_ids, cache, pos, mask)
         cache = cache.advance(t)
         return self.lm_head(hidden).astype(jnp.float32), hidden, cache
 

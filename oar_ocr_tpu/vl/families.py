@@ -183,14 +183,19 @@ class FamilyModule(nn.Module):
     def embed_tokens(self, ids):
         return self.lm.embed_tokens(ids)
 
-    def prefill(self, embeds, position_ids, cache, mask):
-        return self.lm.prefill(embeds, position_ids, cache, mask)
+    def prefill(self, embeds, position_ids, cache, mask, dstate=None):
+        return self.lm.prefill(embeds, position_ids, cache, mask, dstate)
 
-    def decode_step(self, tok_ids, position_ids, cache, pos):
-        return self.lm.decode_step(tok_ids, position_ids, cache, pos)
+    def decode_step(self, tok_ids, position_ids, cache, pos,
+                    dstate=None):
+        return self.lm.decode_step(tok_ids, position_ids, cache, pos,
+                                   dstate)
 
     def decode_block(self, tok_ids, position_ids, cache, pos):
         return self.lm.decode_block(tok_ids, position_ids, cache, pos)
+
+    def decode_block_bidir(self, tok_ids, position_ids, cache, pos):
+        return self.lm.decode_block_bidir(tok_ids, position_ids, cache, pos)
 
     def draft_step(self, h, tok):
         return self.mtp(h, tok)
@@ -202,12 +207,18 @@ class FamilyModule(nn.Module):
         b, t = ids.shape
         cache = KVCache.create(c.layers, b, c.kv_heads, t, c.head_dim,
                                dtype=emb.dtype)
-        logits, _, _ = self.prefill(emb, position_ids,
-                                    cache, jnp.ones((b, 1, t, t), bool))
+        logits, _, _, _ = self.prefill(emb, position_ids,
+                                       cache, jnp.ones((b, 1, t, t), bool))
         if self.cfg.draft_len > 0:
             _h, _l = self.mtp(jnp.zeros((b, c.hidden)),
                               jnp.zeros((b,), jnp.int32))
         return img, logits
+
+
+def _empty_dstate(cfg: FamilyConfig, batch: int) -> jnp.ndarray:
+    c = cfg.decoder
+    return jnp.zeros((c.layers, batch, c.heads, c.head_dim, c.head_dim),
+                     jnp.float32)
 
 
 class VLMFamily:
@@ -257,26 +268,27 @@ class VLMFamily:
         full = jnp.broadcast_to(combine_masks(causal, pad), (b, 1, t, t))
         full = jnp.concatenate(
             [full, jnp.zeros((b, 1, t, capacity - t), bool)], -1)
-        logits, _, cache = self.module.apply(
-            params, embeds, position_ids, cache, full,
+        dstate0 = _empty_dstate(self.cfg, b)
+        logits, _, cache, dstate = self.module.apply(
+            params, embeds, position_ids, cache, full, dstate0,
             method=FamilyModule.prefill)
         cache = cache.advance(t)
         first = jnp.argmax(logits, -1).astype(jnp.int32)
         next_pos = jnp.max(position_ids, axis=(0, 2)) + 1
 
         def step(carry, i):
-            tok, cache, done, npos = carry
+            tok, cache, done, npos, dstate = carry
             pos_ids = jnp.broadcast_to(npos[None, :, None], (3, b, 1))
-            logits, _, cache = self.module.apply(
-                params, tok, pos_ids, cache, t + i,
+            logits, _, cache, dstate = self.module.apply(
+                params, tok, pos_ids, cache, t + i, dstate,
                 method=FamilyModule.decode_step)
             nxt = jnp.argmax(logits, -1).astype(jnp.int32)
             nxt = jnp.where(done, c.eos_id, nxt)
             done = done | (nxt == c.eos_id)
-            return (nxt, cache, done, npos + 1), tok
+            return (nxt, cache, done, npos + 1, dstate), tok
 
-        (_, _, _, _), ids = jax.lax.scan(
-            step, (first, cache, first == c.eos_id, next_pos),
+        (_, _, _, _, _), ids = jax.lax.scan(
+            step, (first, cache, first == c.eos_id, next_pos, dstate),
             jnp.arange(max_new), length=max_new)
         return jnp.transpose(ids, (1, 0))
 
@@ -339,7 +351,7 @@ class VLMFamily:
             full = jnp.broadcast_to(combine_masks(causal, pad), (b, 1, t, t))
             full = jnp.concatenate(
                 [full, jnp.zeros((b, 1, t, capacity - t), bool)], -1)
-            logits, hidden, cache = jax.jit(functools.partial(
+            logits, hidden, cache, _ds = jax.jit(functools.partial(
                 self.module.apply, method=FamilyModule.prefill))(
                 self.params, embeds, positions, cache, full)
             cache = cache.advance(t)
@@ -505,13 +517,88 @@ class MinerU(VLMFamily):
 
 
 class MinerUDiffusion(VLMFamily):
-    """SDAR block-diffusion decoder: instead of the AR scan, each L-token
-    block is iteratively unmasked (vl/diffusion.py) and committed; see
-    mineru_diffusion/model.rs:1-12."""
+    """SDAR block-diffusion decoder (mineru_diffusion/model.rs:1-12):
+    each L-token block is predicted in parallel (bidirectional within the
+    block, causal to the committed prefix), iteratively unmasked by
+    confidence (vl/diffusion.py), then committed to the KV cache in one
+    causal pass. `generate` runs this loop instead of the AR scan."""
+
+    MASK_TOKEN_OFFSET = 1   # vocab_size-1 is the mask embedding id
 
     def __init__(self, params=None, *, tiny: bool = False, **kw):
         cfg = FAMILY_CONFIGS["mineru_diffusion"]
         super().__init__(cfg.tiny() if tiny else cfg, params, **kw)
+        self._bidir = jax.jit(functools.partial(
+            self.module.apply, method=FamilyModule.decode_block_bidir))
+        self._commit = jax.jit(functools.partial(
+            self.module.apply, method=FamilyModule.decode_block))
+        self._prefill_j = jax.jit(functools.partial(
+            self.module.apply, method=FamilyModule.prefill))
+
+    def generate(self, images, task=None, *, max_new_tokens: int = 256,
+                 num_unmask_steps: int = 4,
+                 confidence_threshold: float = 0.9) -> List[str]:
+        from .diffusion import MASK_ID, transfer_count, unmask_step
+
+        task = task or self.cfg.tasks[0]
+        c = self.cfg.decoder
+        L = self.cfg.diffusion_block
+        mask_tok = c.vocab_size - self.MASK_TOKEN_OFFSET
+        out: List[str] = []
+        for image in images:
+            embeds, positions, valid_lengths, max_len = self._build_inputs(
+                [image], task)
+            n_blocks = max(1, -(-max_new_tokens // L))
+            capacity = decoder_cache_capacity(max_len, n_blocks * L + L)
+            cache = KVCache.create(c.layers, 1, c.kv_heads, capacity,
+                                   c.head_dim, dtype=embeds.dtype)
+            t = max_len
+            causal = create_causal_mask(t)
+            pad = create_left_padding_mask(jnp.asarray(valid_lengths), t)
+            full = jnp.broadcast_to(combine_masks(causal, pad), (1, 1, t, t))
+            full = jnp.concatenate(
+                [full, jnp.zeros((1, 1, t, capacity - t), bool)], -1)
+            _, _, cache, _ds = self._prefill_j(
+                self.params, embeds, positions, cache, full)
+            cache = cache.advance(t)
+            cpos = int(np.asarray(jnp.max(positions)) ) + 1
+            wpos = t
+
+            ids: List[int] = []
+            done = False
+            for _ in range(n_blocks):
+                if done:
+                    break
+                tokens = np.full((1, L), MASK_ID, np.int64)
+                pos_ids = np.broadcast_to(
+                    (cpos + np.arange(L))[None, None, :], (3, 1, L)
+                ).astype(np.int32)
+                for s in range(num_unmask_steps):
+                    if not (tokens == MASK_ID).any():
+                        break
+                    feed = np.where(tokens == MASK_ID, mask_tok, tokens)
+                    logits, _, _trial_cache = self._bidir(
+                        self.params, jnp.asarray(feed, jnp.int32),
+                        jnp.asarray(pos_ids), cache, wpos)
+                    prev = transfer_count(s - 1, num_unmask_steps, L) if s else 0
+                    tokens = np.asarray(unmask_step(
+                        jnp.asarray(tokens.astype(np.int32)), logits,
+                        confidence_threshold=confidence_threshold,
+                        min_transfer=transfer_count(
+                            s, num_unmask_steps, L) - prev)).astype(np.int64)
+                # commit the finished block causally (block KV commit)
+                _, _, cache = self._commit(
+                    self.params, jnp.asarray(tokens.astype(np.int32)),
+                    jnp.asarray(pos_ids), cache, wpos)
+                for v in tokens[0].tolist():
+                    if v == c.eos_id:
+                        done = True
+                        break
+                    ids.append(int(v))
+                cpos += L
+                wpos += L
+            out.append(self._detok(ids + [c.eos_id]))
+        return out
 
 
 class HPDParsing(VLMFamily):
@@ -527,17 +614,84 @@ class HPDParsing(VLMFamily):
     def parse_with_forks(self, image: np.ndarray, *,
                          max_new_tokens: int = 128,
                          max_children: Optional[int] = None) -> Dict:
-        parent = self.generate([image], "parse",
-                               max_new_tokens=max_new_tokens)[0]
-        n_forks = parent.count(self.cfg.fork_token)
-        n_forks = min(n_forks, max_children or self.cfg.max_active_branches)
-        # children share the (re-encoded) prompt prefix and run as ONE
-        # batched generate — the continuous-batch shape of the reference
+        """Parent pass, then children continued from the SHARED prompt
+        prefix KV: the prefill cache's batch row is replicated via
+        `KVCache.keep_indices` — zero recompute of the prefix — and all
+        children advance as one continuous batch (the zero-copy
+        shared-prefix design of mineru_diffusion/text.rs:42-113 applied
+        per hpd_parsing/model.rs:27-41)."""
+
+        c = self.cfg.decoder
+        embeds, positions, valid_lengths, max_len = self._build_inputs(
+            [image], "parse")
+        capacity = decoder_cache_capacity(max_len, max_new_tokens + 1)
+        cache = KVCache.create(c.layers, 1, c.kv_heads, capacity,
+                               c.head_dim, dtype=embeds.dtype)
+        t = max_len
+        causal = create_causal_mask(t)
+        pad = create_left_padding_mask(jnp.asarray(valid_lengths), t)
+        full = jnp.broadcast_to(combine_masks(causal, pad), (1, 1, t, t))
+        full = jnp.concatenate(
+            [full, jnp.zeros((1, 1, t, capacity - t), bool)], -1)
+        prefill = jax.jit(functools.partial(
+            self.module.apply, method=FamilyModule.prefill))
+        logits, _, cache, _ds = prefill(self.params, embeds, positions,
+                                        cache, full)
+        prefix_cache = cache.advance(t)
+        first = jnp.argmax(logits, -1).astype(jnp.int32)
+        npos = jnp.max(jnp.asarray(positions)) + 1
+
+        parent_ids = self._decode_from_cache(
+            first, prefix_cache, npos, t, max_new_tokens)
+        parent = self._detok(parent_ids[0].tolist())
+
+        fork_ids = self.tokenizer.encode(self.cfg.fork_token)
+        seeds = _tokens_after_subsequence(parent_ids[0].tolist(), fork_ids)
+        seeds = seeds[: max_children or self.cfg.max_active_branches]
+
         children: List[str] = []
-        if n_forks:
-            children = self.generate([image] * n_forks, "parse",
-                                     max_new_tokens=max_new_tokens)
+        if seeds:
+            n = len(seeds)
+            # replicate the PREFIX rows — children share it zero-recompute
+            child_cache = prefix_cache.keep_indices(
+                jnp.zeros((n,), jnp.int32))
+            child_ids = self._decode_from_cache(
+                jnp.asarray(seeds, jnp.int32), child_cache,
+                npos, t, max_new_tokens)
+            children = [self._detok(row.tolist()) for row in child_ids]
         return {"parent": parent, "children": children}
+
+    def _decode_from_cache(self, first_tok, cache, npos, wpos, max_new):
+        """Greedy scan decode continuing from an existing cache (B rows)."""
+        if not hasattr(self, "_decode_from_cache_jit"):
+            c = self.cfg.decoder
+
+            def run(params, first, cache, npos, wpos, *, max_new):
+                b = first.shape[0]
+                dstate0 = _empty_dstate(self.cfg, b)
+
+                def step(carry, i):
+                    tok, cache, done, np_, ds = carry
+                    pos_ids = jnp.broadcast_to(np_[None, None, None],
+                                               (3, b, 1))
+                    logits, _, cache, ds = self.module.apply(
+                        params, tok, pos_ids, cache, wpos + i, ds,
+                        method=FamilyModule.decode_step)
+                    nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+                    nxt = jnp.where(done, c.eos_id, nxt)
+                    done = done | (nxt == c.eos_id)
+                    return (nxt, cache, done, np_ + 1, ds), tok
+
+                (_, _, _, _, _), ids = jax.lax.scan(
+                    step, (first, cache, first == c.eos_id, npos, dstate0),
+                    jnp.arange(max_new), length=max_new)
+                return jnp.transpose(ids, (1, 0))
+
+            self._decode_from_cache_jit = jax.jit(
+                run, static_argnames=("max_new",))
+        return np.asarray(self._decode_from_cache_jit(
+            self.params, first_tok, cache, jnp.asarray(npos),
+            jnp.asarray(wpos), max_new=max_new))
 
 
 class OvisOCR2(VLMFamily):
@@ -555,6 +709,24 @@ class MonkeyOCRv2(VLMFamily):
     def __init__(self, params=None, *, tiny: bool = False, **kw):
         cfg = FAMILY_CONFIGS["monkeyocrv2"]
         super().__init__(cfg.tiny() if tiny else cfg, params, **kw)
+
+
+def _tokens_after_subsequence(ids: List[int], pattern: List[int]
+                              ) -> List[int]:
+    """Tokens immediately following each occurrence of ``pattern``."""
+    out: List[int] = []
+    if not pattern:
+        return out
+    n, m = len(ids), len(pattern)
+    i = 0
+    while i <= n - m:
+        if ids[i : i + m] == pattern:
+            if i + m < n:
+                out.append(ids[i + m])
+            i += m
+        else:
+            i += 1
+    return out
 
 
 FAMILY_CLASSES = {

@@ -21,15 +21,17 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=())
 def gated_delta_rule(
     q: jax.Array,      # (B, H, T, Dk)
     k: jax.Array,      # (B, H, T, Dk)
     v: jax.Array,      # (B, H, T, Dv)
     alpha: jax.Array,  # (B, H, T) decay gate
     beta: jax.Array,   # (B, H, T) write strength
-) -> jax.Array:
-    """Full-sequence gated delta rule → (B, H, T, Dv)."""
+    initial_state: jax.Array | None = None,   # (B, H, Dk, Dv)
+    *,
+    return_state: bool = False,
+):
+    """Full-sequence gated delta rule → (B, H, T, Dv) [, final state]."""
 
     b, h, t, dk = q.shape
     dv = v.shape[-1]
@@ -37,7 +39,6 @@ def gated_delta_rule(
     def step(s, inp):
         qt, kt, vt, at, bt = inp
         # s: (B, H, Dk, Dv)
-        # S · (I − β k kᵀ) = S − β (S k) kᵀ ... note k kᵀ acts on the Dk side:
         # (I − β k kᵀ) S = S − β k (kᵀ S)
         ks = jnp.einsum("bhk,bhkv->bhv", kt, s)          # kᵀS: (B,H,Dv)
         s = at[..., None, None] * (
@@ -46,14 +47,18 @@ def gated_delta_rule(
         o = jnp.einsum("bhkv,bhk->bhv", s, qt)
         return s, o
 
-    s0 = jnp.zeros((b, h, dk, dv), jnp.float32)
+    s0 = (initial_state.astype(jnp.float32) if initial_state is not None
+          else jnp.zeros((b, h, dk, dv), jnp.float32))
     xs = (q.transpose(2, 0, 1, 3).astype(jnp.float32),
           k.transpose(2, 0, 1, 3).astype(jnp.float32),
           v.transpose(2, 0, 1, 3).astype(jnp.float32),
           alpha.transpose(2, 0, 1).astype(jnp.float32),
           beta.transpose(2, 0, 1).astype(jnp.float32))
-    _, out = jax.lax.scan(step, s0, xs)
-    return out.transpose(1, 2, 0, 3).astype(q.dtype)     # (B, H, T, Dv)
+    s_final, out = jax.lax.scan(step, s0, xs)
+    out = out.transpose(1, 2, 0, 3).astype(q.dtype)      # (B, H, T, Dv)
+    if return_state:
+        return out, s_final
+    return out
 
 
 def gated_delta_step(s: jax.Array, q: jax.Array, k: jax.Array, v: jax.Array,

@@ -123,3 +123,23 @@ def test_cli_parser():
     assert args.format == "html"
     args = ap.parse_args(["vl", "z.png", "--task", "table", "--dev-tiny"])
     assert args.dev_tiny
+
+
+def test_topk():
+    from oar_ocr_tpu.utils.topk import topk
+
+    probs = np.array([[0.1, 0.6, 0.3]], np.float32)
+    [res] = topk(probs, k=2, labels=["a", "b", "c"])
+    assert res.indices == (1, 2)
+    assert res.labels == ("b", "c")
+    assert res.scores[0] == pytest.approx(0.6)
+
+
+def test_unimernet_preprocess(rng):
+    from oar_ocr_tpu.models.recognition.formula import unimernet_preprocess
+
+    img = np.full((50, 300, 3), 255, np.uint8)
+    img[20:30, 40:260] = 10
+    out = unimernet_preprocess(img)
+    assert out.shape[0] % 32 == 0 and out.shape[1] % 32 == 0
+    assert out.dtype == np.uint8

@@ -68,3 +68,22 @@ def test_hpd_fork_parse(img):
     fam = HPDParsing(tiny=True)
     out = fam.parse_with_forks(img, max_new_tokens=4)
     assert "parent" in out and isinstance(out["children"], list)
+
+
+def test_mineru_diffusion_block_decode(img):
+    from oar_ocr_tpu.vl.families import MinerUDiffusion
+
+    fam = MinerUDiffusion(tiny=True)
+    out = fam.generate([img], max_new_tokens=8, num_unmask_steps=3)
+    assert len(out) == 1 and isinstance(out[0], str)
+
+
+def test_hpd_shared_prefix_children(img):
+    from oar_ocr_tpu.vl.families import HPDParsing, _tokens_after_subsequence
+
+    assert _tokens_after_subsequence([1, 2, 3, 4, 2, 3, 9], [2, 3]) == [4, 9]
+    assert _tokens_after_subsequence([1, 2], [2]) == []
+    fam = HPDParsing(tiny=True)
+    out = fam.parse_with_forks(img, max_new_tokens=6)
+    assert isinstance(out["parent"], str)
+    assert isinstance(out["children"], list)
