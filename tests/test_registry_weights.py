@@ -84,3 +84,57 @@ def test_sha256_file(tmp_path):
     p = tmp_path / "f"
     p.write_bytes(b"hello")
     assert sha256_file(str(p)).startswith("2cf24dba")
+
+
+class TestConvertMaps:
+    def _params(self):
+        import jax
+
+        from oar_ocr_tpu.models.detection.db import DBNet
+        from oar_ocr_tpu.runtime.runtime import init_params
+
+        return init_params(DBNet(backbone_scale=0.35), (1, 32, 32, 3))
+
+    def test_roundtrip_dbnet(self):
+        from oar_ocr_tpu.runtime.convert_maps import roundtrip_check
+
+        assert roundtrip_check(self._params(), name="dbnet")
+
+    def test_deploy_names_and_layouts(self):
+        from oar_ocr_tpu.runtime.convert_maps import (build_model_map,
+                                                      export_deploy_format)
+
+        params = self._params()
+        deploy = export_deploy_format(params)
+        # deploy conv kernels are OIHW
+        conv_keys = [k for k, v in deploy.items()
+                     if k.endswith(".weight") and v.ndim == 4]
+        assert conv_keys
+        from oar_ocr_tpu.runtime.weights import flatten_params
+
+        flat = flatten_params(params)
+        some = [k for k in flat if k.endswith("kernel")
+                and flat[k].ndim == 4][0]
+        hwio = flat[some].shape
+        # find its deploy partner and check the transpose
+        cm = build_model_map(params, name="dbnet")
+        src = dict((t, s) for t, s, _ in cm.rules)[some]
+        assert deploy[src].shape == (hwio[3], hwio[2], hwio[0], hwio[1])
+
+    def test_forward_equality_after_roundtrip(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from oar_ocr_tpu.models.detection.db import DBNet
+        from oar_ocr_tpu.runtime.convert_maps import (build_model_map,
+                                                      export_deploy_format)
+
+        model = DBNet(backbone_scale=0.35)
+        params = self._params()
+        cm = build_model_map(params, name="dbnet")
+        restored = cm.convert(export_deploy_format(params))
+        x = jnp.asarray(np.random.default_rng(0)
+                        .normal(size=(1, 32, 32, 3)).astype(np.float32))
+        a = np.asarray(model.apply(params, x))
+        b = np.asarray(model.apply(restored, x))
+        np.testing.assert_array_equal(a, b)
