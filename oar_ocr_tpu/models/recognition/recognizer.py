@@ -80,13 +80,15 @@ class CTCRecognizer:
         *,
         charset: Optional[Sequence[str]] = None,
         use_space_char: bool = True,
+        reverse: bool = False,
         backbone_scale: float = 0.95,
         runtime: Optional[Runtime] = None,
         seed: int = 0,
     ):
         self.runtime = runtime or Runtime.default()
         self.decoder = CTCLabelDecoder(charset or default_charset(),
-                                       use_space_char=use_space_char)
+                                       use_space_char=use_space_char,
+                                       reverse=reverse)
         self.model = SVTRRecognizer(vocab_size=self.decoder.vocab_size,
                                     backbone_scale=backbone_scale)
         if params is None:

@@ -85,12 +85,16 @@ class CTCLabelDecoder:
     word boxes, the apply_with_positions variant decode.rs:452-496).
     """
 
-    def __init__(self, charset: Sequence[str], *, use_space_char: bool = True):
+    def __init__(self, charset: Sequence[str], *, use_space_char: bool = True,
+                 reverse: bool = False):
         chars = list(charset)
         if use_space_char:
             chars.append(" ")
         self.charset: List[str] = chars
         self.vocab_size = 1 + len(chars)  # +1 for blank at 0
+        # RTL scripts (e.g. Arabic recognizers): reverse run order after
+        # decoding (decode.rs:22-24,137 pred_reverse)
+        self.reverse = reverse
 
     def __call__(self, raw: CTCRaw | Tuple[np.ndarray, np.ndarray, np.ndarray]
                  ) -> List[Tuple[str, float]]:
@@ -114,9 +118,36 @@ class CTCLabelDecoder:
                 else:
                     chars.append("")  # ignored token (out-of-dict id)
             text = "".join(chars)
+            if self.reverse:
+                text = pred_reverse(text)
             conf = float(prob[bi, cols].mean()) if cols.size else 0.0
             out.append((text, conf, cols.tolist()))
         return out
+
+
+import re
+
+_LATIN_RUN = re.compile(r"[a-zA-Z0-9 :*\./%+-]+")
+
+
+def pred_reverse(text: str) -> str:
+    """RTL prediction reversal (decode.rs:22-24 pred_reverse): split into
+    alphanumeric runs (kept LTR internally) and other characters, then
+    reverse the run order — Arabic text reads right-to-left while embedded
+    latin/digits keep their direction."""
+
+    if not text:
+        return text
+    runs: List[str] = []
+    pos = 0
+    for m in _LATIN_RUN.finditer(text):
+        for ch in text[pos : m.start()]:
+            runs.append(ch)
+        runs.append(m.group(0))
+        pos = m.end()
+    for ch in text[pos:]:
+        runs.append(ch)
+    return "".join(reversed(runs))
 
 
 def load_charset(path: str) -> List[str]:

@@ -118,6 +118,7 @@ class TextRecognitionPredictor(TaskPredictorCore[TextRecognitionConfig]):
                    if config.charset_path else None)
         self._rec = CTCRecognizer(params, charset=charset,
                                   use_space_char=config.use_space_char,
+                                  reverse=config.reverse,
                                   runtime=self.runtime)
 
     def predict(self, images: Sequence[np.ndarray]

@@ -77,6 +77,7 @@ class TextDetectionConfig:
 class TextRecognitionConfig:
     score_thresh: float = 0.0
     use_space_char: bool = True
+    reverse: bool = False              # RTL scripts (pred_reverse)
     charset_path: Optional[str] = None
 
     RULES = {"score_thresh": Rule(min=0.0, max=1.0),
