@@ -84,14 +84,23 @@ class DBHead(nn.Module):
 
 class DBNet(nn.Module):
     """Full DB detector. Input: normalized NHWC float batch (H, W multiples
-    of 32). Output: (N, H, W) probability map in [0, 1]."""
+    of 32). Output: (N, H, W) probability map in [0, 1].
+
+    ``backbone``: "lcnet" (mobile models, PP-LCNetV3) or "hgnet"
+    (server models, PP-HGNetV2 — models/hgnet.py)."""
 
     backbone_scale: float = 0.75
     fpn_channels: int = 96
+    backbone: str = "lcnet"
 
     @nn.compact
     def __call__(self, x):
-        c2, c3, c4, c5 = PPLCNetV3(scale=self.backbone_scale, mode="det")(x)
+        if self.backbone == "hgnet":
+            from ..hgnet import PPHGNetV2
+
+            c2, c3, c4, c5 = PPHGNetV2(mode="det")(x)
+        else:
+            c2, c3, c4, c5 = PPLCNetV3(scale=self.backbone_scale, mode="det")(x)
         f = RSEFPN(self.fpn_channels)(c2, c3, c4, c5)
         prob = DBHead()(f)
         return prob[..., 0]

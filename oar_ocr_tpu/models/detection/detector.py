@@ -66,13 +66,14 @@ class DBDetector:
         resize_cfg: DetResizeConfig = DetResizeConfig(),
         post_cfg: DBPostProcessConfig = DBPostProcessConfig(),
         backbone_scale: float = 0.75,
+        backbone: str = "lcnet",
         runtime: Optional[Runtime] = None,
         seed: int = 0,
     ):
         self.runtime = runtime or Runtime.default()
         self.resize_cfg = resize_cfg
         self.postprocess = DBPostProcess(post_cfg)
-        self.model = DBNet(backbone_scale=backbone_scale)
+        self.model = DBNet(backbone_scale=backbone_scale, backbone=backbone)
         if params is None:
             params = init_params(self.model, (1, 64, 64, 3))
         self.params = jax.device_put(params, self.runtime.device)

@@ -82,6 +82,7 @@ class CTCRecognizer:
         use_space_char: bool = True,
         reverse: bool = False,
         backbone_scale: float = 0.95,
+        backbone: str = "lcnet",
         runtime: Optional[Runtime] = None,
         seed: int = 0,
     ):
@@ -90,7 +91,8 @@ class CTCRecognizer:
                                        use_space_char=use_space_char,
                                        reverse=reverse)
         self.model = SVTRRecognizer(vocab_size=self.decoder.vocab_size,
-                                    backbone_scale=backbone_scale)
+                                    backbone_scale=backbone_scale,
+                                    backbone=backbone)
         if params is None:
             params = init_params(self.model, (1, REC_H, 64, 3))
         self.params = jax.device_put(params, self.runtime.device)

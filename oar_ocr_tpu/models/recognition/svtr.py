@@ -48,10 +48,16 @@ class SVTRRecognizer(nn.Module):
     backbone_scale: float = 0.95
     svtr_dim: int = 120
     svtr_depth: int = 2
+    backbone: str = "lcnet"            # lcnet (mobile) | hgnet (server)
 
     @nn.compact
     def __call__(self, x):
-        seq = PPLCNetV3(scale=self.backbone_scale, mode="rec")(x)   # (N,T,C)
+        if self.backbone == "hgnet":
+            from ..hgnet import PPHGNetV2
+
+            seq = PPHGNetV2(mode="rec")(x)
+        else:
+            seq = PPLCNetV3(scale=self.backbone_scale, mode="rec")(x)  # (N,T,C)
         seq = SVTREncoder(self.svtr_dim, self.svtr_depth)(seq)
         logits = nn.Dense(self.vocab_size, dtype=seq.dtype)(seq)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)

@@ -44,12 +44,14 @@ class OARStructureConfig:
     use_formulas: bool = True
     use_seals: bool = True
     use_overall_ocr: bool = True
+    use_region_blocks: bool = False     # PP-DocBlockLayout coarse regions
 
 
 class OARStructure:
     def __init__(self, *, layout: LayoutDetector, ocr: Optional[OAROCR],
                  tables: Optional[TableAnalyzer],
                  formulas=None, seal_ocr: Optional[OAROCR] = None,
+                 region_detector: Optional[LayoutDetector] = None,
                  stitcher: Optional[ResultStitcher] = None,
                  cfg: OARStructureConfig = OARStructureConfig(),
                  runtime: Optional[Runtime] = None):
@@ -58,6 +60,7 @@ class OARStructure:
         self.tables = tables
         self.formulas = formulas
         self.seal_ocr = seal_ocr
+        self.region_detector = region_detector
         self.stitcher = stitcher or ResultStitcher()
         self.cfg = cfg
         self.runtime = runtime or Runtime.default()
@@ -89,6 +92,20 @@ class OARStructure:
             layout_boxes.extend(self.layout.detect(
                 pages, [shapes[i] for i in idx], page_indices=idx))
 
+        # --- optional coarse region blocks (PP-DocBlockLayout,
+        # structure.rs:3322) ---
+        page_regions: List[List] = [[] for _ in images]
+        if self.region_detector is not None and self.cfg.use_region_blocks:
+            from ..domain.structure import RegionBlock
+
+            for s in range(0, len(images), bs):
+                idx = list(range(s, min(s + bs, len(images))))
+                for local_i, page_i in enumerate(idx):
+                    det = self.region_detector.detect(
+                        pages, [shapes[page_i]], page_indices=[page_i])[0]
+                    page_regions[page_i] = [RegionBlock(box=b.box)
+                                            for b in det]
+
         # --- build elements per page ---
         page_elements: List[List[LayoutElement]] = []
         for page_i, boxes in enumerate(layout_boxes):
@@ -98,6 +115,15 @@ class OARStructure:
                 for b in boxes]
             els = remove_overlapping_elements(els)
             fix_element_labels(els)
+            # region membership (structure.rs:2109): record each element's
+            # enclosing coarse region
+            for region in page_regions[page_i]:
+                rx0, ry0, rx1, ry1 = [float(v) for v in region.box[:4]]
+                for ei, el in enumerate(els):
+                    x0, y0, x1, y1 = el.xyxy
+                    cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+                    if rx0 <= cx <= rx1 and ry0 <= cy <= ry1:
+                        region.element_indices.append(ei)
             page_elements.append(els)
 
         # --- formulas batched across pages (structure.rs:1914) ---
@@ -209,11 +235,18 @@ class OARStructureBuilder:
         self._cfg.use_overall_ocr = enable
         return self
 
+    def with_region_blocks(self, enable: bool = True) -> "OARStructureBuilder":
+        self._cfg.use_region_blocks = enable
+        return self
+
     def build(self) -> OARStructure:
         runtime = self._runtime or Runtime.default()
         layout = LayoutDetector(
             self._cfg.layout_variant, self._layout_params,
             score_thresh=self._cfg.layout_score_thresh, runtime=runtime)
+        region_detector = (LayoutDetector("pp-docblocklayout",
+                                          score_thresh=0.4, runtime=runtime)
+                           if self._cfg.use_region_blocks else None)
         ocr = (OAROCRBuilder("general").with_runtime(runtime).build()
                if self._cfg.use_overall_ocr else None)
         tables = (TableAnalyzer(runtime=runtime)
@@ -227,4 +260,5 @@ class OARStructureBuilder:
                     if self._cfg.use_seals else None)
         return OARStructure(layout=layout, ocr=ocr, tables=tables,
                             formulas=formulas, seal_ocr=seal_ocr,
+                            region_detector=region_detector,
                             cfg=self._cfg, runtime=runtime)

@@ -56,6 +56,26 @@ class OrderLabel(enum.Enum):
         return OrderLabel.NORMAL_TEXT
 
 
+def shrink_overlapping_boxes(boxes: np.ndarray, axis: int,
+                             min_keep: float = 1.0) -> np.ndarray:
+    """Shrink boxes that overlap along ``axis`` to their midline so the
+    projection can find a cut between them (layout_sorting.rs:534
+    shrink_overlapping_boxes — PaddleX pre-pass before XY-cut)."""
+
+    out = boxes.copy()
+    lo, hi = (1, 3) if axis == 1 else (0, 2)
+    order = np.argsort(out[:, lo])
+    for a_i in range(len(order) - 1):
+        i = order[a_i]
+        j = order[a_i + 1]
+        if out[j, lo] < out[i, hi]:            # overlapping along the axis
+            mid = (out[j, lo] + out[i, hi]) / 2.0
+            if mid - out[i, lo] >= min_keep and out[j, hi] - mid >= min_keep:
+                out[i, hi] = mid
+                out[j, lo] = mid
+    return out
+
+
 def sort_layout_enhanced(elements: Sequence[LayoutElement],
                          page_w: float, page_h: float) -> List[int]:
     """Return reading-order indices over ``elements``
@@ -82,10 +102,13 @@ def sort_layout_enhanced(elements: Sequence[LayoutElement],
     def by_y(idxs: List[int]) -> List[int]:
         return sorted(idxs, key=lambda i: (boxes[i][1], boxes[i][0]))
 
-    # main flow: XY-cut (vertical first) over main blocks
+    # main flow: XY-cut (vertical first) over main blocks, with the
+    # PaddleX overlap-shrinking pre-pass so touching blocks still cut
     if main:
-        order_rel = sort_by_xycut([boxes[i] for i in main],
-                                  SortDirection.VERTICAL, 1)
+        mb = boxes[main]
+        mb = shrink_overlapping_boxes(mb, axis=1)
+        mb = shrink_overlapping_boxes(mb, axis=0)
+        order_rel = sort_by_xycut(list(mb), SortDirection.VERTICAL, 1)
         main_sorted = [main[i] for i in order_rel]
     else:
         main_sorted = []

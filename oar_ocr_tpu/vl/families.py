@@ -332,7 +332,12 @@ class VLMFamily:
         output matches `generate` token for token; only latency differs).
         Batch-1, matching the reference's batch-1 decode focus."""
 
-        if self.cfg.draft_len <= 0:
+        import os
+
+        # kill switch, mirroring the reference's per-feature env switches
+        # (docs/environment-variables.md; e.g. speculative-decoding off)
+        if (self.cfg.draft_len <= 0
+                or os.environ.get("OAR_TPU_DISABLE_SPECULATION")):
             return self.generate(images, task, max_new_tokens=max_new_tokens)
         task = task or self.cfg.tasks[0]
         out: List[str] = []

@@ -95,3 +95,22 @@ def test_pipeline_with_preprocessing_and_lineori(rng):
     assert res.orientation_angle in (0, 90, 180, 270)
     for region in res.regions:
         assert region.orientation_angle in (0, 180)
+
+
+def test_server_backbone_variants():
+    """PP-HGNetV2 server backbone builds and runs through the wrappers."""
+    import jax.numpy as jnp
+
+    from oar_ocr_tpu.models.detection.db import DBNet
+    from oar_ocr_tpu.models.hgnet import PPHGNetV2
+    from oar_ocr_tpu.runtime.runtime import init_params
+
+    m = DBNet(backbone="hgnet")
+    p = init_params(m, (1, 64, 64, 3))
+    out = m.apply(p, jnp.zeros((1, 64, 64, 3)))
+    assert out.shape == (1, 64, 64)
+
+    bb = PPHGNetV2(mode="cls")
+    pc = init_params(bb, (1, 64, 64, 3))
+    feat = bb.apply(pc, jnp.zeros((1, 64, 64, 3)))
+    assert feat.ndim == 2

@@ -101,3 +101,27 @@ class TestLayoutSort:
         assert OrderLabel.of(LayoutElementType.CHART) == OrderLabel.VISION
         assert OrderLabel.of(LayoutElementType.FIGURE_TITLE) == \
             OrderLabel.VISION_TITLE
+
+
+def test_shrink_overlapping_boxes():
+    from oar_ocr_tpu.processors.layout_sorting import shrink_overlapping_boxes
+
+    boxes = np.array([[0, 0, 100, 55], [0, 45, 100, 100]], np.float32)
+    out = shrink_overlapping_boxes(boxes, axis=1)
+    # previously overlapping rows now meet at the midline 50
+    assert out[0, 3] == pytest.approx(50.0)
+    assert out[1, 1] == pytest.approx(50.0)
+    # non-overlapping boxes untouched
+    clean = np.array([[0, 0, 10, 10], [0, 20, 10, 30]], np.float32)
+    np.testing.assert_allclose(shrink_overlapping_boxes(clean, 1), clean)
+
+
+def test_touching_columns_still_sort():
+    """Columns whose boxes touch vertically still get a row cut after
+    shrinking."""
+    els = [
+        _el(LayoutElementType.TEXT, [0, 0, 100, 52]),
+        _el(LayoutElementType.TEXT, [0, 48, 100, 100]),
+    ]
+    order = sort_layout_enhanced(els, 100, 100)
+    assert order == [0, 1]
