@@ -230,13 +230,29 @@ def _poly_to_quad(poly: np.ndarray) -> np.ndarray:
     return cv2.boxPoints(rect).astype(np.float32)
 
 
+def resolve_device_batch_sizes() -> Tuple[int, int]:
+    """(image_batch, region_batch) defaults by device class
+    (src/oarocr/builder_utils.rs resolve_device_batch_sizes + ocr.rs
+    :264-274: accelerator det=8/rec=64, CPU image=1/region=16)."""
+
+    import jax
+
+    platform = jax.devices()[0].platform
+    if platform in ("tpu", "axon", "gpu", "cuda", "rocm"):
+        return 8, 64
+    return 1, 16
+
+
 class OAROCRBuilder:
     """Fluent builder mirroring OAROCRBuilder (ocr.rs:438-1233)."""
 
     def __init__(self, text_type: str = "general"):
         if text_type not in TEXT_TYPE_PRESETS:
             raise InvalidInputError("unknown text_type", text_type=text_type)
-        self._cfg = OAROCRConfig(text_type=text_type)
+        image_bs, region_bs = resolve_device_batch_sizes()
+        self._cfg = OAROCRConfig(text_type=text_type,
+                                 image_batch_size=image_bs,
+                                 region_batch_size=region_bs)
         thresh, box_thresh, unclip, side, limit_type, box_type = (
             TEXT_TYPE_PRESETS[text_type])
         self._det_post = DBPostProcessConfig(

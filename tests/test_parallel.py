@@ -1,0 +1,55 @@
+"""Multi-device data-parallel pipeline step on the 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from oar_ocr_tpu.parallel.mesh import (build_mesh, data_sharding, replicate,
+                                       shard_batch)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestDataParallel:
+    def test_mesh_shapes(self):
+        mesh = build_mesh(n_data=8)
+        assert dict(mesh.shape) == {"data": 8, "model": 1}
+        mesh2 = build_mesh(n_data=4, n_model=2)
+        assert dict(mesh2.shape) == {"data": 4, "model": 2}
+
+    def test_shard_and_replicate(self):
+        mesh = build_mesh(n_data=8)
+        x = shard_batch(mesh, np.arange(16, dtype=np.float32).reshape(8, 2))
+        assert len(x.sharding.device_set) == 8
+        p = replicate(mesh, {"w": np.ones((3,), np.float32)})
+        assert len(p["w"].sharding.device_set) == 8
+
+    def test_dp_ocr_step_executes(self):
+        from oar_ocr_tpu.models.detection.db import DBNet
+        from oar_ocr_tpu.models.recognition.svtr import SVTRRecognizer
+        from oar_ocr_tpu.parallel.dp import make_dp_ocr_step
+        from oar_ocr_tpu.runtime.runtime import init_params
+
+        mesh = build_mesh(n_data=8)
+        det = DBNet(backbone_scale=0.5)
+        rec = SVTRRecognizer(vocab_size=32, backbone_scale=0.5, svtr_depth=1)
+        det_p = replicate(mesh, init_params(det, (1, 64, 64, 3)))
+        rec_p = replicate(mesh, init_params(rec, (1, 48, 64, 3)))
+
+        rng = np.random.default_rng(0)
+        n, m = 8, 16
+        pages = shard_batch(mesh, rng.integers(0, 255, (n, 64, 64, 3),
+                                               dtype=np.uint8))
+        eye = np.tile(np.eye(3, dtype=np.float32)[None], (n, 1, 1))
+        step = make_dp_ocr_step(det, rec, mesh, det_hw=(64, 64), rec_w=64)
+        prob, idx, p, keep = step(
+            det_p, rec_p, pages, shard_batch(mesh, eye),
+            shard_batch(mesh, np.full((n,), 64, np.int32)),
+            shard_batch(mesh, np.full((n,), 64, np.int32)),
+            shard_batch(mesh, np.tile(np.eye(3, dtype=np.float32)[None],
+                                      (m, 1, 1))),
+            shard_batch(mesh, np.repeat(np.arange(n, dtype=np.int32), 2)),
+            shard_batch(mesh, np.full((m,), 64, np.int32)))
+        jax.block_until_ready(prob)
+        assert prob.shape == (n, 64, 64)
+        assert len(prob.sharding.device_set) == 8   # output stays sharded
+        assert idx.shape[0] == m

@@ -168,3 +168,48 @@ def test_vl_generate_tiny(rng):
     assert out[0].num_prompt_tokens > 10
     with pytest.raises(Exception):
         vlm.generate([img], task="bogus")
+
+
+class TestSampling:
+    def test_repetition_penalty(self):
+        import jax.numpy as jnp
+
+        from oar_ocr_tpu.vl.sampling import apply_repetition_penalty
+
+        logits = jnp.asarray([[2.0, -1.0, 0.5]])
+        hist = jnp.asarray([[0, 1, -1]], jnp.int32)
+        out = np.asarray(apply_repetition_penalty(logits, hist, 2.0, 3))
+        assert out[0, 0] == pytest.approx(1.0)    # positive → divided
+        assert out[0, 1] == pytest.approx(-2.0)   # negative → multiplied
+        assert out[0, 2] == pytest.approx(0.5)    # unseen → unchanged
+
+    def test_mask_token_ids(self):
+        import jax.numpy as jnp
+
+        from oar_ocr_tpu.vl.sampling import mask_token_ids
+
+        out = np.asarray(mask_token_ids(jnp.zeros((1, 4)), [1, 3]))
+        assert out[0, 1] < -1e30 and out[0, 3] < -1e30 and out[0, 0] == 0
+
+    def test_sample_greedy_and_topp(self):
+        import jax
+        import jax.numpy as jnp
+
+        from oar_ocr_tpu.vl.sampling import sample_with_confidence
+
+        logits = jnp.asarray([[0.0, 5.0, 1.0]])
+        tok, p = sample_with_confidence(logits, jax.random.PRNGKey(0),
+                                        temperature=0.0)
+        assert int(tok[0]) == 1 and float(p[0]) > 0.9
+        tok2, _ = sample_with_confidence(logits, jax.random.PRNGKey(0),
+                                         temperature=1.0, top_p=0.5)
+        assert int(tok2[0]) == 1  # top-p 0.5 keeps only the peak
+
+    def test_truncate_repetition(self):
+        from oar_ocr_tpu.vl.sampling import truncate_repetition
+
+        text = "header " + "loop! " * 10
+        out = truncate_repetition(text, min_repeats=5)
+        assert out.count("loop! ") < 3
+        clean = "no repetition here at all"
+        assert truncate_repetition(clean) == clean
