@@ -81,7 +81,8 @@ def main():
         rbs = pipe.cfg.region_batch_size
         pending = [
             (plans[s : s + rbs],
-             pipe.recognizer.dispatch_chunk(pages, plans[s : s + rbs]))
+             pipe.recognizer.dispatch_chunk(pages, plans[s : s + rbs],
+                                            host_images=pages_np))
             for s in range(0, len(plans), rbs)
         ]
         out = []

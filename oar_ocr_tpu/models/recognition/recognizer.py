@@ -98,6 +98,19 @@ class CTCRecognizer:
         self.params = jax.device_put(params, self.runtime.device)
         self._step = jax.jit(self._step_impl,
                              static_argnames=("out_w", "nat_h", "nat_w"))
+        self._step_tiles = jax.jit(self._step_tiles_impl,
+                                   static_argnames=("out_w",))
+        # Host-warp mode (OAR_TPU_HOST_WARP=1): run the perspective crop
+        # as native cv2 WARP_INVERSE_MAP calls on the host and ship tiles
+        # — only dense math on the TPU. Measured: the cv2 warps themselves
+        # are fast (65 ms / 320 crops) but on a single-core host they
+        # serialize against dispatch and drop end-to-end throughput
+        # (14 vs 20 pages/s), so the fused on-device warp is the default;
+        # on multi-core hosts the host path should win — re-evaluate
+        # there (docs/ROADMAP.md).
+        import os
+
+        self.host_warp = bool(os.environ.get("OAR_TPU_HOST_WARP"))
 
     def _step_impl(self, params, pages_u8, mats, img_idx, valid_w,
                    native_w, native_h, *, out_w, nat_h, nat_w):
@@ -126,8 +139,73 @@ class CTCRecognizer:
         raw = ctc_greedy_decode(probs)
         return raw.indices, raw.probs, raw.keep
 
+    def _step_tiles_impl(self, params, tiles_u8, native_w, native_h,
+                         valid_w, *, out_w):
+        """Device half of the host-warp path: tiles are already native-res
+        crops; resize+normalize on the MXU, then model + CTC."""
+        from ...ops.det_device import separable_resize_normalize
+
+        native = tiles_u8[..., ::-1].astype(jnp.float32)   # BGR
+        b = tiles_u8.shape[0]
+        tiles = separable_resize_normalize(
+            native, native_h, native_w,
+            jnp.full((b,), REC_H, jnp.int32), valid_w,
+            jnp.full((3,), 2.0 / 255.0, jnp.float32),
+            jnp.full((3,), -1.0, jnp.float32),
+            out_h=REC_H, out_w=out_w,
+            out_dtype=self.runtime.compute_dtype)
+        probs = self.model.apply(params, tiles)
+        raw = ctc_greedy_decode(probs)
+        return raw.indices, raw.probs, raw.keep
+
+    def _dispatch_host_warp(self, host_images, plans: Sequence[CropPlan]):
+        import cv2
+
+        cfg = self.runtime.cfg
+        n = len(plans)
+        nb = cfg.rec_batch_buckets.bucket(n)
+        out_w = cfg.rec_width_buckets.bucket(max(p.width for p in plans))
+        nat_h = cfg.rec_native_h_buckets.bucket(max(p.native_h for p in plans))
+        nat_w = cfg.rec_native_w_buckets.bucket(max(p.native_w for p in plans))
+
+        tiles = np.zeros((nb, nat_h, nat_w, 3), np.uint8)
+        valid_w = np.zeros((nb,), np.int32)
+        native_w = np.ones((nb,), np.int32)
+        native_h = np.ones((nb,), np.int32)
+        with stage_timer("rec.host_warp", batch=n):
+            for i, p in enumerate(plans):
+                nw = min(p.native_w, nat_w)
+                nh = min(p.native_h, nat_h)
+                # plan.matrix maps native px → page px (incl. rotation,
+                # caps, textline 180°); WARP_INVERSE_MAP consumes exactly
+                # that map — identical sampling to the device path
+                cv2.warpPerspective(
+                    host_images[p.page_index], p.matrix, (nat_w, nat_h),
+                    dst=tiles[i], flags=cv2.INTER_LINEAR
+                    | cv2.WARP_INVERSE_MAP,
+                    borderMode=cv2.BORDER_CONSTANT)
+                if nw < nat_w:
+                    tiles[i, :, nw:] = 0
+                if nh < nat_h:
+                    tiles[i, nh:] = 0
+                valid_w[i] = min(p.width, out_w)
+                native_w[i] = nw
+                native_h[i] = nh
+        with stage_timer("rec.dispatch", batch=nb, width=out_w,
+                         native=(nat_h, nat_w)):
+            return self._step_tiles(
+                self.params, jnp.asarray(tiles), jnp.asarray(native_w),
+                jnp.asarray(native_h), jnp.asarray(valid_w), out_w=out_w)
+
     def dispatch_chunk(self, pages_u8: jax.Array,
-                       plans: Sequence[CropPlan]):
+                       plans: Sequence[CropPlan],
+                       host_images=None):
+        if host_images is not None and self.host_warp:
+            return self._dispatch_host_warp(host_images, plans)
+        return self._dispatch_device_warp(pages_u8, plans)
+
+    def _dispatch_device_warp(self, pages_u8: jax.Array,
+                              plans: Sequence[CropPlan]):
         """Launch one ratio-sorted chunk asynchronously; returns a handle
         of device arrays. Dispatching every chunk before collecting any
         keeps the device busy while the host decodes earlier chunks (the
@@ -174,11 +252,14 @@ class CTCRecognizer:
                 (idx[:n], prob[:n], keep[:n]))
 
     def recognize_chunk(
-        self, pages_u8: jax.Array, plans: Sequence[CropPlan]
+        self, pages_u8: jax.Array, plans: Sequence[CropPlan],
+        host_images=None,
     ) -> List[Tuple[str, float, List[int]]]:
         """Run one ratio-sorted chunk. Returns (text, confidence, kept
         column indices) per plan, in plan order."""
 
         if not plans:
             return []
-        return self.collect_chunk(self.dispatch_chunk(pages_u8, plans), plans)
+        return self.collect_chunk(
+            self.dispatch_chunk(pages_u8, plans, host_images=host_images),
+            plans)

@@ -159,7 +159,8 @@ class OAROCR:
             for cs in range(0, len(order), rbs):
                 chunk_ids = order[cs : cs + rbs]
                 plans = [batch[i][2] for i in chunk_ids]
-                handle = self.recognizer.dispatch_chunk(pages, plans)
+                handle = self.recognizer.dispatch_chunk(
+                    pages, plans, host_images=images)
                 pending.append((chunk_ids, plans, handle))
             for chunk_ids, plans, handle in pending:
                 decoded = self.recognizer.collect_chunk(handle, plans)

@@ -113,3 +113,39 @@ def test_multi_image_indexing(rng):
         jnp.array([64, 64], jnp.int32), out_h=48, out_w=64, normalize=False))
     assert abs(out[0, 5, 5, 0] - 50) < 1
     assert abs(out[1, 5, 5, 0] - 200) < 1
+
+
+def test_host_warp_matches_device_warp(rng):
+    """cv2 WARP_INVERSE_MAP with a plan matrix must produce the same
+    native tile as the device sampler (same matrix, same convention)."""
+    import cv2
+
+    from oar_ocr_tpu.models.recognition.recognizer import CropPlan
+    from oar_ocr_tpu.ops.warp import NormSpec, sample_transform
+
+    img = rng.integers(0, 255, (120, 160, 3), dtype=np.uint8)
+    quad = np.array([[20, 30], [116, 34], [114, 62], [18, 58]], np.float32)
+    plan = CropPlan.from_quad(0, quad)
+    nat_h, nat_w = 64, 160
+
+    dev = np.asarray(sample_transform(
+        jnp.asarray(img[None]), jnp.asarray(plan.matrix[None]),
+        jnp.zeros(1, jnp.int32),
+        jnp.asarray([min(plan.native_w, nat_w)], jnp.int32),
+        jnp.asarray([min(plan.native_h, nat_h)], jnp.int32),
+        out_h=nat_h, out_w=nat_w, norm=NormSpec.identity()))[0]
+
+    host = cv2.warpPerspective(
+        img, plan.matrix, (nat_w, nat_h),
+        flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+        borderMode=cv2.BORDER_CONSTANT).astype(np.float32)
+    host[min(plan.native_h, nat_h):] = 0
+    host[:, min(plan.native_w, nat_w):] = 0
+
+    valid = host[: plan.native_h - 1, : plan.native_w - 1]
+    devv = dev[: plan.native_h - 1, : plan.native_w - 1]
+    # cv2 rounds to uint8 and uses fixed-point coeffs; border clamp differs
+    # on the 1px rim — interior must agree within ~2 intensity levels
+    diff = np.abs(np.round(devv) - valid)
+    assert np.median(diff) <= 1.0
+    assert diff.mean() < 2.5
