@@ -99,6 +99,33 @@ MODEL_REGISTRY: Dict[str, ModelEntry] = {e.name: e for e in [
                "pp-formulanet-plus-m.safetensors", charset="formula_vocab.json"),
     ModelEntry("unimernet", "formula_recognition", "unimernet.safetensors",
                charset="unimernet_vocab.json"),
+    # VLM families (vl/families.py + vl/model.py); charset = HF tokenizer
+    ModelEntry("paddleocr-vl-0.9b", "vlm", "paddleocr_vl.safetensors",
+               charset="paddleocr_vl_tokenizer.json"),
+    ModelEntry("paddleocr-vl-1.5", "vlm", "paddleocr_vl_15.safetensors",
+               charset="paddleocr_vl_tokenizer.json"),
+    ModelEntry("paddleocr-vl-1.6", "vlm", "paddleocr_vl_16.safetensors",
+               charset="paddleocr_vl_tokenizer.json"),
+    ModelEntry("hunyuanocr-1.5", "vlm", "hunyuanocr_15.safetensors",
+               charset="hunyuan_tokenizer.json"),
+    ModelEntry("hunyuanocr-1.0", "vlm", "hunyuanocr_10.safetensors",
+               charset="hunyuan_tokenizer.json"),
+    ModelEntry("glm-ocr", "vlm", "glmocr.safetensors",
+               charset="glm_tokenizer.json"),
+    ModelEntry("mineru-2.5", "vlm", "mineru25.safetensors",
+               charset="qwen2_tokenizer.json"),
+    ModelEntry("mineru-2.5-pro", "vlm", "mineru25_pro.safetensors",
+               charset="qwen2_tokenizer.json"),
+    ModelEntry("mineru-diffusion-v1", "vlm", "mineru_diffusion.safetensors",
+               charset="qwen2_tokenizer.json"),
+    ModelEntry("hpd-parsing-1b", "vlm", "hpd_parsing.safetensors",
+               charset="internlm_tokenizer.json"),
+    ModelEntry("ovisocr2-0.8b", "vlm", "ovisocr2.safetensors",
+               charset="qwen3_tokenizer.json"),
+    ModelEntry("monkeyocrv2-s", "vlm", "monkeyocrv2_s.safetensors",
+               charset="qwen2_tokenizer.json"),
+    ModelEntry("monkeyocrv2-b", "vlm", "monkeyocrv2_b.safetensors",
+               charset="qwen2_tokenizer.json"),
 ]}
 
 

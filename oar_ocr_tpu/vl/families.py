@@ -131,8 +131,9 @@ class VisionTower(nn.Module):
         c = self.cfg
         x = nn.Dense(c.dim, dtype=patches.dtype, name="patch_embed")(patches)
         mask = valid[:, None, None, :]
+        vlen = jnp.sum(valid.astype(jnp.int32), -1)
         for _ in range(c.layers):
-            x = VisionBlock(c.heads)(x, mask)
+            x = VisionBlock(c.heads)(x, mask, vlen)
         return nn.LayerNorm(dtype=x.dtype)(x)
 
 
@@ -709,11 +710,75 @@ class OvisOCR2(VLMFamily):
 
 
 class MonkeyOCRv2(VLMFamily):
-    """Task-prompted parsing; table output is OTSL (vl/otsl.py converts)."""
+    """Task-prompted parsing; table output is OTSL (vl/otsl.py converts);
+    the EndToEnd task emits a normalized-bbox JSON list
+    (monkeyocrv2 docs/usage.md:484) parsed by `parse_end2end`."""
 
     def __init__(self, params=None, *, tiny: bool = False, **kw):
         cfg = FAMILY_CONFIGS["monkeyocrv2"]
         super().__init__(cfg.tiny() if tiny else cfg, params, **kw)
+
+    def parse_end2end(self, image: np.ndarray, *,
+                      max_new_tokens: int = 1024):
+        """EndToEnd task → StructureResult via the JSON-list output."""
+        text = self.generate([image], "end2end",
+                             max_new_tokens=max_new_tokens)[0]
+        h, w = image.shape[:2]
+        return monkey_end2end_to_structure(text, w, h)
+
+
+def monkey_end2end_to_structure(text: str, page_w: int, page_h: int):
+    """Parse MonkeyOCR's EndToEnd output — a JSON list of
+    {"bbox": [x0, y0, x1, y1] (normalized 0-1 or 0-1000), "category":
+    label, "text"/"content": str} — into a StructureResult. Tolerant of
+    trailing junk (truncated generations)."""
+
+    import json
+    import re
+
+    from ..domain.structure import (LayoutElement, LayoutElementType,
+                                    StructureResult)
+
+    items = []
+    m = re.search(r"\[.*\]", text, re.DOTALL)
+    if m:
+        try:
+            parsed = json.loads(m.group(0))
+            items = [x for x in parsed if isinstance(x, dict)]
+        except json.JSONDecodeError:
+            items = []
+    if not items:
+        # salvage complete objects from truncated/malformed output
+        for o in re.findall(r"\{[^{}]*\}", text):
+            try:
+                obj = json.loads(o)
+                if isinstance(obj, dict):
+                    items.append(obj)
+            except json.JSONDecodeError:
+                continue
+    elements = []
+    for item in items:
+        if not isinstance(item, dict):
+            continue
+        bbox = item.get("bbox") or item.get("box")
+        if not bbox or len(bbox) < 4:
+            continue
+        b = [float(v) for v in bbox[:4]]
+        scale = 1.0
+        if max(b) <= 1.5:
+            scale_x, scale_y = page_w, page_h
+        elif max(b) <= 1000.0:
+            scale_x, scale_y = page_w / 1000.0, page_h / 1000.0
+        else:
+            scale_x = scale_y = 1.0
+        box = np.array([b[0] * scale_x, b[1] * scale_y,
+                        b[2] * scale_x, b[3] * scale_y], np.float32)
+        elements.append(LayoutElement(
+            element_type=LayoutElementType.from_label(
+                str(item.get("category", item.get("type", "text")))),
+            box=box, score=float(item.get("score", 1.0)),
+            text=item.get("text") or item.get("content")))
+    return StructureResult(elements=elements, width=page_w, height=page_h)
 
 
 def _tokens_after_subsequence(ids: List[int], pattern: List[int]

@@ -108,7 +108,9 @@ class VisionBlock(nn.Module):
     heads: int
 
     @nn.compact
-    def __call__(self, x, mask):
+    def __call__(self, x, mask, valid_len=None):
+        import os
+
         d = x.shape[-1]
         h = nn.LayerNorm(dtype=x.dtype)(x)
         b, t, _ = h.shape
@@ -119,7 +121,14 @@ class VisionBlock(nn.Module):
         q = q.reshape(shp).transpose(0, 2, 1, 3)
         k = k.reshape(shp).transpose(0, 2, 1, 3)
         v = v.reshape(shp).transpose(0, 2, 1, 3)
-        o = scaled_dot_product_attention(q, k, v, mask)
+        if valid_len is not None and os.environ.get("OAR_TPU_FLASH_VISION"):
+            # blockwise flash attention: avoids the (T, T) score tensor for
+            # long vision sequences (ops/flash_attention.py)
+            from ..ops.flash_attention import flash_attention
+
+            o = flash_attention(q, k, v, valid_len=valid_len)
+        else:
+            o = scaled_dot_product_attention(q, k, v, mask)
         o = o.transpose(0, 2, 1, 3).reshape(b, t, d)
         x = x + nn.Dense(d, dtype=x.dtype, name="proj")(o)
         h = nn.LayerNorm(dtype=x.dtype)(x)
@@ -141,8 +150,9 @@ class VisionEncoder(nn.Module):
         c = self.cfg
         x = nn.Dense(c.v_dim, dtype=patches.dtype, name="patch_embed")(patches)
         mask = valid[:, None, None, :]
+        vlen = jnp.sum(valid.astype(jnp.int32), -1)
         for _ in range(c.v_layers):
-            x = VisionBlock(c.v_heads)(x, mask)
+            x = VisionBlock(c.v_heads)(x, mask, vlen)
         return nn.LayerNorm(dtype=x.dtype)(x)
 
 

@@ -87,3 +87,21 @@ def test_hpd_shared_prefix_children(img):
     out = fam.parse_with_forks(img, max_new_tokens=6)
     assert isinstance(out["parent"], str)
     assert isinstance(out["children"], list)
+
+
+def test_monkey_end2end_parser():
+    from oar_ocr_tpu.vl.families import monkey_end2end_to_structure
+
+    text = ('Here: [{"bbox": [0.1, 0.1, 0.5, 0.2], "category": "text", '
+            '"text": "hello"}, {"bbox": [100, 300, 900, 400], '
+            '"category": "table", "content": "t"}]')
+    res = monkey_end2end_to_structure(text, 1000, 800)
+    assert len(res.elements) == 2
+    assert res.elements[0].text == "hello"
+    assert res.elements[0].box[0] == pytest.approx(100.0)   # 0.1 × 1000
+    assert res.elements[1].box[1] == pytest.approx(240.0)   # 300/1000 × 800
+    # truncated list salvages complete objects
+    trunc = '[{"bbox": [0,0,1,1], "category": "text", "text": "a"}, {"bb'
+    res2 = monkey_end2end_to_structure(trunc, 100, 100)
+    assert len(res2.elements) == 1
+    assert monkey_end2end_to_structure("garbage", 10, 10).elements == []
