@@ -35,7 +35,7 @@ from ..processors.db_postprocess import DBPostProcessConfig
 from ..processors.geometry import order_quad_points
 from ..processors.sorting import sort_poly_boxes_indices, sort_quad_boxes_indices
 from ..runtime.runtime import Runtime, stack_padded
-from ..utils.tracing import stage_timer
+from ..utils.tracing import logger, stage_timer
 
 # Detection presets per text type (ocr.rs:314-366): (thresh, box_thresh,
 # unclip_ratio, limit_side_len, limit_type, box_type).
@@ -112,7 +112,21 @@ class OAROCR:
             det_pending.append((chunk, self.detector.dispatch(
                 pages, [shapes[i] for i in chunk], page_indices=chunk)))
         for chunk, handle in det_pending:
-            det_out = self.detector.collect(handle)
+            try:
+                det_out = self.detector.collect(handle)
+            except Exception:
+                # graceful degradation: batched detection falls back to
+                # per-image on error (ocr.rs:576-588); single-image
+                # failures yield empty results rather than failing the call
+                det_out = []
+                for page_i in chunk:
+                    try:
+                        det_out.extend(self.detector.detect(
+                            pages, [shapes[page_i]], page_indices=[page_i]))
+                    except Exception:
+                        logger.warning("detection failed for page %d",
+                                       page_i, exc_info=True)
+                        det_out.append(([], []))
             for local_i, page_i in enumerate(chunk):
                 boxes, scores = det_out[local_i]
                 order = (sort_quad_boxes_indices(boxes)

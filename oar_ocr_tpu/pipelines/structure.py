@@ -84,13 +84,27 @@ class OARStructure:
         with stage_timer("structure.upload"):
             pages = self.runtime.put(stack_padded(list(images), (ph, pw)))
 
-        # --- layout detection in chunks (structure.rs:3296) ---
+        # --- layout detection in chunks (structure.rs:3296), with the
+        # reference's fallback ladder: batched → single-page → empty
+        # (structure.rs:3273-3275) ---
+        from ..utils.tracing import logger
+
         layout_boxes: List[List[LayoutBox]] = []
         bs = self.cfg.image_batch_size
         for s in range(0, len(images), bs):
             idx = list(range(s, min(s + bs, len(images))))
-            layout_boxes.extend(self.layout.detect(
-                pages, [shapes[i] for i in idx], page_indices=idx))
+            try:
+                layout_boxes.extend(self.layout.detect(
+                    pages, [shapes[i] for i in idx], page_indices=idx))
+            except Exception:
+                for page_i in idx:
+                    try:
+                        layout_boxes.extend(self.layout.detect(
+                            pages, [shapes[page_i]], page_indices=[page_i]))
+                    except Exception:
+                        logger.warning("layout failed for page %d", page_i,
+                                       exc_info=True)
+                        layout_boxes.append([])
 
         # --- optional coarse region blocks (PP-DocBlockLayout,
         # structure.rs:3322) ---

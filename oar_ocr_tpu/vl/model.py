@@ -175,6 +175,31 @@ class PaddleOCRVL:
                                     known=sorted(TASK_PROMPTS))
         if not images:
             return []
+        try:
+            return self._generate_batch(images, task,
+                                        max_new_tokens=max_new_tokens)
+        except Exception:
+            if len(images) == 1:
+                raise
+            # per-image error isolation: a batch failure degrades to
+            # per-item results instead of failing the whole batch
+            # (paddleocr_vl/model.rs:231-243)
+            out: List[GenerationResult] = []
+            for im in images:
+                try:
+                    out.extend(self._generate_batch(
+                        [im], task, max_new_tokens=max_new_tokens))
+                except Exception:
+                    from ..utils.tracing import logger
+
+                    logger.warning("VLM generation failed for one image",
+                                   exc_info=True)
+                    out.append(GenerationResult(text="", token_ids=[],
+                                                num_prompt_tokens=0))
+            return out
+
+    def _generate_batch(self, images: Sequence[np.ndarray], task: str,
+                        *, max_new_tokens: int) -> List[GenerationResult]:
         c = self.cfg
 
         # --- vision ---

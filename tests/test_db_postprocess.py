@@ -129,3 +129,32 @@ class TestPolyPipeline:
         boxes, scores = pp(pred, bitmap, 240, 160)
         assert len(boxes) == 1
         assert boxes[0].shape[1] == 2 and len(boxes[0]) >= 4
+
+
+def test_device_quad_scores_match_host_box_score(rng):
+    """ops/det_device.quad_scores (device half-plane scoring) vs the host
+    box_score (cv2 fillPoly scanline) on random maps and rotated quads."""
+    import cv2
+    import jax.numpy as jnp
+
+    from oar_ocr_tpu.ops.det_device import quad_scores
+
+    pred = rng.random((2, 96, 128)).astype(np.float32)
+    quads, idxs, host_scores = [], [], []
+    for k in range(8):
+        cx, cy = rng.uniform(30, 98), rng.uniform(30, 66)
+        w, h = rng.uniform(20, 50), rng.uniform(10, 24)
+        ang = rng.uniform(-60, 60)
+        box = cv2.boxPoints(((cx, cy), (w, h), ang))
+        img_i = k % 2
+        q = np.round(box)
+        q[:, 0] = np.clip(q[:, 0], 0, 127)
+        q[:, 1] = np.clip(q[:, 1], 0, 95)
+        quads.append(q.astype(np.float32))
+        idxs.append(img_i)
+        host_scores.append(box_score(pred[img_i], q))
+    dev = np.asarray(quad_scores(
+        jnp.asarray(pred), jnp.asarray(np.stack(quads)),
+        jnp.asarray(np.asarray(idxs, np.int32)), chunk=8))
+    # rasterization differs only on boundary pixels → scores agree closely
+    np.testing.assert_allclose(dev, host_scores, atol=0.03)
