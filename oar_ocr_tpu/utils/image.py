@@ -35,17 +35,46 @@ class BatchLoadPolicy(enum.Enum):
 
 
 def load_images(paths: Sequence[str],
-                policy: BatchLoadPolicy = BatchLoadPolicy.FAIL_FAST
+                policy: BatchLoadPolicy = BatchLoadPolicy.FAIL_FAST,
+                *, parallel: Optional["ParallelPolicy"] = None
                 ) -> Tuple[List[np.ndarray], List[str]]:
-    """Load a batch; returns (images, loaded_paths)."""
-    images, ok = [], []
-    for p in paths:
+    """Load a batch; returns (images, loaded_paths).
+
+    Decode is the one host stage worth threading (SURVEY §2.1 — the
+    reference's global thread pool maps to "host threadpool for image
+    decode only"); gated by ParallelPolicy like the reference gates rayon.
+    """
+
+    from ..config.runtime import ParallelPolicy
+
+    parallel = parallel or ParallelPolicy()
+    results: List[Optional[np.ndarray]] = [None] * len(paths)
+    errors: List[Optional[Exception]] = [None] * len(paths)
+
+    def _load(i: int):
         try:
-            images.append(load_image(p))
-            ok.append(p)
-        except ImageLoadError:
+            results[i] = load_image(paths[i])
+        except ImageLoadError as e:
+            errors[i] = e
+
+    if len(paths) > 1 and parallel.max_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+                max_workers=min(parallel.max_workers, len(paths))) as pool:
+            list(pool.map(_load, range(len(paths))))
+    else:
+        for i in range(len(paths)):
+            _load(i)
+
+    images, ok = [], []
+    for i, p in enumerate(paths):
+        if errors[i] is not None:
             if policy == BatchLoadPolicy.FAIL_FAST:
-                raise
+                raise errors[i]
+            continue
+        images.append(results[i])
+        ok.append(p)
     return images, ok
 
 

@@ -114,3 +114,32 @@ def test_server_backbone_variants():
     pc = init_params(bb, (1, 64, 64, 3))
     feat = bb.apply(pc, jnp.zeros((1, 64, 64, 3)))
     assert feat.ndim == 2
+
+
+def test_det_fallback_ladder(pipeline, rng, monkeypatch):
+    """A failing batched detection degrades to per-image, then to empty
+    results — the reference's fallback ladder (ocr.rs:576-588)."""
+    img = _doc_image(rng)
+    calls = {"n": 0}
+    orig = type(pipeline.detector).collect
+
+    def flaky(self, handle):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected batch failure")
+        return orig(self, handle)
+
+    monkeypatch.setattr(type(pipeline.detector), "collect", flaky)
+    results = pipeline.predict([img])
+    assert len(results) == 1            # degraded, not raised
+    assert calls["n"] >= 2              # retried per-image
+
+    def always_fail(self, handle):
+        raise RuntimeError("injected total failure")
+
+    monkeypatch.setattr(type(pipeline.detector), "collect", always_fail)
+    monkeypatch.setattr(type(pipeline.detector), "detect",
+                        lambda self, *a, **k: (_ for _ in ()).throw(
+                            RuntimeError("fail")))
+    results = pipeline.predict([img])
+    assert results[0].regions == []     # empty page result, no exception
