@@ -170,9 +170,11 @@ class DBDetector:
         with stage_timer("det.device", batch=n):
             packed_np = np.asarray(packed)
 
-        if (pp_cfg.box_type == BoxType.POLY
-                or pp_cfg.score_mode == ScoreMode.SLOW):
+        if pp_cfg.score_mode == ScoreMode.SLOW:
+            # exact contour scoring → host path (rare mode)
             return self._host_path(prob_dev, packed_np, plans, out_w)
+        if pp_cfg.box_type == BoxType.POLY:
+            return self._poly_path(prob_dev, packed_np, plans, out_w)
 
         # --- quad path: host contours (native C++ fast path), device scores ---
         from ... import native as native_mod
@@ -234,6 +236,67 @@ class DBDetector:
                             p.src_w / float(p.dst_w),
                             p.src_h / float(p.dst_h),
                             p.src_w, p.src_h)
+                        ci += 1
+                        if out is not None:
+                            boxes.append(out[0])
+                            bscores.append(out[1])
+                    results[i] = (boxes, bscores)
+        return results
+
+    MAX_POLY_VERTS = 32
+
+    def _poly_path(self, prob_dev, packed_np, plans, out_w):
+        """Seal/poly path with device scoring: host contours + approx,
+        device ray-casting polygon scores over the resident prob map
+        (ops/det_device.poly_scores) — the f32 map never crosses the link."""
+        from ...ops.det_device import poly_scores
+
+        n = len(plans)
+        with stage_timer("det.candidates", batch=n):
+            bitmap_all = np.unpackbits(
+                packed_np, axis=-1, count=out_w).astype(np.uint8)
+            cand_polys: List[np.ndarray] = []
+            cand_img: List[int] = []
+            per_page_count = []
+            for i, p in enumerate(plans):
+                bitmap = bitmap_all[i, : p.dst_h, : p.dst_w]
+                approxes = self.postprocess.poly_candidates(bitmap)
+                per_page_count.append(len(approxes))
+                for a in approxes:
+                    cand_polys.append(a)
+                    cand_img.append(i)
+
+        results: List[Tuple[List[np.ndarray], List[float]]] = [
+            ([], []) for _ in plans]
+        if cand_polys:
+            k = len(cand_polys)
+            chunk = 4
+            kb = max(((k + chunk - 1) // chunk) * chunk, chunk)
+            pv = self.MAX_POLY_VERTS
+            polys = np.zeros((kb, pv, 2), np.float32)
+            for ci, a in enumerate(cand_polys):
+                if len(a) > pv:
+                    # decimate evenly to the vertex cap (scores only; the
+                    # unclip still uses the full polygon)
+                    sel = np.linspace(0, len(a) - 1, pv).astype(int)
+                    a = a[sel]
+                polys[ci, : len(a)] = a
+                polys[ci, len(a):] = a[0]          # pad = vertex 0
+            img_idx = np.zeros((kb,), np.int32)
+            img_idx[:k] = cand_img
+            with stage_timer("det.poly_scores", k=k):
+                scores = np.asarray(poly_scores(
+                    prob_dev, jnp.asarray(polys),
+                    jnp.asarray(img_idx)))[:k]
+            with stage_timer("det.finalize", k=k):
+                ci = 0
+                for i, p in enumerate(plans):
+                    boxes, bscores = [], []
+                    for _ in range(per_page_count[i]):
+                        out = self.postprocess.finalize_poly(
+                            cand_polys[ci], float(scores[ci]),
+                            p.src_w / float(p.dst_w),
+                            p.src_h / float(p.dst_h), p.src_w, p.src_h)
                         ci += 1
                         if out is not None:
                             boxes.append(out[0])

@@ -95,6 +95,47 @@ def pack_bits(bitmap: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
+def poly_scores(prob: jax.Array, polys: jax.Array, img_idx: jax.Array,
+                *, chunk: int = 4) -> jax.Array:
+    """Mean probability inside arbitrary simple polygons (the POLY/seal
+    path's box_score over approx_poly_dp contours, db_bitmap.rs:16-82) —
+    even-odd ray casting per pixel, evaluated against the resident prob
+    map so the f32 map never crosses the link.
+
+    polys (K, P, 2): vertices padded by REPLICATING vertex 0 (zero-length
+    edges contribute no crossings). K must be a multiple of ``chunk``.
+    """
+
+    b, h, w = prob.shape
+    k, p, _ = polys.shape
+    px = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    py = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+
+    def group(gi, acc):
+        q = jax.lax.dynamic_slice(polys, (gi * chunk, 0, 0), (chunk, p, 2))
+        gidx = jax.lax.dynamic_slice(img_idx, (gi * chunk,), (chunk,))
+        pmap = prob[gidx]                                   # (c, H, W)
+        crossings = jnp.zeros((chunk, h, w), jnp.int32)
+        for e in range(p):
+            x1 = q[:, e, 0][:, None, None]
+            y1 = q[:, e, 1][:, None, None]
+            x2 = q[:, (e + 1) % p, 0][:, None, None]
+            y2 = q[:, (e + 1) % p, 1][:, None, None]
+            straddles = (y1 > py) != (y2 > py)
+            dy = jnp.where(jnp.abs(y2 - y1) < 1e-9, 1e-9, y2 - y1)
+            xint = x1 + (py - y1) * (x2 - x1) / dy
+            crossings = crossings + (straddles & (px < xint)).astype(jnp.int32)
+        inside = (crossings % 2) == 1
+        num = jnp.sum(jnp.where(inside, pmap, 0.0), axis=(1, 2))
+        den = jnp.sum(inside, axis=(1, 2)).astype(jnp.float32)
+        val = jnp.where(den > 0, num / den, 0.0)
+        return jax.lax.dynamic_update_slice(acc, val, (gi * chunk,))
+
+    acc = jnp.zeros((k,), jnp.float32)
+    return jax.lax.fori_loop(0, k // chunk, group, acc)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
 def quad_scores(prob: jax.Array, quads: jax.Array, img_idx: jax.Array,
                 *, chunk: int = 8) -> jax.Array:
     """Mean probability inside each convex quad (box_score_fast).

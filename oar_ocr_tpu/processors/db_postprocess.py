@@ -208,6 +208,43 @@ class DBPostProcess:
             out.append(mini_box)
         return out
 
+    def poly_candidates(self, bitmap: np.ndarray) -> List[np.ndarray]:
+        """Phase 1 of the poly path: contours → approx_poly_dp simplified
+        polygons (epsilon = 0.002·perimeter, db_bitmap.rs:43); scoring is
+        deferred to the device (ops/det_device.poly_scores)."""
+
+        out: List[np.ndarray] = []
+        for contour in self._contours(bitmap)[: self.cfg.max_candidates]:
+            if len(contour) < 4:
+                continue
+            epsilon = 0.002 * cv2.arcLength(contour.reshape(-1, 1, 2), True)
+            approx = cv2.approxPolyDP(contour.reshape(-1, 1, 2), epsilon,
+                                      True).reshape(-1, 2).astype(np.float32)
+            if len(approx) >= 4:
+                out.append(approx)
+        return out
+
+    def finalize_poly(self, approx: np.ndarray, score: float,
+                      width_scale: float, height_scale: float,
+                      dest_w: int, dest_h: int
+                      ) -> Optional[Tuple[np.ndarray, float]]:
+        """Phase 2 of the poly path: threshold, raster round-join unclip,
+        min-size filter, scale (db_bitmap.rs:16-82)."""
+
+        if score < self.cfg.box_thresh:
+            return None
+        delta = unclip_delta(approx, self.cfg.unclip_ratio)
+        if delta <= 0:
+            return None
+        unclipped = unclip_polygon_raster(approx, delta)
+        if unclipped is None or len(unclipped) < 3:
+            return None
+        mb = get_mini_box(unclipped)
+        if mb is None or mb[1] < self.cfg.min_size + 2.0:
+            return None
+        return (_scale_clamp(unclipped, width_scale, height_scale,
+                             dest_w, dest_h), score)
+
     def finalize_quad(self, mini_box: np.ndarray, score: float,
                       width_scale: float, height_scale: float,
                       dest_w: int, dest_h: int

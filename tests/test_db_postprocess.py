@@ -158,3 +158,45 @@ def test_device_quad_scores_match_host_box_score(rng):
         jnp.asarray(np.asarray(idxs, np.int32)), chunk=8))
     # rasterization differs only on boundary pixels → scores agree closely
     np.testing.assert_allclose(dev, host_scores, atol=0.03)
+
+
+def test_device_poly_scores_match_host(rng):
+    """poly_scores (ray-casting on device) vs host box_score on simplified
+    contours (incl. a concave polygon)."""
+    import jax.numpy as jnp
+
+    from oar_ocr_tpu.ops.det_device import poly_scores
+
+    pred = rng.random((1, 96, 128)).astype(np.float32)
+    # concave "L" polygon + a convex quad, padded with vertex 0
+    l_poly = np.array([[10, 10], [60, 10], [60, 30], [35, 30],
+                       [35, 60], [10, 60]], np.float32)
+    quad = np.array([[70, 40], [120, 40], [120, 80], [70, 80]], np.float32)
+    pv = 32
+    polys = np.zeros((4, pv, 2), np.float32)
+    for i, a in enumerate([l_poly, quad]):
+        polys[i, : len(a)] = a
+        polys[i, len(a):] = a[0]
+    polys[2:] = polys[0]  # pad batch to chunk multiple
+    dev = np.asarray(poly_scores(jnp.asarray(pred), jnp.asarray(polys),
+                                 jnp.zeros(4, jnp.int32)))
+    host = [box_score(pred[0], l_poly), box_score(pred[0], quad)]
+    np.testing.assert_allclose(dev[:2], host, atol=0.04)
+
+
+def test_poly_path_device_scoring():
+    """The seal/poly detector path end-to-end with device scoring."""
+    from oar_ocr_tpu.core.types import BoxType
+    from oar_ocr_tpu.models.detection.detector import DBDetector
+    from oar_ocr_tpu.processors.db_postprocess import DBPostProcessConfig
+
+    det = DBDetector(post_cfg=DBPostProcessConfig(
+        box_thresh=0.05, thresh=0.45, unclip_ratio=1.0,
+        box_type=BoxType.POLY))
+    img = np.full((120, 160, 3), 255, np.uint8)
+    img[30:60, 20:140] = 10
+    out = det.detect_images([img])
+    boxes, scores = out[0]
+    assert len(boxes) == len(scores)
+    for b in boxes:
+        assert b.shape[1] == 2 and len(b) >= 3
