@@ -26,13 +26,19 @@ REGIONS_PER_PAGE = 20
 BASELINE_PAGES_PER_SEC = 29.4
 
 
+# Varied line widths/heights exercise several rec width buckets, like a
+# real page mixes titles, body lines and short labels.
+_REGION_DIMS = [(700, 28), (420, 26), (180, 24), (760, 34), (260, 22)]
+
+
 def _make_pages(rng):
     pages = []
     for _ in range(N_PAGES):
         img = np.full((PAGE_H, PAGE_W, 3), 255, np.uint8)
         for r in range(REGIONS_PER_PAGE):
+            w, h = _REGION_DIMS[r % len(_REGION_DIMS)]
             y = 40 + r * 60
-            img[y : y + 28, 60 : 60 + 700] = rng.integers(0, 80)
+            img[y : y + h, 60 : 60 + w] = rng.integers(0, 80)
         pages.append(img)
     return pages
 
@@ -41,9 +47,11 @@ def _region_quads(rng):
     quads = []
     for page_i in range(N_PAGES):
         for r in range(REGIONS_PER_PAGE):
+            w, h = _REGION_DIMS[r % len(_REGION_DIMS)]
             y = 40 + r * 60
             quads.append((page_i, np.array(
-                [[60, y], [760, y], [760, y + 28], [60, y + 28]], np.float32)))
+                [[60, y], [60 + w, y], [60 + w, y + h], [60, y + h]],
+                np.float32)))
     return quads
 
 
