@@ -111,6 +111,40 @@ class OAROCR:
             chunk = list(range(start, min(start + bs, len(images))))
             det_pending.append((chunk, self.detector.dispatch(
                 pages, [shapes[i] for i in chunk], page_indices=chunk)))
+        # Streaming det→rec overlap: as soon as one det batch is
+        # postprocessed, its pages' crops are pooled, ratio-sorted and the
+        # rec chunks DISPATCHED — so the host geometry of later det batches
+        # hides behind rec device work (the MAX_POOLED_CROPS flush of
+        # ocr.rs:603 applied per det batch). All rec results are collected
+        # at the end.
+        rec_pending = []   # (chunk_ids→(page,region), plans, handle)
+
+        def _dispatch_pool(pool):
+            # textline orientation for this pool (ocr.rs:755-788)
+            if self.line_orienter is not None and pool:
+                quads = [(p.page_index, p.quad) for _, _, p in pool]
+                cls = self.line_orienter.classify_quads(pages, quads)
+                for (page_i, region_i, plan), (c, _score) in zip(pool, cls):
+                    if c == 1:
+                        plan.matrix = _compose_rot180(
+                            plan.matrix, plan.native_w, plan.native_h)
+                        plan.flip180 = True
+                        line_angles[(page_i, region_i)] = 180
+                    else:
+                        line_angles[(page_i, region_i)] = 0
+            # ratio sort (ocr.rs:811) + fixed-size chunks (:827)
+            order = sorted(range(len(pool)),
+                           key=lambda i: pool[i][2].wh_ratio)
+            rbs = self.cfg.region_batch_size
+            for cs in range(0, len(order), rbs):
+                chunk_ids = [pool[i] for i in order[cs : cs + rbs]]
+                plans = [entry[2] for entry in chunk_ids]
+                handle = self.recognizer.dispatch_chunk(
+                    pages, plans, host_images=images)
+                rec_pending.append((chunk_ids, plans, handle))
+
+        line_angles: dict = {}
+        pool: List[Tuple[int, int, CropPlan]] = []
         for chunk, handle in det_pending:
             try:
                 det_out = self.detector.collect(handle)
@@ -134,62 +168,33 @@ class OAROCR:
                          else sort_poly_boxes_indices(boxes))
                 per_page_boxes[page_i] = [boxes[i] for i in order]
                 per_page_scores[page_i] = [scores[i] for i in order]
-
-        # --- pool crops across pages (ocr.rs:594-658) ---
-        pool: List[Tuple[int, int, CropPlan]] = []  # (page, region_idx, plan)
-        for page_i, boxes in enumerate(per_page_boxes):
-            for region_i, box in enumerate(boxes):
-                quad = (order_quad_points(box) if box.shape == (4, 2)
-                        else order_quad_points(_poly_to_quad(box)))
-                pool.append((page_i, region_i,
-                             CropPlan.from_quad(page_i, quad)))
-
-        # --- textline orientation: rotate flagged crops 180° by composing
-        # the flip into the sampling matrix (ocr.rs:755-788) ---
-        line_angles: dict = {}
-        if self.line_orienter is not None and pool:
-            quads = [(p.page_index, p.quad) for _, _, p in pool]
-            cls = self.line_orienter.classify_quads(pages, quads)
-            for (page_i, region_i, plan), (c, _score) in zip(pool, cls):
-                if c == 1:
-                    plan.matrix = _compose_rot180(
-                        plan.matrix, plan.native_w, plan.native_h)
-                    plan.flip180 = True
-                    line_angles[(page_i, region_i)] = 180
-                else:
-                    line_angles[(page_i, region_i)] = 0
+                for region_i, box in enumerate(per_page_boxes[page_i]):
+                    quad = (order_quad_points(box) if box.shape == (4, 2)
+                            else order_quad_points(_poly_to_quad(box)))
+                    pool.append((page_i, region_i,
+                                 CropPlan.from_quad(page_i, quad)))
+            while len(pool) >= MAX_POOLED_CROPS:
+                _dispatch_pool(pool[:MAX_POOLED_CROPS])
+                pool = pool[MAX_POOLED_CROPS:]
+            if pool:
+                _dispatch_pool(pool)
+                pool = []
 
         texts: dict = {}
         word_box_map: dict = {}
-        for flush_start in range(0, len(pool), MAX_POOLED_CROPS):
-            batch = pool[flush_start : flush_start + MAX_POOLED_CROPS]
-            # sort by wh_ratio (ocr.rs:811) then fixed-size chunks (:827);
-            # dispatch every chunk before collecting any so host decode
-            # overlaps device execution
-            order = sorted(range(len(batch)),
-                           key=lambda i: batch[i][2].wh_ratio)
-            rbs = self.cfg.region_batch_size
-            pending = []
-            for cs in range(0, len(order), rbs):
-                chunk_ids = order[cs : cs + rbs]
-                plans = [batch[i][2] for i in chunk_ids]
-                handle = self.recognizer.dispatch_chunk(
-                    pages, plans, host_images=images)
-                pending.append((chunk_ids, plans, handle))
-            for chunk_ids, plans, handle in pending:
-                decoded = self.recognizer.collect_chunk(handle, plans)
-                for i, plan, (text, conf, cols) in zip(chunk_ids, plans,
-                                                       decoded):
-                    page_i, region_i, _ = batch[i]
-                    texts[(page_i, region_i)] = (text, conf)
-                    if self.cfg.return_word_boxes and text:
-                        from ..processors.word_boxes import word_boxes
+        for chunk_ids, plans, handle in rec_pending:
+            decoded = self.recognizer.collect_chunk(handle, plans)
+            for (page_i, region_i, _), plan, (text, conf, cols) in zip(
+                    chunk_ids, plans, decoded):
+                texts[(page_i, region_i)] = (text, conf)
+                if self.cfg.return_word_boxes and text:
+                    from ..processors.word_boxes import word_boxes
 
-                        wb = word_boxes(
-                            plan.matrix, plan.native_w, plan.native_h,
-                            plan.width, max((plan.width + 7) // 8, 1),
-                            cols, text)
-                        word_box_map[(page_i, region_i)] = wb
+                    wb = word_boxes(
+                        plan.matrix, plan.native_w, plan.native_h,
+                        plan.width, max((plan.width + 7) // 8, 1),
+                        cols, text)
+                    word_box_map[(page_i, region_i)] = wb
 
         # --- assemble; map geometry back to the ORIGINAL frame when an
         # orientation correction was applied and no rectification broke the
