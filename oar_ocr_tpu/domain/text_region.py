@@ -8,7 +8,7 @@ Re-expresses the reference's domain layer types: ``TextRegion``
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 

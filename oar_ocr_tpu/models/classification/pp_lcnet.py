@@ -27,8 +27,8 @@ import numpy as np
 from ...ops.warp import NormSpec, sample_transform
 from ...runtime.runtime import Runtime, init_params
 from ...utils.tracing import stage_timer
-from ..backbones import PPLCNetV3, make_divisible
-from ..layers import ACT, ConvBNAct
+from ..backbones import PPLCNetV3
+from ..layers import ACT
 
 
 class PPLCNetClassifier(nn.Module):

@@ -19,7 +19,6 @@ documented architectural deviation to revisit at weight-conversion time.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -34,7 +33,7 @@ from ...ops.warp import NormSpec, resize_matrix, sample_transform
 from ...runtime.runtime import Runtime, init_params
 from ...utils.tracing import stage_timer
 from ..backbones import PPLCNetV3
-from ..layers import ConvBNAct, DepthSepConv, TransformerBlock, upsample2x
+from ..layers import ConvBNAct, DepthSepConv, TransformerBlock
 
 
 class CSPPAN(nn.Module):

@@ -17,14 +17,13 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops.warp import NormSpec, resize_matrix, sample_transform
 from ...runtime.runtime import Runtime, init_params
 from ...utils.tracing import stage_timer
 from ..layers import ConvBNAct, MLP, TransformerBlock

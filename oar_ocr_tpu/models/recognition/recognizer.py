@@ -20,7 +20,6 @@ import numpy as np
 
 from ...core.constants import REC_IMAGE_SHAPE, REC_MAX_WIDTH
 from ...ops.ctc import CTCLabelDecoder, ctc_greedy_decode, default_charset
-from ...ops.warp import build_rec_crop_matrix, warp_crops
 from ...runtime.runtime import Runtime, init_params
 from ...utils.tracing import stage_timer
 from .svtr import SVTRRecognizer

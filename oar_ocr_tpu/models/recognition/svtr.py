@@ -14,7 +14,6 @@ motivation, ort_infer_execution.rs:224-231).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax

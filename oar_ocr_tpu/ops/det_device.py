@@ -20,7 +20,6 @@ host→device is ~1.2 GB/s and the MXU is idle during preprocessing):
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

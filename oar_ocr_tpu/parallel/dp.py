@@ -13,8 +13,7 @@ This module is also the multi-chip dry-run surface (__graft_entry__.py).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,13 +19,13 @@ TPU-first structure of one `predict` call:
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from ..core.constants import MAX_POOLED_CROPS
-from ..core.types import BoxType, LimitType, ScoreMode
+from ..core.types import BoxType, LimitType
 from ..domain.text_region import OAROCRResult, TextRegion
 from ..errors import InvalidInputError
 from ..models.detection.detector import DBDetector

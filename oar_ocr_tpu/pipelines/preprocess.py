@@ -11,7 +11,7 @@ invariant that results canNOT be mapped back once rectification ran
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 

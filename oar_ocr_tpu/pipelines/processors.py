@@ -14,7 +14,7 @@ from typing import Callable, List, Sequence
 import cv2
 import numpy as np
 
-from ..processors.geometry import get_perspective_transform, order_quad_points
+from ..processors.geometry import order_quad_points
 from ..ops.warp import crop_geometry
 
 

@@ -11,13 +11,12 @@ their dedicated subsystems.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import List, Sequence
 
 import numpy as np
 
-from ..domain.structure import (LayoutElement, LayoutElementType,
-                                StructureResult, postprocess_text)
+from ..domain.structure import (LayoutElement, LayoutElementType, postprocess_text)
 from ..domain.text_region import TextRegion
 from ..processors.sorting import sort_quad_boxes_indices
 

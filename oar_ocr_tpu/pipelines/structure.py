@@ -15,8 +15,8 @@ document crosses PCIe once.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -31,7 +31,7 @@ from ..processors.layout_sorting import sort_layout_enhanced
 from ..runtime.runtime import Runtime, stack_padded
 from ..utils.tracing import stage_timer
 from .ocr import OAROCR, OAROCRBuilder
-from .stitching import ResultStitcher, StitchConfig
+from .stitching import ResultStitcher
 from .table_analyzer import TableAnalyzer, TableRegionInput
 
 

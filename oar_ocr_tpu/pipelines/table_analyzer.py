@@ -16,13 +16,11 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..domain.structure import TableResult
-from ..domain.text_region import TextRegion
 from ..errors import OCRError
 from ..models.classification.pp_lcnet import ImageClassifier, table_classifier
 from ..models.detection.layout import LayoutDetector
 from ..models.recognition.slanet import SLANetModel
-from ..processors.table import (cell_aabbs, match_ocr_to_cells,
-                                parse_cell_grid_info, wrap_table_html)
+from ..processors.table import cell_aabbs, match_ocr_to_cells, wrap_table_html
 from ..runtime.runtime import Runtime
 from ..utils.tracing import stage_timer
 

@@ -11,13 +11,11 @@ owns the jitted device program), and returns typed outputs.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass
-from typing import Any, Generic, List, Optional, Sequence, Tuple, TypeVar
+from typing import Generic, List, Optional, Sequence, Tuple, TypeVar
 
 import numpy as np
 
 from ..config.validation import validate_config
-from ..errors import InvalidInputError
 from ..runtime.runtime import Runtime, stack_padded
 from ..tasks.tasks import (ClassificationConfig, FormulaRecognitionConfig,
                            LayoutDetectionConfig, SealTextDetectionConfig,

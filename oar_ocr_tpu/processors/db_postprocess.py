@@ -25,7 +25,7 @@ canvas and dilate with a disk of radius delta, then re-extract the contour.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import cv2
 import numpy as np

@@ -14,7 +14,7 @@ boxes); the device never sees this code.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Sequence, Tuple
+from typing import Tuple
 
 import cv2
 import numpy as np

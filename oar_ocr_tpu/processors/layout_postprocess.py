@@ -8,7 +8,7 @@ after the device NMS (ops/nms.py) has pruned the dense candidates.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 

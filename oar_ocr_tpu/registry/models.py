@@ -16,7 +16,7 @@ import dataclasses
 import hashlib
 import os
 from dataclasses import dataclass
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional
 
 from ..errors import DownloadError, ModelLoadError
 

@@ -12,12 +12,11 @@ real checkpoints.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Mapping, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import numpy as np
 
-from .weights import (ConversionMap, conv_oihw_to_hwio, dense_oi_to_io,
-                      flatten_params, unflatten_params)
+from .weights import (ConversionMap, conv_oihw_to_hwio, dense_oi_to_io, flatten_params)
 
 
 def _default_renamer(flat_key: str) -> str:

@@ -22,18 +22,16 @@ bucket shapes the callers feed it.
 
 from __future__ import annotations
 
-import functools
 import os
 import threading
-import time
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config.runtime import RuntimeConfig
-from ..errors import InferenceError, ModelLoadError
+from ..errors import InferenceError
 from ..utils.tracing import stage_timer
 
 

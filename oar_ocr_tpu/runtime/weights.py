@@ -13,7 +13,6 @@ can be loaded from memory (e.g. pre-fetched artifacts) as well as disk.
 
 from __future__ import annotations
 
-import io
 import os
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, Mapping, Optional, Union

@@ -10,12 +10,12 @@ replaces the `with_task_registry!` macro as the one source of truth.
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Type
+from dataclasses import dataclass
+from typing import Dict, Optional, Sequence, Type
 
 import numpy as np
 
-from ..config.validation import Rule, validate_config
+from ..config.validation import Rule
 from ..errors import InvalidInputError
 
 

@@ -10,7 +10,6 @@ debugging).
 from __future__ import annotations
 
 import enum
-import os
 from typing import List, Optional, Sequence, Tuple
 
 import cv2

@@ -14,7 +14,6 @@ All helpers are shape-static and jit-safe.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Optional, Tuple
 

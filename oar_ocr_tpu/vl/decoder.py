@@ -20,17 +20,15 @@ their *distinctive decode mechanism* (speculation, diffusion, forking).
 from __future__ import annotations
 
 import dataclasses
-import math
-from dataclasses import dataclass, field
-from typing import Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .attention import (apply_rope, create_generation_mask, mrope_cos_sin,
-                        rope_frequencies, scaled_dot_product_attention)
-from .gated_delta import gated_delta_rule, gated_delta_step
+from .attention import (apply_rope, create_generation_mask, mrope_cos_sin, scaled_dot_product_attention)
+from .gated_delta import gated_delta_rule
 from .kv_cache import KVCache
 from .paddleocr_vl import RMSNorm, SwiGLU
 

@@ -12,7 +12,6 @@ VLM), mapping the layout element type to a recognition task
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass
 from typing import List, Optional, Protocol, Sequence
 
 import numpy as np

@@ -25,7 +25,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 from dataclasses import dataclass
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -40,7 +40,7 @@ from .attention import (combine_masks, create_causal_mask,
 from .decoder import CausalLM, DecoderConfig
 from .kv_cache import KVCache, decoder_cache_capacity
 from .model import ByteTokenizer
-from .paddleocr_vl import Projector, VisionBlock
+from .paddleocr_vl import VisionBlock
 from .speculative import verify_draft
 
 

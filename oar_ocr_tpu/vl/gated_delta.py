@@ -14,7 +14,6 @@ with scalar decay gate α_t ∈ (0,1) and write strength β_t ∈ (0,1).
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -15,8 +15,7 @@ in-place on device.
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

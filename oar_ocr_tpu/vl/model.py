@@ -15,7 +15,6 @@ after the loop (vs. the reference's per-step device sync + CUDA graphs).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 

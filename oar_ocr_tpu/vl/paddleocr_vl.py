@@ -17,22 +17,15 @@ buffer returns at the end.
 from __future__ import annotations
 
 import dataclasses
-import functools
-import math
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from .attention import (apply_rope, combine_masks, create_causal_mask,
-                        create_generation_mask, create_left_padding_mask,
-                        mrope_cos_sin, rope_frequencies,
-                        scaled_dot_product_attention)
-from .kv_cache import KVCache, decoder_cache_capacity
-from .processing import VisionProcessorConfig, grid_shape, num_image_tokens
+from .attention import (apply_rope, create_generation_mask, mrope_cos_sin, scaled_dot_product_attention)
+from .kv_cache import KVCache
 
 # Task prompts (paddleocr_vl/model.rs:30-38).
 TASK_PROMPTS = {

@@ -9,11 +9,10 @@ degenerate loops out of decoded text).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def apply_repetition_penalty(logits: jax.Array, history: jax.Array,
