@@ -1,0 +1,129 @@
+"""Convert deploy-format checkpoints into oar_ocr_tpu artifacts.
+
+The round-2 entry point for real weights: takes a directory of source
+tensors (safetensors exported from Paddle/ONNX deploy models — e.g. via
+`paddle2onnx` + a tensor dump, or HF safetensors for the VLMs), maps them
+through the model's ConversionMap (runtime/convert_maps.py), verifies
+completeness, and writes the flat-safetensors artifact the registry
+expects ($OAR_TPU_HOME/models/<file>).
+
+Usage:
+    python tools/convert_weights.py --model pp-ocrv5_mobile_det \
+        --source dumps/det_tensors.safetensors [--out-dir ~/.oar_ocr_tpu/models]
+    python tools/convert_weights.py --model pp-ocrv5_mobile_det --describe
+
+--describe prints the expected source tensor names/shapes so the dump side
+can be matched without trial and error. Name mapping defaults to the
+mechanical renamer (convert_maps._default_renamer); per-model exceptions
+register in MODEL_BUILDERS below as real checkpoints are brought up.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _build_db(variant: str):
+    from oar_ocr_tpu.models.detection.db import DBNet
+    from oar_ocr_tpu.runtime.runtime import init_params
+
+    backbone = "hgnet" if "server" in variant else "lcnet"
+    model = DBNet(backbone=backbone)
+    return init_params(model, (1, 64, 64, 3))
+
+
+def _build_rec(variant: str):
+    from oar_ocr_tpu.models.recognition.svtr import SVTRRecognizer
+    from oar_ocr_tpu.runtime.runtime import init_params
+
+    backbone = "hgnet" if "server" in variant else "lcnet"
+    # vocab resolved from the companion dictionary at load time; the
+    # conversion is over the trunk + head with the dict's vocab size
+    model = SVTRRecognizer(vocab_size=6625, backbone=backbone)
+    return init_params(model, (1, 48, 320, 3))
+
+
+def _build_cls(variant: str):
+    from oar_ocr_tpu.models.classification.pp_lcnet import (
+        doc_orientation_classifier, table_classifier,
+        textline_orientation_classifier)
+
+    if "textline" in variant:
+        return textline_orientation_classifier().params
+    if "table" in variant:
+        return table_classifier().params
+    return doc_orientation_classifier().params
+
+
+MODEL_BUILDERS = {
+    "text_detection": _build_db,
+    "seal_text_detection": _build_db,
+    "text_recognition": _build_rec,
+    "document_orientation": _build_cls,
+    "textline_orientation": _build_cls,
+    "table_classification": _build_cls,
+}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", required=True,
+                    help="registry name (oar_ocr_tpu.registry.models)")
+    ap.add_argument("--source", help="source safetensors of deploy tensors")
+    ap.add_argument("--out-dir")
+    ap.add_argument("--describe", action="store_true",
+                    help="print expected source tensor names/shapes")
+    ap.add_argument("--non-strict", action="store_true",
+                    help="tolerate missing source tensors")
+    args = ap.parse_args(argv)
+
+    from oar_ocr_tpu.registry.models import MODEL_REGISTRY, OAR_TPU_HOME
+    from oar_ocr_tpu.runtime.convert_maps import (build_model_map,
+                                                  export_deploy_format)
+    from oar_ocr_tpu.runtime.weights import save_params
+
+    entry = MODEL_REGISTRY.get(args.model)
+    if entry is None:
+        print(f"unknown model {args.model!r}; known:", file=sys.stderr)
+        for name in sorted(MODEL_REGISTRY):
+            print(" ", name, file=sys.stderr)
+        return 2
+    builder = MODEL_BUILDERS.get(entry.task)
+    if builder is None:
+        print(f"no builder wired for task {entry.task!r} yet "
+              "(add to MODEL_BUILDERS)", file=sys.stderr)
+        return 2
+
+    params = builder(args.model)
+    cm = build_model_map(params, name=args.model)
+
+    if args.describe:
+        for target, source, _ in cm.rules:
+            print(f"{source}")
+        return 0
+
+    assert args.source, "--source required unless --describe"
+    from safetensors.numpy import load_file
+
+    source = load_file(args.source)
+    tree = cm.convert(source, strict=not args.non_strict)
+    unused = cm.unused_sources(source)
+    if unused:
+        print(f"note: {len(unused)} source tensors unused "
+              f"(first: {unused[:5]})", file=sys.stderr)
+
+    out_dir = args.out_dir or os.path.join(OAR_TPU_HOME, "models")
+    out_path = os.path.join(out_dir, entry.filename)
+    save_params(tree, out_path)
+    print(f"wrote {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
