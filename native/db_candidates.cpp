@@ -149,17 +149,56 @@ static PyObject* db_candidates(PyObject*, PyObject* args) {
     }
   }
 
-  PyObject* result = PyList_New(0);
+  // Matches the fallback's cv2.findContours(RETR_LIST) candidate set:
+  // outer component boundaries AND interior hole boundaries, enumerated
+  // in raster order of each contour's first-encountered pixel so that
+  // max_candidates truncation picks the same candidates native-on/off.
+  struct Cand {
+    int anchor;
+    float quad[8];
+    float side;
+  };
+  std::vector<Cand> cands;
   std::vector<int32_t> stack;
   std::vector<Pt> boundary;
-  int found = 0;
   const int neigh[8] = {-1, 1, -W, W, -W - 1, -W + 1, W - 1, W + 1};
 
-  for (int y = 1; y <= height && found < max_candidates; ++y) {
-    for (int x = 1; x <= width && found < max_candidates; ++x) {
+  // Mark the EXTERIOR background (4-connected flood from the padded
+  // border, value 3) so enclosed holes remain 0 and can be found later.
+  stack.push_back(0);
+  mask[0] = 3;
+  while (!stack.empty()) {
+    int cur = stack.back();
+    stack.pop_back();
+    int cy = cur / W, cx = cur % W;
+    const int dx[4] = {-1, 1, 0, 0}, dy[4] = {0, 0, -1, 1};
+    for (int d = 0; d < 4; ++d) {
+      int nx = cx + dx[d], ny = cy + dy[d];
+      if (nx < 0 || nx >= W || ny < 0 || ny >= H) continue;
+      int nb = ny * W + nx;
+      if (mask[nb] == 0) {
+        mask[nb] = 3;
+        stack.push_back(nb);
+      }
+    }
+  }
+
+  auto emit = [&](int anchor) {
+    if (boundary.size() < 2) return;
+    std::vector<Pt> hull = convex_hull(boundary);
+    if (hull.empty()) return;
+    Cand c;
+    c.anchor = anchor;
+    c.side = min_area_rect(hull, c.quad);
+    if (c.side < min_size || c.side <= 0.f) return;
+    cands.push_back(c);
+  };
+
+  // Pass 1: foreground components (8-connectivity), outer boundaries.
+  for (int y = 1; y <= height; ++y) {
+    for (int x = 1; x <= width; ++x) {
       int idx = y * W + x;
       if (mask[idx] != 1) continue;
-      // flood fill component, collect boundary pixels
       boundary.clear();
       stack.clear();
       stack.push_back(idx);
@@ -170,7 +209,8 @@ static PyObject* db_candidates(PyObject*, PyObject* args) {
         int cy = cur / W, cx = cur % W;
         bool is_boundary = false;
         for (int d = 0; d < 4; ++d) {  // 4-neighbors decide boundary
-          if (!mask[cur + neigh[d]]) is_boundary = true;
+          uint8_t m = mask[cur + neigh[d]];
+          if (m != 1 && m != 2) is_boundary = true;
         }
         if (is_boundary) {
           boundary.push_back({(float)(cx - 1), (float)(cy - 1)});
@@ -183,21 +223,61 @@ static PyObject* db_candidates(PyObject*, PyObject* args) {
           }
         }
       }
-      if (boundary.size() < 2) continue;
-      std::vector<Pt> hull = convex_hull(boundary);
-      if (hull.empty()) continue;
-      float quad[8];
-      float side = min_area_rect(hull, quad);
-      if (side < min_size || side <= 0.f) continue;
-      PyObject* tup = PyTuple_New(9);
-      for (int i = 0; i < 8; ++i) {
-        PyTuple_SET_ITEM(tup, i, PyFloat_FromDouble(quad[i]));
-      }
-      PyTuple_SET_ITEM(tup, 8, PyFloat_FromDouble(side));
-      PyList_Append(result, tup);
-      Py_DECREF(tup);
-      ++found;
+      emit(idx);
     }
+  }
+
+  // Pass 2: enclosed holes (still 0 — 4-connected zero regions not
+  // reachable from the border). RETR_LIST emits these as contours too.
+  for (int y = 1; y <= height; ++y) {
+    for (int x = 1; x <= width; ++x) {
+      int idx = y * W + x;
+      if (mask[idx] != 0) continue;
+      boundary.clear();
+      stack.clear();
+      stack.push_back(idx);
+      mask[idx] = 4;
+      while (!stack.empty()) {
+        int cur = stack.back();
+        stack.pop_back();
+        int cy = cur / W, cx = cur % W;
+        // cv2 traces hole borders on the FOREGROUND pixels surrounding
+        // the hole — collect those (8-neigh ring) for hull/rect parity.
+        for (int d = 0; d < 8; ++d) {
+          int nb = cur + neigh[d];
+          if (mask[nb] == 2) {
+            int ny = nb / W, nx = nb % W;
+            boundary.push_back({(float)(nx - 1), (float)(ny - 1)});
+          }
+        }
+        const int dx[4] = {-1, 1, 0, 0}, dy[4] = {0, 0, -1, 1};
+        for (int d = 0; d < 4; ++d) {
+          int nb = (cy + dy[d]) * W + (cx + dx[d]);
+          if (mask[nb] == 0) {
+            mask[nb] = 4;
+            stack.push_back(nb);
+          }
+        }
+      }
+      emit(idx);
+    }
+  }
+
+  std::stable_sort(cands.begin(), cands.end(),
+                   [](const Cand& a, const Cand& b) {
+                     return a.anchor < b.anchor;
+                   });
+  if ((int)cands.size() > max_candidates) cands.resize(max_candidates);
+
+  PyObject* result = PyList_New(0);
+  for (const Cand& c : cands) {
+    PyObject* tup = PyTuple_New(9);
+    for (int i = 0; i < 8; ++i) {
+      PyTuple_SET_ITEM(tup, i, PyFloat_FromDouble(c.quad[i]));
+    }
+    PyTuple_SET_ITEM(tup, 8, PyFloat_FromDouble(c.side));
+    PyList_Append(result, tup);
+    Py_DECREF(tup);
   }
   PyBuffer_Release(&buf);
   return result;

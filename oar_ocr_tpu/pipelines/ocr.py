@@ -92,6 +92,29 @@ class OAROCR:
             pre_pages = self.preprocessor.preprocess(images)
             images = [p.image for p in pre_pages]
 
+        # --- enforce max_side_len (ocr.rs caps at max_side_limit): pages
+        # larger than the biggest det bucket would otherwise overflow
+        # stack_padded. Downscale on host; boxes are scaled back at
+        # assembly so results stay in the input frame. ---
+        unscaled_shapes = [im.shape[:2] for im in images]
+        page_scales = [1.0] * len(images)
+        limit = self.cfg.max_side_len
+        if any(max(s) > limit for s in unscaled_shapes):
+            import cv2
+
+            scaled = []
+            for i, im in enumerate(images):
+                side = max(im.shape[:2])
+                if side > limit:
+                    s = limit / side
+                    nh = max(1, int(round(im.shape[0] * s)))
+                    nw = max(1, int(round(im.shape[1] * s)))
+                    im = cv2.resize(im, (nw, nh),
+                                    interpolation=cv2.INTER_AREA)
+                    page_scales[i] = s
+                scaled.append(im)
+            images = scaled
+
         shapes = [im.shape[:2] for im in images]
         cfg = self.runtime.cfg
         page_h = cfg.det_side_buckets.bucket(max(s[0] for s in shapes))
@@ -101,7 +124,7 @@ class OAROCR:
 
         # --- detection, in image_batch_size chunks (ocr.rs:561-592) ---
         results: List[OAROCRResult] = [
-            OAROCRResult(width=s[1], height=s[0]) for s in shapes
+            OAROCRResult(width=s[1], height=s[0]) for s in unscaled_shapes
         ]
         per_page_boxes: List[List[np.ndarray]] = [[] for _ in images]
         per_page_scores: List[List[float]] = [[] for _ in images]
@@ -212,16 +235,22 @@ class OAROCR:
                         and page.orientation.angle != 0 and page.can_map_back):
                     back_angle = (360 - page.orientation.angle) % 360
                     res.height, res.width = orig_shapes[page_i]
+            scale = page_scales[page_i]
+            uw, uh = unscaled_shapes[page_i][1], unscaled_shapes[page_i][0]
             for region_i, box in enumerate(per_page_boxes[page_i]):
                 text, conf = texts.get((page_i, region_i), ("", 0.0))
-                if back_angle is not None:
-                    box = rotate_points_back(
-                        box, back_angle, shapes[page_i][1], shapes[page_i][0])
                 wb = word_box_map.get((page_i, region_i))
+                if scale != 1.0:
+                    # back to the pre-downscale frame before any rotation
+                    box = np.asarray(box, np.float32) / scale
+                    if wb is not None:
+                        wb = [(w, np.asarray(q, np.float32) / scale)
+                              for w, q in wb]
+                if back_angle is not None:
+                    box = rotate_points_back(box, back_angle, uw, uh)
                 if wb is not None and back_angle is not None:
-                    wb = [(w, rotate_points_back(
-                        q, back_angle, shapes[page_i][1], shapes[page_i][0]))
-                        for w, q in wb]
+                    wb = [(w, rotate_points_back(q, back_angle, uw, uh))
+                          for w, q in wb]
                 res.regions.append(TextRegion(
                     box=box, text=text, confidence=conf,
                     det_score=per_page_scores[page_i][region_i],

@@ -129,6 +129,20 @@ MODEL_REGISTRY: Dict[str, ModelEntry] = {e.name: e for e in [
 ]}
 
 
+def asset_path(filename: str) -> Optional[str]:
+    """Locate a companion asset (dictionary / tokenizer file): in-repo
+    ``assets/`` first, then the $OAR_TPU_HOME/assets cache. Returns None
+    when absent (callers fall back to documented defaults)."""
+
+    repo_assets = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "assets")
+    for base in (repo_assets, os.path.join(OAR_TPU_HOME, "assets")):
+        p = os.path.join(base, filename)
+        if os.path.exists(p):
+            return p
+    return None
+
+
 def sha256_file(path: str) -> str:
     h = hashlib.sha256()
     with open(path, "rb") as f:

@@ -64,11 +64,18 @@ def create_left_padding_mask(valid_lengths: jax.Array, t: int) -> jax.Array:
     return (pos >= start)[:, None, None, :]
 
 
-def create_generation_mask(kv_len: jax.Array, capacity: int) -> jax.Array:
-    """(B, 1, 1, C): during decode, attend to cache slots < kv_len
-    (attention.rs create_generation_mask over the KV bucket)."""
+def create_generation_mask(kv_len: jax.Array, capacity: int,
+                           pad_len: Optional[jax.Array] = None) -> jax.Array:
+    """(B, 1, 1, C): during decode, attend to cache slots < kv_len —
+    excluding the first ``pad_len[b]`` slots, which hold K/V written for
+    left-padding tokens during a left-padded prefill (attention.rs:660-692
+    masks pos < pad_len per row so unequal prompt lengths in one batch do
+    not attend padding)."""
     pos = jnp.arange(capacity)[None, :]
-    return (pos < kv_len[:, None])[:, None, None, :]
+    keep = pos < kv_len[:, None]
+    if pad_len is not None:
+        keep = keep & (pos >= pad_len[:, None])
+    return keep[:, None, None, :]
 
 
 def combine_masks(*masks: Optional[jax.Array]) -> Optional[jax.Array]:

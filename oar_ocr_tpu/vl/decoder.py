@@ -195,7 +195,8 @@ class CausalLM(nn.Module):
     def decode_step(self, tok_ids, position_ids, cache, pos,
                     dstate=None):
         embeds = self.tok_emb(tok_ids)[:, None, :]
-        mask = create_generation_mask(cache.length + 1, cache.capacity)
+        mask = create_generation_mask(cache.length + 1, cache.capacity,
+                                      cache.pad)
         hidden, cache, dstate = self.trunk(embeds, position_ids, cache, pos,
                                            mask, dstate)
         cache = cache.advance(1)
@@ -215,7 +216,10 @@ class CausalLM(nn.Module):
         cap = cache.capacity
         cap_pos = jnp.arange(cap)[None, None, None, :]
         limit = cache.length[:, None, None, None] + t
-        mask = jnp.broadcast_to(cap_pos < limit, (b, 1, t, cap))
+        mask = cap_pos < limit
+        if cache.pad is not None:
+            mask = mask & (cap_pos >= cache.pad[:, None, None, None])
+        mask = jnp.broadcast_to(mask, (b, 1, t, cap))
         hidden, cache, _ = self.trunk(embeds, position_ids, cache, pos, mask)
         cache = cache.advance(t)
         return self.lm_head(hidden).astype(jnp.float32), hidden, cache
@@ -233,6 +237,8 @@ class CausalLM(nn.Module):
         q_pos = jnp.arange(t)[None, None, :, None]
         limit = cache.length[:, None, None, None] + q_pos + 1
         mask = cap_pos < limit
+        if cache.pad is not None:
+            mask = mask & (cap_pos >= cache.pad[:, None, None, None])
         hidden, cache, _ = self.trunk(embeds, position_ids, cache, pos, mask)
         cache = cache.advance(t)
         return self.lm_head(hidden).astype(jnp.float32), hidden, cache

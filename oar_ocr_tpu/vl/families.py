@@ -264,6 +264,7 @@ class VLMFamily:
         b, t, _ = embeds.shape
         cache = KVCache.create(c.layers, b, c.kv_heads, capacity, c.head_dim,
                                dtype=embeds.dtype)
+        cache = cache.with_pad(t - valid_lengths)
         causal = create_causal_mask(t)
         pad = create_left_padding_mask(valid_lengths, t)
         full = jnp.broadcast_to(combine_masks(causal, pad), (b, 1, t, t))
@@ -352,6 +353,7 @@ class VLMFamily:
             cache = KVCache.create(c.layers, 1, c.kv_heads, capacity,
                                    c.head_dim, dtype=embeds.dtype)
             b, t = 1, max_len
+            cache = cache.with_pad(t - jnp.asarray(valid_lengths))
             causal = create_causal_mask(t)
             pad = create_left_padding_mask(jnp.asarray(valid_lengths), t)
             full = jnp.broadcast_to(combine_masks(causal, pad), (b, 1, t, t))
@@ -559,6 +561,7 @@ class MinerUDiffusion(VLMFamily):
             cache = KVCache.create(c.layers, 1, c.kv_heads, capacity,
                                    c.head_dim, dtype=embeds.dtype)
             t = max_len
+            cache = cache.with_pad(t - jnp.asarray(valid_lengths))
             causal = create_causal_mask(t)
             pad = create_left_padding_mask(jnp.asarray(valid_lengths), t)
             full = jnp.broadcast_to(combine_masks(causal, pad), (1, 1, t, t))
@@ -634,6 +637,7 @@ class HPDParsing(VLMFamily):
         cache = KVCache.create(c.layers, 1, c.kv_heads, capacity,
                                c.head_dim, dtype=embeds.dtype)
         t = max_len
+        cache = cache.with_pad(t - jnp.asarray(valid_lengths))
         causal = create_causal_mask(t)
         pad = create_left_padding_mask(jnp.asarray(valid_lengths), t)
         full = jnp.broadcast_to(combine_masks(causal, pad), (1, 1, t, t))

@@ -37,11 +37,16 @@ def decoder_cache_capacity(prompt_len: int, max_new_tokens: int,
 
 
 class KVCache(NamedTuple):
-    """Per-layer stacked KV: k/v (L, B, H_kv, C, D); length (B,) int32."""
+    """Per-layer stacked KV: k/v (L, B, H_kv, C, D); length (B,) int32;
+    pad (B,) int32 — the number of left-padding slots written during a
+    left-padded prefill. Decode masks exclude slots < pad[b] so rows with
+    shorter prompts never attend the K/V written for pad tokens
+    (attention.rs:660-692 masks pos < pad_len per row)."""
 
     k: jax.Array
     v: jax.Array
     length: jax.Array
+    pad: jax.Array = None
 
     @property
     def capacity(self) -> int:
@@ -52,7 +57,13 @@ class KVCache(NamedTuple):
                head_dim: int, dtype=jnp.bfloat16) -> "KVCache":
         shape = (layers, batch, heads, capacity, head_dim)
         return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                       jnp.zeros((batch,), jnp.int32),
                        jnp.zeros((batch,), jnp.int32))
+
+    def with_pad(self, pad_lens: jax.Array) -> "KVCache":
+        """Record per-row left-pad slot counts (set once after a
+        left-padded prefill; carried through every subsequent op)."""
+        return self._replace(pad=jnp.asarray(pad_lens, jnp.int32))
 
     def append(self, layer: int, k_new: jax.Array, v_new: jax.Array,
                pos: jax.Array) -> "KVCache":
@@ -64,24 +75,25 @@ class KVCache(NamedTuple):
             self.k[layer], k_new.astype(self.k.dtype), (0, 0, pos, 0)))
         v = self.v.at[layer].set(jax.lax.dynamic_update_slice(
             self.v[layer], v_new.astype(self.v.dtype), (0, 0, pos, 0)))
-        return KVCache(k, v, self.length)
+        return self._replace(k=k, v=v)
 
     def advance(self, n: int | jax.Array) -> "KVCache":
-        return KVCache(self.k, self.v, self.length + n)
+        return self._replace(length=self.length + n)
 
     def trim_to(self, new_length: jax.Array) -> "KVCache":
         """Speculative rollback (kv_trim.rs trim_to): stale slots beyond
         the restored length are masked out by the generation mask, so a
         pure length reset is sufficient."""
-        return KVCache(self.k, self.v,
-                       jnp.broadcast_to(jnp.asarray(new_length, jnp.int32),
-                                        self.length.shape))
+        return self._replace(
+            length=jnp.broadcast_to(jnp.asarray(new_length, jnp.int32),
+                                    self.length.shape))
 
     def keep_indices(self, indices: jax.Array) -> "KVCache":
         """Gather batch entries (branch reordering / continuation —
         kv_trim.rs keep_indices)."""
+        pad = None if self.pad is None else self.pad[indices]
         return KVCache(self.k[:, indices], self.v[:, indices],
-                       self.length[indices])
+                       self.length[indices], pad)
 
     def layer(self, i: int) -> Tuple[jax.Array, jax.Array]:
         return self.k[i], self.v[i]

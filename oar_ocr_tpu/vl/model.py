@@ -113,6 +113,7 @@ class PaddleOCRVL:
         b, t, _ = embeds.shape
         cache = KVCache.create(c.layers, b, c.kv_heads, capacity,
                                c.head_dim, dtype=embeds.dtype)
+        cache = cache.with_pad(t - valid_lengths)
         causal = create_causal_mask(t)
         pad = create_left_padding_mask(valid_lengths, t)
         # during prefill the cache region beyond t is empty; mask covers

@@ -261,7 +261,8 @@ class PaddleOCRVLModule(nn.Module):
     def decode_step(self, tok_ids, position_ids, cache, pos):
         """One token per sequence: tok_ids (B,), positions (3, B, 1)."""
         embeds = self.tok_emb(tok_ids)[:, None, :]
-        mask = create_generation_mask(cache.length + 1, cache.capacity)
+        mask = create_generation_mask(cache.length + 1, cache.capacity,
+                                      cache.pad)
         hidden, cache = self.decoder(embeds, position_ids, cache, pos, mask)
         cache = cache.advance(1)
         logits = self.lm_head(hidden[:, -1])

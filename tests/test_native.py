@@ -75,3 +75,37 @@ def test_max_candidates():
         bm[i * 10 + 2 : i * 10 + 8, 2:60] = 1
     out = native.db_candidates(_pack(bm), 64, 64, 1.0, 3)
     assert len(out) == 3
+
+
+def test_hole_contours_match_cv2_path():
+    """A donut component: RETR_LIST (Python fallback) emits both the outer
+    boundary and the interior hole; the native path must match in count
+    and in raster enumeration order (ADVICE r1)."""
+    bm = np.ones((64, 64), np.uint8)
+    bm[:4] = bm[-4:] = bm[:, :4] = bm[:, -4:] = 0
+    bm[24:40, 24:40] = 0  # interior hole
+    nat = native.db_candidates(_pack(bm), 64, 64, 3.0, 100)
+    ref = DBPostProcess(DBPostProcessConfig()).quad_candidates(bm)
+    assert len(nat) == len(ref) == 2
+    # order: outer first (anchor at top-left), hole second
+    nat_areas = sorted(
+        [abs(np.cross(q[1] - q[0], q[3] - q[0])) for q, _ in nat])
+    ref_areas = sorted(
+        [abs(np.cross(q[1] - q[0], q[3] - q[0])) for q in ref])
+    np.testing.assert_allclose(nat_areas, ref_areas, rtol=0.2)
+    # outer contour enumerates before the hole
+    assert abs(np.cross(nat[0][0][1] - nat[0][0][0],
+                        nat[0][0][3] - nat[0][0][0])) > \
+           abs(np.cross(nat[1][0][1] - nat[1][0][0],
+                        nat[1][0][3] - nat[1][0][0]))
+
+
+def test_truncation_order_is_raster():
+    """max_candidates truncation keeps the earliest candidates in raster
+    order, matching the fallback's enumeration."""
+    bm = np.zeros((64, 96), np.uint8)
+    bm[5:15, 5:40] = 1       # top component
+    bm[30:45, 50:90] = 1     # bottom component
+    nat = native.db_candidates(_pack(bm), 64, 96, 3.0, 1)
+    assert len(nat) == 1
+    assert nat[0][0][:, 1].max() <= 16  # kept the TOP one

@@ -143,3 +143,20 @@ def test_det_fallback_ladder(pipeline, rng, monkeypatch):
                             RuntimeError("fail")))
     results = pipeline.predict([img])
     assert results[0].regions == []     # empty page result, no exception
+
+
+def test_oversized_page_is_downscaled(rng):
+    """Pages beyond max_side_len must not crash stack_padded (ADVICE r1
+    medium): they are downscaled on host and boxes come back in the
+    input frame."""
+    pipe = (OAROCRBuilder("general")
+            .with_batch_sizes(image=1, region=8)
+            .build())
+    pipe.cfg.max_side_len = 256
+    img = _doc_image(rng, h=400, w=600)   # > 256 on both sides
+    results = pipe.predict([img])
+    assert len(results) == 1
+    assert results[0].width == 600 and results[0].height == 400
+    for region in results[0].regions:
+        assert region.box[:, 0].max() <= 600
+        assert region.box[:, 1].max() <= 400

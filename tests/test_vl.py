@@ -213,3 +213,61 @@ class TestSampling:
         assert out.count("loop! ") < 3
         clean = "no repetition here at all"
         assert truncate_repetition(clean) == clean
+
+
+class TestPadMasking:
+    def test_generation_mask_excludes_left_pad(self):
+        m = np.asarray(create_generation_mask(
+            jnp.asarray([5, 5]), 8, pad_len=jnp.asarray([2, 0])))
+        assert m[0, 0, 0].tolist() == [False, False, True, True, True,
+                                       False, False, False]
+        assert m[1, 0, 0].tolist() == [True] * 5 + [False] * 3
+
+    def test_left_padded_decode_matches_unpadded(self, rng):
+        """The ADVICE r1 high finding: decode logits after a LEFT-PADDED
+        prefill must equal those after an unpadded prefill of the same
+        content — i.e. the K/V written for pad tokens must not be
+        attended during decode (attention.rs:660-692)."""
+        from oar_ocr_tpu.vl.paddleocr_vl import (PaddleOCRVLConfig,
+                                                 PaddleOCRVLModule)
+
+        c = PaddleOCRVLConfig().tiny()
+        mod = PaddleOCRVLModule(c)
+        n, pad = 6, 3
+        t = n + pad
+        ids = jnp.asarray(rng.integers(5, 100, (1, n)), jnp.int32)
+        pos = jnp.broadcast_to(jnp.arange(n)[None, None], (3, 1, n))
+        params = mod.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 4, c.v_patch * c.v_patch * 3)),
+                          jnp.ones((1, 4), bool), ids, pos,
+                          method=PaddleOCRVLModule.init_all)
+        emb = mod.apply(params, ids, method=PaddleOCRVLModule.embed_tokens)
+
+        def run(embeds, positions, pad_lens, capacity):
+            b, tt, _ = embeds.shape
+            cache = KVCache.create(c.layers, b, c.kv_heads, capacity,
+                                   c.head_dim, dtype=embeds.dtype)
+            cache = cache.with_pad(jnp.asarray(pad_lens, jnp.int32))
+            causal = np.tril(np.ones((tt, tt), bool))[None, None]
+            full = np.zeros((b, 1, tt, capacity), bool)
+            full[..., :tt] = causal
+            full[..., : pad_lens[0]] = False
+            _, cache = mod.apply(params, embeds, positions, cache,
+                                 jnp.asarray(full),
+                                 method=PaddleOCRVLModule.prefill)
+            cache = cache.advance(tt)
+            logits, _ = mod.apply(
+                params, jnp.asarray([7], jnp.int32),
+                jnp.full((3, 1, 1), n, jnp.int32), cache, tt,
+                method=PaddleOCRVLModule.decode_step)
+            return np.asarray(logits)
+
+        cap = 32
+        solo = run(emb, pos, [0], cap)
+        padded_emb = jnp.concatenate(
+            [mod.apply(params, jnp.zeros((1, pad), jnp.int32),
+                       method=PaddleOCRVLModule.embed_tokens), emb], 1)
+        padded_pos = jnp.concatenate(
+            [jnp.zeros((3, 1, pad), jnp.int32), pos], 2)
+        padded = run(padded_emb, padded_pos, [pad], cap)
+        np.testing.assert_allclose(padded, solo, atol=2e-3, rtol=1e-3)

@@ -38,14 +38,42 @@ def _build_db(variant: str):
     return init_params(model, (1, 64, 64, 3))
 
 
+# Known dictionary entry counts (reference registry.rs assets; vocab =
+# 1 blank + chars + 1 space, CTCLabelDecoder convention). Used when the
+# companion dict file is not on disk.
+KNOWN_DICT_LENS = {
+    "ppocr_keys_v1.txt": 6623,
+    "ppocrv5_dict.txt": 18383,
+}
+
+
+def _rec_vocab_size(variant: str) -> int:
+    """Resolve the CTC head's vocab from the registry entry's companion
+    charset file (ADVICE r1: v5/v6 dictionaries are ~18k entries, not the
+    v1 6623 — hard-coding 6625 breaks every v5/v6 rec ConversionMap)."""
+    from oar_ocr_tpu.ops.ctc import load_charset
+    from oar_ocr_tpu.registry.models import MODEL_REGISTRY, asset_path
+
+    entry = MODEL_REGISTRY.get(variant)
+    charset = entry.charset if entry else None
+    if charset:
+        path = asset_path(charset)
+        if path and os.path.exists(path):
+            return 1 + len(load_charset(path)) + 1   # blank + chars + space
+        if charset in KNOWN_DICT_LENS:
+            return 1 + KNOWN_DICT_LENS[charset] + 1
+    print(f"warning: no charset info for {variant!r}; assuming the v1 "
+          "6623-entry dictionary", file=sys.stderr)
+    return 6625
+
+
 def _build_rec(variant: str):
     from oar_ocr_tpu.models.recognition.svtr import SVTRRecognizer
     from oar_ocr_tpu.runtime.runtime import init_params
 
     backbone = "hgnet" if "server" in variant else "lcnet"
-    # vocab resolved from the companion dictionary at load time; the
-    # conversion is over the trunk + head with the dict's vocab size
-    model = SVTRRecognizer(vocab_size=6625, backbone=backbone)
+    model = SVTRRecognizer(vocab_size=_rec_vocab_size(variant),
+                           backbone=backbone)
     return init_params(model, (1, 48, 320, 3))
 
 
