@@ -28,6 +28,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Conversion is a host job: force the CPU backend before anything touches
+# jax (the axon sitecustomize force-registers the TPU backend; an env var
+# alone does not switch — docs/environment-variables.md).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def _build_db(variant: str):
     from oar_ocr_tpu.models.detection.db import DBNet
@@ -109,7 +116,27 @@ def main(argv=None) -> int:
                     help="print expected source tensor names/shapes")
     ap.add_argument("--non-strict", action="store_true",
                     help="tolerate missing source tensors")
+    ap.add_argument("--make-fixture",
+                    help="write a deploy-format fixture with official "
+                         "tensor names (torch golden reference, random "
+                         "weights) to this path — lets the conversion "
+                         "path be exercised without real checkpoints")
     args = ap.parse_args(argv)
+
+    if args.make_fixture:
+        from safetensors.numpy import save_file
+
+        import tools.torch_ref as tr
+
+        if "det" in args.model:
+            t = tr.DBNetTorch(scale=0.75)
+        else:
+            t = tr.SVTRRecTorch(vocab=_rec_vocab_size(args.model))
+        tr.seed_all(t)
+        save_file(tr.paddle_state_dict(t), args.make_fixture)
+        print(f"wrote fixture {args.make_fixture}")
+        if not args.source:
+            return 0
 
     from oar_ocr_tpu.registry.models import MODEL_REGISTRY, OAR_TPU_HOME
     from oar_ocr_tpu.runtime.convert_maps import (build_model_map,
@@ -129,7 +156,15 @@ def main(argv=None) -> int:
         return 2
 
     params = builder(args.model)
-    cm = build_model_map(params, name=args.model)
+    if entry.task in ("text_detection", "seal_text_detection",
+                      "text_recognition"):
+        # official PaddleOCR deploy tensor names (runtime/ppocr_maps.py),
+        # golden-validated in tests/test_golden_parity.py
+        from oar_ocr_tpu.runtime.ppocr_maps import build_ppocr_map
+
+        cm = build_ppocr_map(params, name=args.model)
+    else:
+        cm = build_model_map(params, name=args.model)
 
     if args.describe:
         for target, source, _ in cm.rules:
