@@ -134,6 +134,12 @@ class LayoutElement:
     formula_latex: Optional[str] = None
     order_index: Optional[float] = None
     text_regions: List = field(default_factory=list)  # stitched TextRegions
+    # stitch-derived segment metadata (stitching.rs seg_start_x/seg_end_x/
+    # num_lines — feeds xycut_enhanced direction detection and the
+    # page-continuation heuristics)
+    num_lines: Optional[int] = None
+    seg_start_x: Optional[float] = None
+    seg_end_x: Optional[float] = None
 
     @property
     def xyxy(self) -> Tuple[float, float, float, float]:

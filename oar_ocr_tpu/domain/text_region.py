@@ -24,6 +24,18 @@ class TextRegion:
     orientation_angle: Optional[int] = None   # 0 or 180 (line orientation)
     word_boxes: Optional[List[np.ndarray]] = None
     word_texts: Optional[List[str]] = None
+    label: Optional[str] = None          # "formula" marks injected formula
+                                         # spans (stitching.rs TextRegion.label)
+
+    @property
+    def is_formula(self) -> bool:
+        return self.label == "formula"
+
+    @property
+    def xyxy(self):
+        b = np.asarray(self.box, np.float32).reshape(-1, 2)
+        return (float(b[:, 0].min()), float(b[:, 1].min()),
+                float(b[:, 0].max()), float(b[:, 1].max()))
 
     def to_dict(self) -> dict:
         return {

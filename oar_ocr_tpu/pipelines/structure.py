@@ -202,14 +202,14 @@ class OARStructure:
                                       self.tables.analyze_tables(pages, inputs)):
                         el.table = tr
 
-        # --- sort + stitch per page (structure.rs:2077, :2800) ---
+        # --- stitch (sorts internally with stitched num_lines) per page
+        # (structure.rs:2077, :2800) ---
         results: List[StructureResult] = []
         for page_i, els in enumerate(page_elements):
             h, w = shapes[page_i]
             stitched = self.stitcher.stitch(els, ocr_regions[page_i], w, h)
-            order = sort_layout_enhanced(stitched, w, h)
             results.append(StructureResult(
-                elements=[stitched[i] for i in order], width=w, height=h))
+                elements=stitched, width=w, height=h))
         return results
 
     def predict_image(self, image: np.ndarray) -> StructureResult:

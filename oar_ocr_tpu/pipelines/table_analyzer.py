@@ -20,7 +20,15 @@ from ..errors import OCRError
 from ..models.classification.pp_lcnet import ImageClassifier, table_classifier
 from ..models.detection.layout import LayoutDetector
 from ..models.recognition.slanet import SLANetModel
-from ..processors.table import cell_aabbs, match_ocr_to_cells, wrap_table_html
+from ..processors.layout_utils import reconcile_table_cells
+from ..processors.table import (TableCell, cell_aabbs,
+                                collect_cell_texts_for_tokens,
+                                compose_matched_cell_text,
+                                match_table_and_ocr_by_iou_distance,
+                                match_table_cells_with_structure_rows,
+                                normalize_checkbox_symbols,
+                                normalize_tiny_symbol, parse_cell_grid_info,
+                                wrap_table_html)
 from ..runtime.runtime import Runtime
 from ..utils.tracing import stage_timer
 
@@ -93,22 +101,69 @@ class TableAnalyzer:
                 if len(boxes):
                     cell_boxes_by_table[i] = boxes
 
-        # assemble per table
+        # assemble per table — the reference's matching ladder
+        # (stitching.rs:403 stitch_tables): reconcile detected cells with
+        # the structure decode, normalize tiny OCR symbols, row-aware
+        # matching when structure tokens exist, IoU+distance fallback,
+        # checkbox normalization, then HTML in structure-token order.
         for i, t in enumerate(tables):
             try:
                 st = structures[i]
                 x0, y0 = t.box[0], t.box[1]
-                # cells in page coords
-                if i in cell_boxes_by_table:
-                    cells_xyxy = cell_boxes_by_table[i]
+                ab = cell_aabbs(st.cell_boxes)
+                struct_xyxy = ab + np.array([x0, y0, x0, y0], np.float32) \
+                    if len(ab) else np.zeros((0, 4), np.float32)
+                has_detected = i in cell_boxes_by_table
+                if has_detected:
+                    # align detected geometry to the structure's N cells
+                    # (layout_utils.rs:259 reconcile_table_cells)
+                    cells_xyxy = reconcile_table_cells(
+                        struct_xyxy, cell_boxes_by_table[i])
                 else:
-                    ab = cell_aabbs(st.cell_boxes)
-                    cells_xyxy = ab + np.array([x0, y0, x0, y0], np.float32) \
-                        if len(ab) else np.zeros((0, 4), np.float32)
-                corner_cells = _xyxy_to_corners(cells_xyxy)
-                texts = match_ocr_to_cells(
-                    corner_cells, list(t.ocr_boxes), list(t.ocr_texts))
-                html = wrap_table_html(st.tokens, texts)
+                    cells_xyxy = struct_xyxy
+
+                grid = parse_cell_grid_info(st.tokens)
+                cells = [TableCell(tuple(map(float, b)),
+                                   row=(grid[k].row if k < len(grid)
+                                        else None),
+                                   col=(grid[k].col if k < len(grid)
+                                        else None))
+                         for k, b in enumerate(cells_xyxy)]
+
+                ocr_boxes, ocr_texts = [], []
+                for box, text in zip(t.ocr_boxes, t.ocr_texts):
+                    b = np.asarray(box, np.float32).reshape(-1, 2)
+                    bb = (float(b[:, 0].min()), float(b[:, 1].min()),
+                          float(b[:, 0].max()), float(b[:, 1].max()))
+                    ocr_boxes.append(bb)
+                    ocr_texts.append(normalize_tiny_symbol(text, 0.9, bb))
+
+                td_mapping = None
+                if st.tokens and ocr_boxes and not (st and not cells):
+                    got = match_table_cells_with_structure_rows(
+                        cells, st.tokens, ocr_boxes, ocr_texts,
+                        has_detected_cells=has_detected)
+                    if got is not None:
+                        td_mapping = got[0]
+                if td_mapping is None and cells and ocr_boxes:
+                    cell_to_ocr, _m = match_table_and_ocr_by_iou_distance(
+                        cells, ocr_boxes,
+                        require_positive_iou=has_detected,
+                        use_paddlex_distance=not has_detected)
+                    for ci, indices in cell_to_ocr.items():
+                        if not (cells[ci].text or "").strip():
+                            cells[ci].text = compose_matched_cell_text(
+                                indices, ocr_texts)
+                normalize_checkbox_symbols(cells)
+
+                if td_mapping is not None:
+                    cell_texts = [cells[ci].text if ci is not None else None
+                                  for ci in td_mapping]
+                else:
+                    cell_texts = collect_cell_texts_for_tokens(
+                        cells, st.tokens)
+                html = wrap_table_html(
+                    st.tokens, [tx or "" for tx in cell_texts])
                 results[i] = TableResult(
                     html=html, cell_boxes=cells_xyxy,
                     structure_score=st.score,

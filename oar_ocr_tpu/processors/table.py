@@ -192,3 +192,390 @@ def split_ocr_boxes_by_cells(
                              [sx1, by1], [sx0, by1]], np.float32)
             out.append((i, quad))
     return out
+
+
+# ====================================================================
+# PaddleX-compatible OCR↔cell matching (oar-ocr/src/oarocr/
+# stitching.rs:403-1500 stitch_tables machinery). Pure host logic.
+# ====================================================================
+
+@dataclass
+class TableCell:
+    """One structure cell being stitched (domain TableCell analog)."""
+
+    bbox: Tuple[float, float, float, float]
+    score: float = 1.0
+    text: Optional[str] = None
+    row: Optional[int] = None
+    col: Optional[int] = None
+
+
+def is_td_end_token(token: str) -> bool:
+    """stitching.rs:1283."""
+    return (token == "<td></td>" or token == "</td>"
+            or ("<td" in token and "</td>" in token))
+
+
+def find_row_start_index(structure_tokens: Sequence[str]) -> List[int]:
+    """First td index of each row (stitching.rs:1241)."""
+    out: List[int] = []
+    current = 0
+    inside_row = False
+    for tok in structure_tokens:
+        if tok == "<tr>":
+            inside_row = True
+        elif tok == "</tr>":
+            inside_row = False
+        elif is_td_end_token(tok) and inside_row:
+            out.append(current)
+            inside_row = False
+        if is_td_end_token(tok):
+            current += 1
+    return out
+
+
+def map_and_get_max(cell_flags: Sequence[int],
+                    row_starts: Sequence[int]) -> List[int]:
+    """Align detected row boundary flags to structure row starts
+    (stitching.rs:1265)."""
+    out: List[int] = []
+    i = 0
+    max_v: Optional[int] = None
+    for rs in row_starts:
+        while i < len(cell_flags) and cell_flags[i] <= rs:
+            max_v = cell_flags[i] if max_v is None else max(max_v,
+                                                            cell_flags[i])
+            i += 1
+        out.append(max_v if max_v is not None else rs)
+    return out
+
+
+def sort_table_cells_boxes(cells: Sequence[TableCell],
+                           row_y_tolerance: float
+                           ) -> Tuple[List[int], List[int]]:
+    """Row-major sort: (sorted_indices, cumulative row-start flags)
+    (stitching.rs:1170)."""
+    if not cells:
+        return [], []
+    by_y = sorted(range(len(cells)), key=lambda i: cells[i].bbox[1])
+    rows: List[List[int]] = []
+    cur: List[int] = []
+    cur_y: Optional[float] = None
+    for idx in by_y:
+        y = cells[idx].bbox[1]
+        if cur_y is None:
+            cur, cur_y = [idx], y
+        elif abs(y - cur_y) <= row_y_tolerance:
+            cur.append(idx)
+        else:
+            cur.sort(key=lambda i: cells[i].bbox[0])
+            rows.append(cur)
+            cur, cur_y = [idx], y
+    if cur:
+        cur.sort(key=lambda i: cells[i].bbox[0])
+        rows.append(cur)
+    sorted_idx: List[int] = []
+    flags = [0]
+    for row in rows:
+        sorted_idx.extend(row)
+        flags.append(flags[-1] + len(row))
+    return sorted_idx, flags
+
+
+def _iou(a, b) -> float:
+    iw = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+    ih = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+    inter = iw * ih
+    ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    return inter / ua if ua > 0 else 0.0
+
+
+def _ioa_of(a, b) -> float:
+    """intersection / area(a) (PaddleX compute_inter with rec2=a)."""
+    iw = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+    ih = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+    area = (a[2] - a[0]) * (a[3] - a[1])
+    return iw * ih / area if area > 0 else 0.0
+
+
+def _l1_distance(a, b) -> float:
+    return sum(abs(b[i] - a[i]) for i in range(4))
+
+
+def _paddlex_distance(table_box, ocr_box) -> float:
+    """stitching.rs:1476 (PaddleX table matcher distance)."""
+    x1, y1, x2, y2 = table_box
+    x3, y3, x4, y4 = ocr_box
+    dis = abs(x3 - x1) + abs(y3 - y1) + abs(x4 - x2) + abs(y4 - y2)
+    dis2 = abs(x3 - x1) + abs(y3 - y1)
+    dis3 = abs(x4 - x2) + abs(y4 - y2)
+    return dis + min(dis2, dis3)
+
+
+def _is_better_cost(candidate, current, cand_idx, cur_idx) -> bool:
+    """PaddleX (1-IoU, distance) ordering with near-tie stability
+    (stitching.rs:727 is_better_paddlex_match_cost)."""
+    eps = 1e-4
+    if not (np.isfinite(candidate[0]) and np.isfinite(candidate[1])):
+        return False
+    if cur_idx is None or not (np.isfinite(current[0])
+                               and np.isfinite(current[1])):
+        return True
+    if candidate[0] + eps < current[0]:
+        return True
+    if abs(candidate[0] - current[0]) <= eps:
+        if candidate[1] + eps < current[1]:
+            return True
+        if abs(candidate[1] - current[1]) <= eps:
+            return cand_idx < cur_idx
+    return False
+
+
+def _maybe_prefer_upper_boundary_cell(cells, ocr_box, best_idx, best_cost,
+                                      candidate_costs) -> int:
+    """Near-boundary straddle correction (stitching.rs:769)."""
+    IOU_DELTA, OVERLAP_MIN = 0.12, 0.35
+    best = cells[best_idx]
+    if best.row is None or best.col is None or best.row == 0:
+        return best_idx
+    upper_idx = next((i for i, c in enumerate(cells)
+                      if c.row == best.row - 1 and c.col == best.col), None)
+    if upper_idx is None:
+        return best_idx
+    boundary_y = best.bbox[1]
+    if not (ocr_box[1] < boundary_y < ocr_box[3]):
+        return best_idx
+    if (_ioa_of(ocr_box, best.bbox) < OVERLAP_MIN
+            or _ioa_of(ocr_box, cells[upper_idx].bbox) < OVERLAP_MIN):
+        return best_idx
+    upper_cost = next((c for i, c in candidate_costs if i == upper_idx),
+                      None)
+    if upper_cost is None or not (np.isfinite(upper_cost[0])
+                                  and np.isfinite(upper_cost[1])):
+        return best_idx
+    return upper_idx if upper_cost[0] <= best_cost[0] + IOU_DELTA \
+        else best_idx
+
+
+def match_table_and_ocr_by_iou_distance(
+        cells: Sequence[TableCell],
+        ocr_boxes: Sequence[Tuple[float, float, float, float]],
+        require_positive_iou: bool,
+        use_paddlex_distance: bool
+) -> Tuple[dict, set]:
+    """Fallback OCR→cell matcher (stitching.rs:640): center-in-cell with
+    IoA > 0.7 first, then (1−IoU, distance) cost with tie stability and
+    the upper-boundary-row correction in the PaddleX-distance mode.
+    Returns ({cell_idx: [ocr_idx,…]}, {matched ocr_idx})."""
+
+    cell_to_ocr: dict = {}
+    matched: set = set()
+    if not cells or not ocr_boxes:
+        return cell_to_ocr, matched
+    for oi, ob in enumerate(ocr_boxes):
+        cx, cy = (ob[0] + ob[2]) / 2, (ob[1] + ob[3]) / 2
+        center_cell = next(
+            (ci for ci, cell in enumerate(cells)
+             if cell.bbox[0] <= cx <= cell.bbox[2]
+             and cell.bbox[1] <= cy <= cell.bbox[3]
+             and _ioa_of(ob, cell.bbox) > 0.7), None)
+        if center_cell is not None:
+            cell_to_ocr.setdefault(center_cell, []).append(oi)
+            matched.add(oi)
+            continue
+        best_idx = None
+        min_cost = (np.inf, np.inf)
+        costs = []
+        for ci, cell in enumerate(cells):
+            iou = _iou(ob, cell.bbox)
+            if require_positive_iou and iou <= 0.0:
+                continue
+            dist = (_paddlex_distance(cell.bbox, ob)
+                    if use_paddlex_distance else _l1_distance(ob, cell.bbox))
+            cost = (1.0 - iou, dist)
+            costs.append((ci, cost))
+            if _is_better_cost(cost, min_cost, ci, best_idx):
+                min_cost, best_idx = cost, ci
+        if best_idx is not None:
+            if use_paddlex_distance:
+                best_idx = _maybe_prefer_upper_boundary_cell(
+                    cells, ob, best_idx, min_cost, costs)
+            cell_to_ocr.setdefault(best_idx, []).append(oi)
+            matched.add(oi)
+    return cell_to_ocr, matched
+
+
+def compose_matched_cell_text(indices: Sequence[int],
+                              texts: Sequence[Optional[str]]
+                              ) -> Optional[str]:
+    """Merge OCR fragments for one cell (stitching.rs:1290, PaddleX
+    merge: strip leading space and <b></b>, join with <br/>)."""
+    if not indices:
+        return None
+    merged = ""
+    n = len(indices)
+    for i, oi in enumerate(indices):
+        text = texts[oi] if oi < len(texts) else None
+        if text is None:
+            continue
+        content = text
+        if n > 1:
+            if content.startswith(" "):
+                content = content[1:]
+            content = content.replace("<b>", "").replace("</b>", "")
+            if not content:
+                continue
+            if i != n - 1 and not content.endswith(" "):
+                content += "<br/>"
+        merged += content
+    merged = merged.rstrip()
+    return merged or None
+
+
+def match_table_cells_with_structure_rows(
+        cells: List[TableCell],
+        structure_tokens: Sequence[str],
+        ocr_boxes: Sequence[Tuple[float, float, float, float]],
+        ocr_texts: Sequence[Optional[str]],
+        row_y_tolerance: float = 10.0,
+        has_detected_cells: bool = False
+) -> Optional[Tuple[List[Optional[int]], set]]:
+    """PaddleX-style row-aware OCR→cell matching (stitching.rs:952).
+
+    Writes matched text into ``cells`` and returns (td→cell mapping in
+    structure order, matched ocr indices), or None when inputs are
+    unusable. ``has_detected_cells`` enables cross-row deduplication (a
+    detected cell spanning several structure rows must not duplicate its
+    content into each row)."""
+
+    if not cells or not structure_tokens or not ocr_boxes:
+        return None
+    sorted_idx, row_flags = sort_table_cells_boxes(cells, row_y_tolerance)
+    if not sorted_idx or not row_flags:
+        return None
+    row_starts = find_row_start_index(structure_tokens)
+    if not row_starts:
+        return None
+    aligned = map_and_get_max(row_flags, row_starts)
+    aligned.append(len(sorted_idx))
+    row_starts = list(row_starts)
+    row_starts.append(sum(1 for t in structure_tokens
+                          if is_td_end_token(t)))
+
+    globally_matched: set = set()
+    all_matched: List[dict] = []
+    for k in range(len(aligned) - 1):
+        rs = min(aligned[k], len(sorted_idx))
+        re_ = min(aligned[k + 1], len(sorted_idx))
+        matched_row: dict = {}
+        for local_i, cell_idx in enumerate(sorted_idx[rs:re_]):
+            cell_box = cells[min(cell_idx, len(cells) - 1)].bbox
+            for oi, ob in enumerate(ocr_boxes):
+                if has_detected_cells and oi in globally_matched:
+                    continue
+                if _ioa_of(ob, cell_box) > 0.7:
+                    matched_row.setdefault(local_i, []).append(oi)
+        if has_detected_cells:
+            for v in matched_row.values():
+                globally_matched.update(v)
+        all_matched.append(matched_row)
+
+    td_to_cell: List[Optional[int]] = []
+    matched_ocr: set = set()
+    td_index = td_count = matched_row_idx = 0
+    for tok in structure_tokens:
+        if tok == "<tr>":
+            td_index = 0
+            continue
+        if not is_td_end_token(tok):
+            continue
+        row_matches = (all_matched[matched_row_idx]
+                       if matched_row_idx < len(all_matched) else {})
+        indices = row_matches.get(td_index)
+        text = compose_matched_cell_text(indices, ocr_texts) \
+            if indices else None
+        if indices:
+            matched_ocr.update(indices)
+        mapped = None
+        if matched_row_idx < len(aligned):
+            pos = aligned[matched_row_idx] + td_index
+            if pos < len(sorted_idx) and sorted_idx[pos] < len(cells):
+                mapped = sorted_idx[pos]
+        td_to_cell.append(mapped)
+        if mapped is not None and text:
+            cell = cells[mapped]
+            if not (cell.text or "").strip():
+                cell.text = text
+        td_index += 1
+        td_count += 1
+        if (matched_row_idx + 1 < len(row_starts)
+                and td_count >= row_starts[matched_row_idx + 1]):
+            matched_row_idx += 1
+    return (td_to_cell, matched_ocr) if td_to_cell else None
+
+
+def collect_cell_texts_for_tokens(cells: Sequence[TableCell],
+                                  tokens: Sequence[str]
+                                  ) -> List[Optional[str]]:
+    """Cell texts in structure-token order via (row, col) grid matching,
+    index fallback (stitching.rs:1124)."""
+    if not cells:
+        return []
+    grid = parse_cell_grid_info(tokens)
+    lookup = {(c.row, c.col): i for i, c in enumerate(cells)
+              if c.row is not None and c.col is not None}
+    if lookup:
+        return [cells[lookup[(g.row, g.col)]].text
+                if (g.row, g.col) in lookup else None for g in grid]
+    return [cells[i].text if i < len(cells) else None
+            for i in range(len(grid))]
+
+
+def normalize_tiny_symbol(text: Optional[str], confidence: Optional[float],
+                          box) -> Optional[str]:
+    """Low-confidence tiny-punctuation normalization
+    (stitching.rs:831 normalize_tiny_symbol_for_paddlex). Returns the
+    replacement text or the original."""
+    if text is None or len(text) != 1 or confidence is None:
+        return text
+    w = max(box[2] - box[0], 0.0)
+    h = max(box[3] - box[1], 0.0)
+    if text == "=" and confidence < 0.45 and w <= 9.5 and h <= 7.5:
+        return ","
+    if text == "=" and confidence < 0.45 and w <= 12.5 and 7.5 < h <= 10.5:
+        return "-"
+    if text == "0" and confidence < 0.20 and w <= 14.5 and h <= 14.5:
+        return ";"
+    return text
+
+
+_CHECK_POS = set("✓üÜL√☑")
+_CHECK_NEG = set("✗Xx✕✖☒")
+
+
+def normalize_checkbox_symbols(cells: Sequence[TableCell]) -> None:
+    """✓/✗ normalization for checkbox-like tables (stitching.rs:860):
+    unambiguous symbols always normalize; ambiguous L/X only when the
+    table shows both positive and negative candidates."""
+    has_pos = has_neg = False
+    for cell in cells:
+        t = (cell.text or "").strip()
+        if len(t) != 1:
+            continue
+        if t in _CHECK_POS:
+            has_pos = True
+        if t in _CHECK_NEG:
+            has_neg = True
+    both = has_pos and has_neg
+    for cell in cells:
+        t = (cell.text or "").strip()
+        if len(t) != 1:
+            continue
+        if t in "üÜ√☑":
+            cell.text = "✓"
+        elif t == "L" and both:
+            cell.text = "✓"
+        elif t in "✕✖☒":
+            cell.text = "✗"
+        elif t in "Xx" and both:
+            cell.text = "✗"
