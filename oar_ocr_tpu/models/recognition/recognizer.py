@@ -43,6 +43,15 @@ class CropPlan:
     native_h: int
     flip180: bool = False     # textline-orientation 180° rotation
 
+    def separable(self):
+        """(swapped, row_coef, col_coef) when the crop matrix is
+        axis-aligned/swapped affine (ops/warp.separable_coefs), else
+        None — recomputed on demand since line-orientation may compose a
+        180° flip into the matrix after planning."""
+        from ...ops.warp import separable_coefs
+
+        return separable_coefs(self.matrix)
+
     # native sampling caps: crops taller/wider than this are sampled at
     # the cap (bounds worst-case gather volume; typical text is far below)
     MAX_NATIVE_H = 192
@@ -110,6 +119,14 @@ class CTCRecognizer:
         import os
 
         self.host_warp = bool(os.environ.get("OAR_TPU_HOST_WARP"))
+        # Separable matmul-only warp for axis-aligned/swapped crops
+        # (ops/warp.warp_rec_tiles_separable) — the round-2 fix for the
+        # stage-1 HBM gather bottleneck. Kill switch per repo convention.
+        self.separable_warp = not os.environ.get("OAR_TPU_NO_SEP_WARP")
+        self._step_sep = jax.jit(
+            self._step_sep_impl, static_argnames=("out_w", "nat_hb",
+                                                  "nat_wb", "band_h"))
+        self._pages_t = None
 
     def _step_impl(self, params, pages_u8, mats, img_idx, valid_w,
                    native_w, native_h, *, out_w, nat_h, nat_w):
@@ -157,6 +174,78 @@ class CTCRecognizer:
         raw = ctc_greedy_decode(probs)
         return raw.indices, raw.probs, raw.keep
 
+    def _step_sep_impl(self, params, src_pages, row_c, col_c,
+                       img_idx, band_y0, nat_h, nat_w, valid_w,
+                       *, out_w, nat_hb, nat_wb, band_h):
+        from ...ops.warp import NormSpec, warp_rec_tiles_separable
+
+        tiles = warp_rec_tiles_separable(
+            src_pages, row_c, col_c, img_idx, band_y0,
+            nat_h, nat_w, valid_w, out_h=REC_H, out_w=out_w,
+            nat_h_bucket=nat_hb, nat_w_bucket=nat_wb, band_h=band_h,
+            norm=NormSpec.rec_bgr(), out_dtype=self.runtime.compute_dtype)
+        probs = self.model.apply(params, tiles)
+        raw = ctc_greedy_decode(probs)
+        return raw.indices, raw.probs, raw.keep
+
+    def _pages_transposed(self, pages_u8):
+        cached = self._pages_t
+        if cached is not None and cached[0] is pages_u8:
+            return cached[1]
+        pt = jnp.transpose(pages_u8, (0, 2, 1, 3))
+        self._pages_t = (pages_u8, pt)
+        return pt
+
+    def _dispatch_separable(self, pages_u8, plans: Sequence[CropPlan],
+                            coefs, *, swapped_group: bool):
+        from ...ops.warp import band_origin
+
+        cfg = self.runtime.cfg
+        src = (self._pages_transposed(pages_u8) if swapped_group
+               else pages_u8)
+        src_h = src.shape[1]
+        n = len(plans)
+        nb = cfg.rec_batch_buckets.bucket(n)
+        out_w = cfg.rec_width_buckets.bucket(max(p.width for p in plans))
+        nat_hb = cfg.rec_native_h_buckets.bucket(
+            max(p.native_h for p in plans))
+        nat_wb = cfg.rec_native_w_buckets.bucket(
+            max(p.native_w for p in plans))
+        # row-band size: the largest page-row span any crop samples
+        # (|row_a|·(nat_h−1) + bilinear margin); dispatch_chunk routed
+        # larger-span crops to the gather path
+        band_h = cfg.rec_native_h_buckets.bucket(int(max(
+            abs(rc[0]) * (min(p.native_h, nat_hb) - 1) + 4
+            for p, (_, rc, _) in zip(plans, coefs))))
+
+        row_c = np.zeros((nb, 2), np.float32)
+        col_c = np.zeros((nb, 2), np.float32)
+        row_c[:, 0] = col_c[:, 0] = 1.0
+        img_idx = np.zeros((nb,), np.int32)
+        band_y0 = np.zeros((nb,), np.int32)
+        valid_w = np.zeros((nb,), np.int32)
+        nat_h = np.ones((nb,), np.int32)
+        nat_w = np.ones((nb,), np.int32)
+        for i, (p, (_sw, rc, cc)) in enumerate(zip(plans, coefs)):
+            row_c[i] = rc
+            col_c[i] = cc
+            img_idx[i] = p.page_index
+            band_y0[i] = band_origin(rc, min(p.native_h, nat_hb),
+                                     src_h, band_h)
+            valid_w[i] = min(p.width, out_w)
+            nat_h[i] = min(p.native_h, nat_hb)
+            nat_w[i] = min(p.native_w, nat_wb)
+
+        with stage_timer("rec.dispatch_sep", batch=nb, width=out_w,
+                         native=(nat_hb, nat_wb)):
+            return self._step_sep(
+                self.params, src,
+                jnp.asarray(row_c), jnp.asarray(col_c),
+                jnp.asarray(img_idx), jnp.asarray(band_y0),
+                jnp.asarray(nat_h), jnp.asarray(nat_w),
+                jnp.asarray(valid_w),
+                out_w=out_w, nat_hb=nat_hb, nat_wb=nat_wb, band_h=band_h)
+
     def _dispatch_host_warp(self, host_images, plans: Sequence[CropPlan]):
         import cv2
 
@@ -199,9 +288,43 @@ class CTCRecognizer:
     def dispatch_chunk(self, pages_u8: jax.Array,
                        plans: Sequence[CropPlan],
                        host_images=None):
+        """Launch one ratio-sorted chunk. Returns a composite handle:
+        a list of (positions-within-chunk, device handle) sub-batches —
+        separable crops ride the matmul-only warp, slanted crops the
+        gather warp."""
+
         if host_images is not None and self.host_warp:
-            return self._dispatch_host_warp(host_images, plans)
-        return self._dispatch_device_warp(pages_u8, plans)
+            return [(list(range(len(plans))),
+                     self._dispatch_host_warp(host_images, plans))]
+        if not self.separable_warp:
+            return [(list(range(len(plans))),
+                     self._dispatch_device_warp(pages_u8, plans))]
+        max_band = self.runtime.cfg.rec_native_h_buckets.sizes[-1]
+        groups = {"direct": ([], [], []), "swapped": ([], [], [])}
+        gat_pos, gat_plans = [], []
+        for i, p in enumerate(plans):
+            got = p.separable()
+            if got is not None:
+                span = abs(got[1][0]) * (p.native_h - 1) + 4
+                if span > max_band:
+                    got = None
+            if got is not None:
+                key = "swapped" if got[0] else "direct"
+                groups[key][0].append(i)
+                groups[key][1].append(p)
+                groups[key][2].append(got)
+            else:
+                gat_pos.append(i)
+                gat_plans.append(p)
+        out = []
+        for key, (pos, ps, coefs) in groups.items():
+            if ps:
+                out.append((pos, self._dispatch_separable(
+                    pages_u8, ps, coefs, swapped_group=key == "swapped")))
+        if gat_plans:
+            out.append((gat_pos, self._dispatch_device_warp(
+                pages_u8, gat_plans)))
+        return out
 
     def _dispatch_device_warp(self, pages_u8: jax.Array,
                               plans: Sequence[CropPlan]):
@@ -240,15 +363,20 @@ class CTCRecognizer:
 
     def collect_chunk(self, handle, plans: Sequence[CropPlan]
                       ) -> List[Tuple[str, float, List[int]]]:
-        """Fetch + dictionary-decode one dispatched chunk."""
-        n = len(plans)
-        idx, prob, keep = handle
-        with stage_timer("rec.device", batch=n):
-            idx, prob, keep = (np.asarray(idx), np.asarray(prob),
-                               np.asarray(keep))
-        with stage_timer("rec.decode", batch=n):
-            return self.decoder.decode_with_positions(
-                (idx[:n], prob[:n], keep[:n]))
+        """Fetch + dictionary-decode one dispatched chunk (composite
+        handle: sub-batches merge back into plan order)."""
+        results: List = [None] * len(plans)
+        for positions, (idx, prob, keep) in handle:
+            n = len(positions)
+            with stage_timer("rec.device", batch=n):
+                idx, prob, keep = (np.asarray(idx), np.asarray(prob),
+                                   np.asarray(keep))
+            with stage_timer("rec.decode", batch=n):
+                decoded = self.decoder.decode_with_positions(
+                    (idx[:n], prob[:n], keep[:n]))
+            for pos, d in zip(positions, decoded):
+                results[pos] = d
+        return results
 
     def recognize_chunk(
         self, pages_u8: jax.Array, plans: Sequence[CropPlan],

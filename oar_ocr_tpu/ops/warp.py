@@ -152,6 +152,185 @@ def warp_crops(images_u8, mats, img_idx, valid_w, *, out_h, out_w,
                             out_dtype=out_dtype)
 
 
+# ---------------- separable (matmul-only) rec-crop warp ----------------
+#
+# Round-1 profiling: the stage-1 native warp's HBM gather dominates the
+# rec stage (~100 ms / 64-crop chunk, docs/ROADMAP.md:71-84). But every
+# rec crop matrix is AFFINE (quads come from minAreaRect / min-area quads,
+# so getPerspectiveTransform degenerates to affine), and the overwhelmingly
+# common cases are axis-ALIGNED (horizontal text; 180° textline flips keep
+# alignment) or axis-SWAPPED (the rotate270 fold for tall crops). For
+# those, both reference resamples — warpPerspective to the native crop and
+# the bilinear resize to (48, w) — are separable, and their composition is
+# exactly the product of per-axis tent-weight matrices. The whole rec
+# preprocess then collapses to TWO small matmuls per crop on the MXU with
+# zero gathers: tile = (W2y·W1y) · page · (W1x·W2x)ᵀ, bit-equal (to f32
+# rounding) to the two-stage chain. Slanted crops (rare) stay on the
+# gather path (sample_transform).
+
+
+def separable_coefs(matrix: np.ndarray, eps: float = 1e-6):
+    """Classify a native-crop matrix (native px → page px) as separable.
+
+    Returns None when not separable, else
+    ``(swapped, (row_a, row_b), (col_a, col_b))`` where the page (or
+    transposed-page, when ``swapped``) source coords are
+    row = row_a·i + row_b for native row i and col = col_a·j + col_b for
+    native col j.
+    """
+
+    m = np.asarray(matrix, np.float64)
+    scale = max(np.abs(m[:2, :2]).max(), 1.0)
+    if abs(m[2, 0]) > eps or abs(m[2, 1]) > eps or abs(m[2, 2] - 1.0) > eps:
+        return None
+    if abs(m[0, 1]) <= eps * scale and abs(m[1, 0]) <= eps * scale:
+        # direct: sx = m00·j + m02, sy = m11·i + m12
+        return False, (float(m[1, 1]), float(m[1, 2])), \
+            (float(m[0, 0]), float(m[0, 2]))
+    if abs(m[0, 0]) <= eps * scale and abs(m[1, 1]) <= eps * scale:
+        # swapped (rot90 fold): sx = m01·i + m02, sy = m10·j + m12.
+        # On the transposed page: row coord (pageT row = page col) =
+        # m01·i + m02, col coord (pageT col = page row) = m10·j + m12.
+        return True, (float(m[0, 1]), float(m[0, 2])), \
+            (float(m[1, 0]), float(m[1, 2]))
+    return None
+
+
+def _affine_tent_weights(n_out: int, src_len: int, a, b, lo, hi,
+                         offset=0.0):
+    """(n_out, src_len) bilinear tent weights for source positions
+    a·i + b, clamped to [lo, hi] in PAGE coordinates (stage-1 page-border
+    clamp semantics of sample_transform), then shifted by ``offset`` into
+    the sliced band's frame."""
+
+    i = jnp.arange(n_out, dtype=jnp.float32)
+    pos = (jnp.clip(a * i + b, lo, hi) - offset)[:, None]        # (No, 1)
+    s = jnp.arange(src_len, dtype=jnp.float32)[None, :]          # (1, S)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(pos - s))
+
+
+def _resize_tent_weights(n_out: int, src_bucket: int, dst_valid,
+                         src_valid, out_valid):
+    """(n_out, src_bucket) stage-2 weights — cv2 half-pixel convention,
+    clamped to the VALID native extent, zero beyond the valid output
+    (det_device._interp_weights semantics)."""
+
+    o = jnp.arange(n_out, dtype=jnp.float32)
+    scale = src_valid / dst_valid
+    pos = jnp.clip((o + 0.5) * scale - 0.5, 0.0, src_valid - 1.0)[:, None]
+    s = jnp.arange(src_bucket, dtype=jnp.float32)[None, :]
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(pos - s))
+    return jnp.where(o[:, None] < out_valid, w, 0.0)
+
+
+def band_origin(row_coef, nat_h_valid: int, src_h: int,
+                band_h: int) -> int:
+    """Host-side: first page row of the ``band_h``-row band that covers a
+    crop's sampled rows (min source row − 1 margin, clamped so the band
+    stays inside the page)."""
+
+    a, b = float(row_coef[0]), float(row_coef[1])
+    lo = min(b, a * (nat_h_valid - 1) + b) - 1.0
+    return int(np.clip(np.floor(lo), 0, max(src_h - band_h, 0)))
+
+
+def _batched_affine_tent(n_out: int, src_len: int, a, b, lo, hi, offset):
+    """(B, n_out, src_len) tent weights; a/b/lo/hi/offset are (B,)."""
+    i = jnp.arange(n_out, dtype=jnp.float32)[None, :]            # (1, No)
+    pos = jnp.clip(a[:, None] * i + b[:, None], lo[:, None], hi[:, None])
+    pos = pos - offset[:, None]                                  # (B, No)
+    s = jnp.arange(src_len, dtype=jnp.float32)[None, None, :]    # (1, 1, S)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - s))
+
+
+def _batched_resize_tent(n_out: int, src_bucket: int, dst_valid,
+                         src_valid, out_valid):
+    """(B, n_out, src_bucket) stage-2 weights (cv2 half-pixel, valid-extent
+    clamp, zero beyond valid output)."""
+    o = jnp.arange(n_out, dtype=jnp.float32)[None, :]            # (1, No)
+    scale = (src_valid / dst_valid)[:, None]
+    pos = jnp.clip((o + 0.5) * scale - 0.5, 0.0,
+                   src_valid[:, None] - 1.0)                     # (B, No)
+    s = jnp.arange(src_bucket, dtype=jnp.float32)[None, None, :]
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - s))
+    return jnp.where(o[..., None] < out_valid[:, None, None], w, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_h", "out_w", "nat_h_bucket", "nat_w_bucket",
+                     "band_h", "norm", "out_dtype"))
+def warp_rec_tiles_separable(
+    src_pages: jax.Array,      # (P, SH, SW, C) uint8 pages (or transposed
+                               # pages for the axis-swapped crop group)
+    row_coef: jax.Array,       # (B, 2) f32 (a, b): src row = a·i + b
+    col_coef: jax.Array,       # (B, 2) f32
+    img_idx: jax.Array,        # (B,) int32
+    band_y0: jax.Array,        # (B,) int32 band origin (band_origin())
+    nat_h: jax.Array,          # (B,) int32 valid native crop dims
+    nat_w: jax.Array,
+    dst_w: jax.Array,          # (B,) int32 valid output width (≤ out_w)
+    *,
+    out_h: int,
+    out_w: int,
+    nat_h_bucket: int,
+    nat_w_bucket: int,
+    band_h: int,
+    norm: NormSpec,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """Composed two-resample rec preprocess for separable crops, fully
+    batched: tile_b = (W2y·W1y)_b · band_b · (W1x·W2x)_bᵀ — the exact
+    warp→resize chain (transform.rs:148 + resize_recognition.rs) as
+    batched MXU matmuls with fused normalize + padding mask. The only
+    per-crop memory op is one contiguous ``band_h``-row slice of the
+    page (vmapped dynamic_slice → windowed DMA); there is no HBM gather
+    and no scan."""
+
+    p, sh, sw, c = src_pages.shape
+    bh = min(band_h, sh)
+    hp = jax.lax.Precision.HIGHEST
+
+    bands = jax.vmap(
+        lambda idx, y0: jax.lax.dynamic_slice(
+            src_pages, (idx, y0, 0, 0), (1, bh, sw, c))[0]
+    )(img_idx, band_y0)                                  # (B, bh, SW, C)
+
+    zeros = jnp.zeros_like(band_y0, jnp.float32)
+    y0f = band_y0.astype(jnp.float32)
+    nhf = nat_h.astype(jnp.float32)
+    nwf = nat_w.astype(jnp.float32)
+    dwf = dst_w.astype(jnp.float32)
+    full = jnp.full_like(y0f, float(out_h))
+
+    w1y = _batched_affine_tent(nat_h_bucket, bh, row_coef[:, 0],
+                               row_coef[:, 1], zeros,
+                               zeros + float(sh - 1), y0f)
+    w2y = _batched_resize_tent(out_h, nat_h_bucket, full, nhf, full)
+    wy = jnp.einsum("bon,bns->bos", w2y, w1y,
+                    precision=hp)                        # (B, Ho, bh)
+    w1x = _batched_affine_tent(nat_w_bucket, sw, col_coef[:, 0],
+                               col_coef[:, 1], zeros,
+                               zeros + float(sw - 1), zeros)
+    w2x = _batched_resize_tent(out_w, nat_w_bucket, dwf, nwf, dwf)
+    wx = jnp.einsum("bon,bns->bos", w2x, w1x,
+                    precision=hp)                        # (B, Wo, SW)
+
+    img = bands.astype(jnp.float32)
+    t = jnp.einsum("bos,bswc->bowc", wy, img, precision=hp)
+    tiles = jnp.einsum("bowc,bvw->bovc", t, wx,
+                       precision=hp)                     # (B, Ho, Wo, C)
+
+    if norm.swap_rb and c == 3:
+        tiles = tiles[..., ::-1]
+    alpha = jnp.asarray(norm.alpha, jnp.float32)
+    beta = jnp.asarray(norm.beta, jnp.float32)
+    tiles = tiles * alpha + beta
+    col = jnp.arange(out_w, dtype=jnp.int32)[None, None, :, None]
+    tiles = jnp.where(col < dst_w[:, None, None, None], tiles, 0.0)
+    return tiles.astype(out_dtype)
+
+
 # ------------------------- host-side matrix builders -------------------------
 
 def resize_matrix(src_h: int, src_w: int, dst_h: int, dst_w: int) -> np.ndarray:

@@ -149,3 +149,117 @@ def test_host_warp_matches_device_warp(rng):
     diff = np.abs(np.round(devv) - valid)
     assert np.median(diff) <= 1.0
     assert diff.mean() < 2.5
+
+
+class TestSeparableWarp:
+    """The matmul-only rec preprocess (warp_rec_tiles_separable) must match
+    the two-stage gather chain (stage-1 sample_transform at native res +
+    stage-2 separable_resize_normalize) to float tolerance."""
+
+    def _two_stage(self, pages, mats, img_idx, nat_h, nat_w, widths,
+                   nat_hb, nat_wb, out_w, out_h=48):
+        from oar_ocr_tpu.ops.det_device import separable_resize_normalize
+
+        native = sample_transform(
+            jnp.asarray(pages), jnp.asarray(mats),
+            jnp.asarray(img_idx, jnp.int32),
+            jnp.asarray(nat_w, jnp.int32), jnp.asarray(nat_h, jnp.int32),
+            out_h=nat_hb, out_w=nat_wb, norm=NormSpec.identity())
+        native = native[..., ::-1]
+        b = len(mats)
+        return np.asarray(separable_resize_normalize(
+            native, jnp.asarray(nat_h, jnp.int32),
+            jnp.asarray(nat_w, jnp.int32),
+            jnp.full((b,), out_h, jnp.int32),
+            jnp.asarray(widths, jnp.int32),
+            jnp.full((3,), 2.0 / 255.0, jnp.float32),
+            jnp.full((3,), -1.0, jnp.float32),
+            out_h=out_h, out_w=out_w, out_dtype=jnp.float32))
+
+    def _separable(self, pages, mats, img_idx, nat_h, nat_w, widths,
+                   nat_hb, nat_wb, out_w, out_h=48):
+        from oar_ocr_tpu.ops.warp import (band_origin, separable_coefs,
+                                          warp_rec_tiles_separable)
+
+        pages = jnp.asarray(pages)
+        pages_t = jnp.transpose(pages, (0, 2, 1, 3))
+        band_h = nat_hb + 8
+        out = np.zeros((len(mats), out_h, out_w, 3), np.float32)
+        # run the direct and swapped groups separately, like dispatch does
+        for want_swap, src in ((False, pages), (True, pages_t)):
+            rows, cols, y0s, sel = [], [], [], []
+            for k, m in enumerate(mats):
+                got = separable_coefs(m)
+                assert got is not None
+                s, rc, cc = got
+                if s != want_swap:
+                    continue
+                sel.append(k)
+                rows.append(rc)
+                cols.append(cc)
+                y0s.append(band_origin(rc, nat_h[k], src.shape[1], band_h))
+            if not sel:
+                continue
+            got_tiles = np.asarray(warp_rec_tiles_separable(
+                src, jnp.asarray(rows, jnp.float32),
+                jnp.asarray(cols, jnp.float32),
+                jnp.asarray([img_idx[k] for k in sel], jnp.int32),
+                jnp.asarray(y0s, jnp.int32),
+                jnp.asarray([nat_h[k] for k in sel], jnp.int32),
+                jnp.asarray([nat_w[k] for k in sel], jnp.int32),
+                jnp.asarray([widths[k] for k in sel], jnp.int32),
+                out_h=out_h, out_w=out_w, nat_h_bucket=nat_hb,
+                nat_w_bucket=nat_wb, band_h=band_h,
+                norm=NormSpec.rec_bgr(), out_dtype=jnp.float32))
+            for local, k in enumerate(sel):
+                out[k] = got_tiles[local]
+        return out
+
+    def test_matches_two_stage_mixed(self, rng):
+        from oar_ocr_tpu.ops.warp import build_native_crop_matrix
+
+        pages = np.stack([_page(rng, 160, 200), _page(rng, 160, 200)])
+        quads = [
+            np.array([[20, 30], [140, 30], [140, 60], [20, 60]], np.float32),
+            np.array([[50, 20], [80, 20], [80, 120], [50, 120]], np.float32),
+            np.array([[10, 90], [180, 90], [180, 118], [10, 118]],
+                     np.float32),
+        ]
+        mats, nat_w, nat_h, widths, img_idx = [], [], [], [], []
+        for i, q in enumerate(quads):
+            m, rw, rh = build_native_crop_matrix(q)
+            mats.append(m)
+            nat_w.append(rw)
+            nat_h.append(rh)
+            widths.append(min(int(np.ceil(48 * rw / rh)), 320))
+            img_idx.append(i % 2)
+        nat_hb, nat_wb, out_w = 64, 256, 320
+        ref = self._two_stage(pages, mats, img_idx, nat_h, nat_w, widths,
+                              nat_hb, nat_wb, out_w)
+        got = self._separable(pages, mats, img_idx, nat_h, nat_w, widths,
+                              nat_hb, nat_wb, out_w)
+        np.testing.assert_allclose(got, ref, atol=2e-3)
+
+    def test_flip180_stays_separable(self, rng):
+        from oar_ocr_tpu.ops.warp import (build_native_crop_matrix,
+                                          separable_coefs)
+        from oar_ocr_tpu.pipelines.ocr import _compose_rot180
+
+        q = np.array([[20, 30], [140, 30], [140, 60], [20, 60]], np.float32)
+        m, rw, rh = build_native_crop_matrix(q)
+        m2 = _compose_rot180(m, rw, rh)
+        assert separable_coefs(m2) is not None
+        pages = np.stack([_page(rng, 160, 200)])
+        ref = self._two_stage(pages, [m2], [0], [rh], [rw], [120],
+                              64, 256, 320)
+        got = self._separable(pages, [m2], [0], [rh], [rw], [120],
+                              64, 256, 320)
+        np.testing.assert_allclose(got, ref, atol=2e-3)
+
+    def test_slanted_is_rejected(self):
+        from oar_ocr_tpu.ops.warp import (build_native_crop_matrix,
+                                          separable_coefs)
+
+        q = np.array([[30, 30], [120, 50], [110, 80], [20, 60]], np.float32)
+        m, _, _ = build_native_crop_matrix(q)
+        assert separable_coefs(m) is None
