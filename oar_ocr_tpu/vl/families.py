@@ -40,7 +40,42 @@ from .attention import (combine_masks, create_causal_mask,
 from .decoder import CausalLM, DecoderConfig
 from .kv_cache import KVCache, decoder_cache_capacity
 from .model import ByteTokenizer
-from .paddleocr_vl import VisionBlock
+from .paddleocr_vl import SwiGLU
+from .attention import scaled_dot_product_attention
+
+
+class VisionBlock(nn.Module):
+    """Generic pre-LN ViT block shared by the family vision towers
+    (each family's REAL tower replaces this as its exact architecture
+    lands — PaddleOCR-VL's is in paddleocr_vl.py)."""
+
+    heads: int
+
+    @nn.compact
+    def __call__(self, x, mask, valid_len=None):
+        import os
+
+        d = x.shape[-1]
+        h = nn.LayerNorm(dtype=x.dtype)(x)
+        b, t, _ = h.shape
+        hd = d // self.heads
+        qkv = nn.Dense(3 * d, dtype=x.dtype, name="qkv")(h)
+        q, k, v = jnp.split(qkv, 3, -1)
+        shp = (b, t, self.heads, hd)
+        q = q.reshape(shp).transpose(0, 2, 1, 3)
+        k = k.reshape(shp).transpose(0, 2, 1, 3)
+        v = v.reshape(shp).transpose(0, 2, 1, 3)
+        if valid_len is not None and os.environ.get("OAR_TPU_FLASH_VISION"):
+            from ..ops.flash_attention import flash_attention
+
+            o = flash_attention(q, k, v, valid_len=valid_len)
+        else:
+            o = scaled_dot_product_attention(q, k, v, mask)
+        o = o.transpose(0, 2, 1, 3).reshape(b, t, d)
+        x = x + nn.Dense(d, dtype=x.dtype, name="proj")(o)
+        h = nn.LayerNorm(dtype=x.dtype)(x)
+        x = x + SwiGLU(d * 4)(h)
+        return x
 from .speculative import verify_draft
 
 

@@ -85,13 +85,20 @@ class PaddleOCRVL:
             params = self._init_params(seed)
         self.params = jax.device_put(params, self.runtime.device)
         self._encode_vision = jax.jit(
-            lambda p, patches, valid: self.module.apply(
-                p, patches, valid, method=PaddleOCRVLModule.encode_vision))
+            lambda p, patches, valid, h_ids, w_ids, pe: self.module.apply(
+                p, patches, valid, h_ids, w_ids, pe,
+                method=PaddleOCRVLModule.encode_vision))
         self._embed_tokens = jax.jit(
             lambda p, i: self.module.apply(
                 p, i, method=PaddleOCRVLModule.embed_tokens))
         self._prefill_decode = jax.jit(
             self._prefill_decode_impl, static_argnames=("max_new", "capacity"))
+        # host copy of the learned position table for per-grid bilinear
+        # interpolation (vision.rs interpolate_pos_encoding — grids are
+        # dynamic per image; the table is tiny)
+        self._pos_table = np.asarray(self.module.apply(
+            self.params, method=PaddleOCRVLModule.position_table
+        ).astype(jnp.float32))
 
     def _init_params(self, seed: int):
         c = self.cfg
@@ -103,6 +110,34 @@ class PaddleOCRVL:
         pos = jnp.zeros((3, 1, 4), jnp.int32)
         return self.module.init(rng, patches, valid, ids, pos,
                                 method=PaddleOCRVLModule.init_all)
+
+    def _interp_pos_embed(self, gh: int, gw: int) -> np.ndarray:
+        """Bilinear align_corners=False interpolation of the learned
+        (grid², v_dim) table to (gh·gw, v_dim), in the host block order
+        _prepare_image emits (vision.rs interpolate_pos_encoding)."""
+
+        table = self._pos_table
+        g = int(round(len(table) ** 0.5))
+        grid = table.reshape(g, g, -1)
+
+        def axis_weights(dst, src):
+            pos = np.clip((np.arange(dst) + 0.5) * src / dst - 0.5,
+                          0, src - 1)
+            lo = np.floor(pos).astype(np.int64)
+            hi = np.minimum(lo + 1, src - 1)
+            f = (pos - lo)[:, None]
+            return lo, hi, f
+
+        ylo, yhi, fy = axis_weights(gh, g)
+        xlo, xhi, fx = axis_weights(gw, g)
+        top = grid[ylo][:, xlo] * (1 - fx) + grid[ylo][:, xhi] * fx
+        bot = grid[yhi][:, xlo] * (1 - fx) + grid[yhi][:, xhi] * fx
+        out = top * (1 - fy[:, None]) + bot * fy[:, None]
+        # reorder raster (gh, gw) → the 2×2-block token order
+        m = self.cfg.v_merge
+        out = out.reshape(gh // m, m, gw // m, m, -1)
+        out = out.transpose(0, 2, 1, 3, 4)
+        return out.reshape(gh * gw, -1).astype(np.float32)
 
     # ------------------------------------------------------------------
     def _prefill_decode_impl(self, params, embeds, position_ids, prompt_mask,
@@ -149,8 +184,13 @@ class PaddleOCRVL:
 
     # ------------------------------------------------------------------
     def _prepare_image(self, image: np.ndarray
-                       ) -> Tuple[np.ndarray, Tuple[int, int]]:
-        """smart_resize + patchify → ((T, patch²·3) float32, grid)."""
+                       ) -> Tuple[np.ndarray, Tuple[int, int],
+                                  np.ndarray, np.ndarray]:
+        """smart_resize + patchify → ((T, patch²·3) float32, grid,
+        h_ids, w_ids). Patches are emitted in 2×2-block order so the
+        projector's static reshape merges spatial neighbors; h/w ids
+        carry the ORIGINAL raster grid position per patch for the 2-D
+        vision rope and the interpolated position embedding."""
         import cv2
 
         h, w = image.shape[:2]
@@ -160,13 +200,15 @@ class PaddleOCRVL:
         x = (x - 0.5) / 0.5
         p = self.cfg.v_patch
         gh, gw = th // p, tw // p
-        # NaViT merge-aware patch order: 2×2 blocks stay adjacent so the
-        # projector's reshape merges spatial neighbors
         m = self.cfg.v_merge
         x = x.reshape(gh // m, m, p, gw // m, m, p, 3)
         x = x.transpose(0, 3, 1, 4, 2, 5, 6)   # (gh/m, gw/m, m, m, p, p, 3)
         patches = x.reshape(gh * gw, p * p * 3)
-        return patches, (gh, gw)
+        hh, ww = np.meshgrid(np.arange(gh), np.arange(gw), indexing="ij")
+        ids = np.stack([hh, ww], -1).reshape(gh // m, m, gw // m, m, 2)
+        ids = ids.transpose(0, 2, 1, 3, 4).reshape(gh * gw, 2)
+        return patches, (gh, gw), ids[:, 0].astype(np.int32), \
+            ids[:, 1].astype(np.int32)
 
     def generate(self, images: Sequence[np.ndarray], task: str = "ocr",
                  *, max_new_tokens: int = 512) -> List[GenerationResult]:
@@ -204,24 +246,31 @@ class PaddleOCRVL:
 
         # --- vision ---
         prepared = [self._prepare_image(im) for im in images]
-        max_t = max(p.shape[0] for p, _ in prepared)
+        max_t = max(p.shape[0] for p, _, _, _ in prepared)
         m2 = c.v_merge ** 2
         max_t = ((max_t + m2 - 1) // m2) * m2
         b = len(images)
         patch_dim = c.v_patch * c.v_patch * 3
         patch_batch = np.zeros((b, max_t, patch_dim), np.float32)
         valid = np.zeros((b, max_t), bool)
-        for i, (p, _) in enumerate(prepared):
+        h_ids = np.zeros((b, max_t), np.int32)
+        w_ids = np.zeros((b, max_t), np.int32)
+        pos_embed = np.zeros((b, max_t, c.v_dim), np.float32)
+        for i, (p, (gh, gw), hi, wi) in enumerate(prepared):
             patch_batch[i, : p.shape[0]] = p
             valid[i, : p.shape[0]] = True
+            h_ids[i, : p.shape[0]] = hi
+            w_ids[i, : p.shape[0]] = wi
+            pos_embed[i, : p.shape[0]] = self._interp_pos_embed(gh, gw)
         with stage_timer("vl.vision", batch=b, tokens=max_t):
             img_embeds = self._encode_vision(
                 self.params, jnp.asarray(patch_batch, self.runtime.compute_dtype),
-                jnp.asarray(valid))
+                jnp.asarray(valid), jnp.asarray(h_ids), jnp.asarray(w_ids),
+                jnp.asarray(pos_embed, self.runtime.compute_dtype))
 
         # --- prompts (model.rs:312-313 template) ---
         prompt_rows, img_slots, n_img_tokens = [], [], []
-        for i, (p, (gh, gw)) in enumerate(prepared):
+        for i, (p, (gh, gw), _hi, _wi) in enumerate(prepared):
             n_tok = p.shape[0] // m2
             prefix = self.tokenizer.encode("User: ")
             suffix = self.tokenizer.encode(
