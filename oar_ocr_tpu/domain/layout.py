@@ -49,6 +49,10 @@ class LayoutVariant:
     # preprocessing (scale_aware_detector.rs:55-80)
     bgr: bool = False
     imagenet_norm: bool = True      # else mean 0 / std 1 (scale only)
+    # actual network inside the deploy graph: "picodet" or "rtdetr-{L,X}"
+    # (PP-DocLayout-S is PicoDet-S; -M is PicoDet-L; -L / plus-L / V2 / V3 /
+    # BlockLayout are RT-DETR-L; the table-cell dets are RT-DETR-L)
+    net: str = "picodet"
 
     @property
     def num_classes(self) -> int:
@@ -71,31 +75,33 @@ LAYOUT_VARIANTS: Dict[str, LayoutVariant] = {
         LayoutVariant("picodet-l_layout_17cls", "picodet",
                       tuple(_17CLS), (640, 640), bgr=True),
         LayoutVariant("rt-detr-h_layout_3cls", "rtdetr",
-                      ("figure", "table", "seal"), (640, 640)),
+                      ("figure", "table", "seal"), (640, 640), net="rtdetr-X"),
         LayoutVariant("rt-detr-h_layout_17cls", "rtdetr",
-                      tuple(_17CLS), (640, 640)),
+                      tuple(_17CLS), (640, 640), net="rtdetr-X"),
         LayoutVariant("pp-docblocklayout", "pp-doclayout",
-                      ("region",), (640, 640), imagenet_norm=False),
+                      ("region",), (640, 640), imagenet_norm=False,
+                      net="rtdetr-L"),
         LayoutVariant("pp-doclayout-s", "pp-doclayout",
                       tuple(_DOCLAYOUT_23), (480, 480), imagenet_norm=False),
         LayoutVariant("pp-doclayout-m", "pp-doclayout",
                       tuple(_DOCLAYOUT_23), (640, 640), imagenet_norm=False),
         LayoutVariant("pp-doclayout-l", "pp-doclayout",
-                      tuple(_DOCLAYOUT_23), (800, 800), imagenet_norm=False),
+                      tuple(_DOCLAYOUT_23), (800, 800), imagenet_norm=False,
+                      net="rtdetr-L"),
         LayoutVariant("pp-doclayout_plus-l", "pp-doclayout",
                       tuple(_DOCLAYOUT_PLUS_20), (800, 800),
-                      imagenet_norm=False),
+                      imagenet_norm=False, net="rtdetr-L"),
         LayoutVariant("pp-doclayoutv2", "pp-doclayout",
                       tuple(_DOCLAYOUT_V2_25), (800, 800),
-                      imagenet_norm=False),
+                      imagenet_norm=False, net="rtdetr-L"),
         LayoutVariant("pp-doclayoutv3", "pp-doclayout",
                       tuple(_DOCLAYOUT_V2_25), (800, 800),
-                      imagenet_norm=False),
+                      imagenet_norm=False, net="rtdetr-L"),
         # table cell detectors (task TableCellDetection; RT-DETR based)
         LayoutVariant("rt-detr-l_wired_table_cell_det", "rtdetr",
-                      ("cell",), (640, 640)),
+                      ("cell",), (640, 640), net="rtdetr-L"),
         LayoutVariant("rt-detr-l_wireless_table_cell_det", "rtdetr",
-                      ("cell",), (640, 640)),
+                      ("cell",), (640, 640), net="rtdetr-L"),
     ]
 }
 

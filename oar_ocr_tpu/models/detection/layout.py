@@ -11,10 +11,10 @@ top-k for RT-DETR) compile into ONE program per variant; the host receives
 (max_det, 6) arrays.
 
 PicoDet head uses GFL distribution regression (reg_max bins, integral
-decode) over CSP-PAN levels — the deployed topology. RT-DETR here uses
-dense cross-attention over flattened multi-scale features instead of
-multi-scale deformable attention (gather-heavy and TPU-hostile); this is a
-documented architectural deviation to revisit at weight-conversion time.
+decode) over CSP-PAN levels — the deployed topology. RT-DETR variants run
+the exact deploy topology (PPHGNetV2 + HybridEncoder + multi-scale
+deformable decoder, rtdetr.py) with DETRPostProcess top-k semantics —
+golden-parity-tested against tools/torch_ref_rtdetr.py.
 """
 
 from __future__ import annotations
@@ -30,10 +30,11 @@ import numpy as np
 from ...domain.layout import LAYOUT_VARIANTS, LayoutBox, LayoutVariant
 from ...ops.nms import nms_fixed, topk_candidates
 from ...ops.warp import NormSpec, resize_matrix, sample_transform
-from ...runtime.runtime import Runtime, init_params
+from ...runtime.runtime import Runtime, init_params, init_params_fast
 from ...utils.tracing import stage_timer
 from ..backbones import PPLCNetV3
-from ..layers import ConvBNAct, DepthSepConv, TransformerBlock
+from ..layers import ConvBNAct, DepthSepConv
+from .rtdetr import RTDETRExact, rtdetr_postprocess
 
 
 class CSPPAN(nn.Module):
@@ -124,41 +125,6 @@ class PicoDetModel(nn.Module):
                 jnp.concatenate(all_boxes, axis=1))
 
 
-class RTDETRModel(nn.Module):
-    """RT-DETR-style query detector: backbone → encoder over last level →
-    query decoder → (Q, C) sigmoid scores + (Q, 4) normalized cxcywh."""
-
-    num_classes: int
-    num_queries: int = 300
-    dim: int = 256
-    dec_layers: int = 3
-    backbone_scale: float = 1.0
-
-    @nn.compact
-    def __call__(self, x):
-        _, _, c4, c5 = PPLCNetV3(scale=self.backbone_scale, mode="det")(x)
-        b = x.shape[0]
-        # encoder over stride-32 map
-        f = nn.Conv(self.dim, (1, 1), dtype=x.dtype)(c5)
-        h, w = f.shape[1], f.shape[2]
-        seq = f.reshape(b, h * w, self.dim)
-        seq = TransformerBlock(8)(seq)
-        # learnable queries decoded by self+cross attention
-        queries = self.param("queries", nn.initializers.normal(0.02),
-                             (self.num_queries, self.dim))
-        q = jnp.tile(queries[None].astype(x.dtype), (b, 1, 1))
-        for _ in range(self.dec_layers):
-            q = TransformerBlock(8)(q)
-            # cross attention
-            attn = jnp.einsum("bqd,bkd->bqk", q, seq) / jnp.sqrt(self.dim)
-            attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(x.dtype)
-            q = q + jnp.einsum("bqk,bkd->bqd", attn, seq)
-            q = nn.LayerNorm(dtype=q.dtype)(q)
-        logits = nn.Dense(self.num_classes, dtype=q.dtype)(q)
-        boxes = jax.nn.sigmoid(nn.Dense(4, dtype=q.dtype)(q).astype(jnp.float32))
-        return jax.nn.sigmoid(logits.astype(jnp.float32)), boxes
-
-
 @dataclass
 class LayoutDetections:
     boxes: List[LayoutBox]
@@ -173,19 +139,26 @@ class LayoutDetector:
 
     def __init__(self, variant: str = "pp-doclayout_plus-l", params=None, *,
                  score_thresh: float = 0.5, nms_iou: float = 0.6,
-                 runtime: Optional[Runtime] = None):
+                 runtime: Optional[Runtime] = None,
+                 net_overrides: Optional[dict] = None):
         self.variant: LayoutVariant = LAYOUT_VARIANTS[variant]
         self.runtime = runtime or Runtime.default()
         self.score_thresh = score_thresh
         self.nms_iou = nms_iou
         v = self.variant
-        if v.model_type == "rtdetr":
-            self.model = RTDETRModel(num_classes=v.num_classes)
+        self._is_detr = v.net.startswith("rtdetr")
+        if self._is_detr:
+            kw = dict(num_classes=v.num_classes, arch=v.net.split("-")[1])
+            kw.update(net_overrides or {})
+            self.model = RTDETRExact(**kw)
+            if params is None:
+                params = init_params_fast(
+                    self.model, (1, v.input_hw[0], v.input_hw[1], 3))
         else:
             self.model = PicoDetModel(num_classes=v.num_classes)
-        if params is None:
-            params = init_params(self.model,
-                                 (1, v.input_hw[0], v.input_hw[1], 3))
+            if params is None:
+                params = init_params(self.model,
+                                     (1, v.input_hw[0], v.input_hw[1], 3))
         self.params = jax.device_put(params, self.runtime.device)
         self._step = jax.jit(self._step_impl)
 
@@ -212,21 +185,18 @@ class LayoutDetector:
                            src_hw[:, 1] / iw, src_hw[:, 0] / ih],
                           axis=-1).astype(jnp.float32)     # (N, 4)
 
-        if self.variant.model_type == "rtdetr":
-            # cxcywh normalized → xyxy input px, topk, no NMS
-            cx, cy, bw, bh = (boxes[..., 0], boxes[..., 1],
-                              boxes[..., 2], boxes[..., 3])
-            xyxy = jnp.stack([cx - bw / 2, cy - bh / 2,
-                              cx + bw / 2, cy + bh / 2], -1)
-            xyxy = xyxy * jnp.array([iw, ih, iw, ih], jnp.float32)
-
-            def per_image(s, bx, sc):
-                cand_b, cand_s, cand_l = topk_candidates(
-                    s, bx, k=self.MAX_DET)
-                valid = cand_s > self.score_thresh
-                return cand_b * sc[None, :], cand_s, cand_l, valid
-
-            return jax.vmap(per_image)(scores, xyxy, scale)
+        if self._is_detr:
+            # DETRPostProcess semantics: sigmoid → top-k over Q·C → scale
+            # normalized xyxy by the ORIGINAL page size (no NMS).
+            logits = scores                      # (N, Q, C) raw logits
+            top_sc, labels, xyxy = rtdetr_postprocess(
+                logits, boxes, num_top=self.MAX_DET)
+            src = jnp.stack([src_hw[:, 1], src_hw[:, 0],
+                             src_hw[:, 1], src_hw[:, 0]],
+                            axis=-1).astype(jnp.float32)   # (N, 4)
+            xyxy = xyxy * src[:, None, :]
+            valid = top_sc > self.score_thresh
+            return xyxy, top_sc, labels, valid
 
         def per_image(s, bx, sc):
             cand_b, cand_s, cand_l = topk_candidates(s, bx, k=self.TOPK)

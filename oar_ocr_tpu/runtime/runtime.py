@@ -127,6 +127,34 @@ def init_params(module, example_shape, *, seed: int = 0, dtype=jnp.float32):
     return module.init(rng, x)
 
 
+def init_params_fast(module, example_shape, *, seed: int = 0,
+                     dtype=jnp.float32, scale: float = 0.05):
+    """Shape-only init: trace the module with jax.eval_shape (no compute)
+    and materialize every leaf as seeded host randoms. For big models
+    (RT-DETR-L is ~42 M params) a real ``init`` runs the whole forward
+    eagerly — minutes on the single host core — while the weights are
+    random placeholders anyway (real values come from convert_weights)."""
+    rng = jax.random.PRNGKey(seed)
+    shapes = jax.eval_shape(lambda r: module.init(r, jnp.zeros(
+        tuple(example_shape), dtype)), rng)
+    gen = np.random.default_rng(seed)
+
+    def leaf(path, s):
+        name = str(path[-1].key) if path else ""
+        if s.dtype == jnp.int32:
+            return jnp.zeros(s.shape, jnp.int32)
+        if name == "var":                      # BN variance must be > 0
+            v = gen.random(s.shape).astype(np.float32) * 0.5 + 0.75
+        elif name in ("scale", "bias", "mean"):
+            v = (np.ones(s.shape, np.float32) if name == "scale"
+                 else np.zeros(s.shape, np.float32))
+        else:
+            v = gen.standard_normal(s.shape).astype(np.float32) * scale
+        return jnp.asarray(v, dtype=s.dtype)
+
+    return jax.tree_util.tree_map_with_path(leaf, shapes)
+
+
 def pad_to(arr: np.ndarray, shape: Tuple[int, ...], value=0) -> np.ndarray:
     """Zero-pad a host array up to ``shape`` (no-op when equal)."""
     if tuple(arr.shape) == tuple(shape):

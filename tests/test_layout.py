@@ -85,7 +85,13 @@ def test_topk_candidates():
 def test_layout_detector_runs(variant, rng):
     from oar_ocr_tpu.models.detection.layout import LayoutDetector
 
-    det = LayoutDetector(variant, score_thresh=0.01)
+    # rtdetr variants: shrink the exact topology to test scale (arch "T")
+    # — the wiring under test is identical, full dims are config data.
+    overrides = (dict(arch="T", hidden_dim=64, num_queries=32,
+                      num_decoder_layers=2, nhead=8, dim_feedforward=128)
+                 if variant.startswith("rt-detr") else None)
+    det = LayoutDetector(variant, score_thresh=0.01,
+                         net_overrides=overrides)
     pages = jnp.asarray(rng.integers(0, 255, (1, 256, 256, 3), dtype=np.uint8))
     out = det.detect(pages, [(256, 256)])
     assert len(out) == 1
