@@ -73,40 +73,47 @@ def main():
     plans = [CropPlan.from_quad(pi, q) for pi, q in quads]
     plans.sort(key=lambda p: p.wh_ratio)
 
-    def det_pass():
+    # Group the injected quads by page so recognition consumes each det
+    # batch's regions as soon as that batch's postprocess lands — the same
+    # streaming det→rec overlap OAROCR.predict runs (pipelines/ocr.py):
+    # det batch i+1 computes and rec chunks of batch i compute while batch
+    # i's host candidate extraction runs.
+    by_page = {}
+    for p in plans:
+        by_page.setdefault(p.page_index, []).append(p)
+
+    def full_pass():
         bs = pipe.cfg.image_batch_size
-        pending = []
+        rbs = pipe.cfg.region_batch_size
+        det_pending = []
         for s in range(0, N_PAGES, bs):
             idx = list(range(s, min(s + bs, N_PAGES)))
-            pending.append(pipe.detector.dispatch(
-                pages, [shapes[i] for i in idx], page_indices=idx))
-        out = []
-        for handle in pending:
-            out.extend(pipe.detector.collect(handle))
-        return out
+            det_pending.append((idx, pipe.detector.dispatch(
+                pages, [shapes[i] for i in idx], page_indices=idx)))
 
-    def rec_pass():
-        rbs = pipe.cfg.region_batch_size
-        pending = [
-            (plans[s : s + rbs],
-             pipe.recognizer.dispatch_chunk(pages, plans[s : s + rbs],
-                                            host_images=pages_np))
-            for s in range(0, len(plans), rbs)
-        ]
-        out = []
-        for chunk, handle in pending:
-            out.extend(pipe.recognizer.collect_chunk(handle, chunk))
-        return out
+        det_out, rec_pending = [], []
+        for idx, handle in det_pending:
+            det_out.extend(pipe.detector.collect(handle))
+            batch_plans = sorted(
+                (p for i in idx for p in by_page[i]),
+                key=lambda p: p.wh_ratio)
+            for s in range(0, len(batch_plans), rbs):
+                chunk = batch_plans[s : s + rbs]
+                rec_pending.append((chunk, pipe.recognizer.dispatch_chunk(
+                    pages, chunk, host_images=pages_np)))
+
+        rec_out = []
+        for chunk, handle in rec_pending:
+            rec_out.extend(pipe.recognizer.collect_chunk(handle, chunk))
+        return det_out, rec_out
 
     # warmup / compile
-    det_pass()
-    rec_pass()
+    full_pass()
 
     best = None
     for _ in range(3):
         t0 = time.perf_counter()
-        det_pass()
-        rec_pass()
+        full_pass()
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
         print(f"iter: {N_PAGES / dt:.2f} pages/s ({dt*1e3:.0f} ms)",

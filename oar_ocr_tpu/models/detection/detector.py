@@ -150,6 +150,13 @@ class DBDetector:
                 jnp.asarray(dst_h), jnp.asarray(dst_w),
                 jnp.float32(pp_cfg.thresh),
                 out_h=out_h, out_w=out_w, dilate=pp_cfg.use_dilation)
+        # start the bitmap d2h now — the ~1 MB bit-packed transfer rides
+        # the slow tunnel while the next batch computes (collect then
+        # finds it resident instead of paying the RTT synchronously)
+        try:
+            packed.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
         return (plans, prob_dev, packed, out_w)
 
     def detect(

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...core.constants import REC_IMAGE_SHAPE, REC_MAX_WIDTH
-from ...ops.ctc import CTCLabelDecoder, ctc_greedy_decode, default_charset
+from ...ops.ctc import (CTCLabelDecoder, ctc_greedy_decode, default_charset,
+                        pack_ctc_raw, unpack_ctc_raw)
 from ...runtime.runtime import Runtime, init_params
 from ...utils.tracing import stage_timer
 from .svtr import SVTRRecognizer
@@ -77,6 +78,16 @@ class CropPlan:
     @property
     def wh_ratio(self) -> float:
         return self.width / float(REC_H)
+
+
+def _copy_async(arr) -> None:
+    """Kick off the device→host transfer early (non-blocking) so the
+    ~30 ms-RTT tunnel fetch overlaps later device work; harmless no-op on
+    backends without the hook."""
+    try:
+        arr.copy_to_host_async()
+    except (AttributeError, NotImplementedError):
+        pass
 
 
 class CTCRecognizer:
@@ -152,8 +163,7 @@ class CTCRecognizer:
             out_h=REC_H, out_w=out_w,
             out_dtype=self.runtime.compute_dtype)
         probs = self.model.apply(params, tiles)
-        raw = ctc_greedy_decode(probs)
-        return raw.indices, raw.probs, raw.keep
+        return pack_ctc_raw(ctc_greedy_decode(probs))
 
     def _step_tiles_impl(self, params, tiles_u8, native_w, native_h,
                          valid_w, *, out_w):
@@ -171,8 +181,7 @@ class CTCRecognizer:
             out_h=REC_H, out_w=out_w,
             out_dtype=self.runtime.compute_dtype)
         probs = self.model.apply(params, tiles)
-        raw = ctc_greedy_decode(probs)
-        return raw.indices, raw.probs, raw.keep
+        return pack_ctc_raw(ctc_greedy_decode(probs))
 
     def _step_sep_impl(self, params, src_pages, row_c, col_c,
                        img_idx, band_y0, nat_h, nat_w, valid_w,
@@ -185,8 +194,7 @@ class CTCRecognizer:
             nat_h_bucket=nat_hb, nat_w_bucket=nat_wb, band_h=band_h,
             norm=NormSpec.rec_bgr(), out_dtype=self.runtime.compute_dtype)
         probs = self.model.apply(params, tiles)
-        raw = ctc_greedy_decode(probs)
-        return raw.indices, raw.probs, raw.keep
+        return pack_ctc_raw(ctc_greedy_decode(probs))
 
     def _pages_transposed(self, pages_u8):
         cached = self._pages_t
@@ -294,11 +302,13 @@ class CTCRecognizer:
         gather warp."""
 
         if host_images is not None and self.host_warp:
-            return [(list(range(len(plans))),
-                     self._dispatch_host_warp(host_images, plans))]
+            h = self._dispatch_host_warp(host_images, plans)
+            _copy_async(h)
+            return [(list(range(len(plans))), h)]
         if not self.separable_warp:
-            return [(list(range(len(plans))),
-                     self._dispatch_device_warp(pages_u8, plans))]
+            h = self._dispatch_device_warp(pages_u8, plans)
+            _copy_async(h)
+            return [(list(range(len(plans))), h)]
         max_band = self.runtime.cfg.rec_native_h_buckets.sizes[-1]
         groups = {"direct": ([], [], []), "swapped": ([], [], [])}
         gat_pos, gat_plans = [], []
@@ -324,6 +334,10 @@ class CTCRecognizer:
         if gat_plans:
             out.append((gat_pos, self._dispatch_device_warp(
                 pages_u8, gat_plans)))
+        # start the d2h copies now so the (slow-RTT) transfers overlap the
+        # device compute of later chunks instead of serializing in collect
+        for _, packed in out:
+            _copy_async(packed)
         return out
 
     def _dispatch_device_warp(self, pages_u8: jax.Array,
@@ -366,11 +380,10 @@ class CTCRecognizer:
         """Fetch + dictionary-decode one dispatched chunk (composite
         handle: sub-batches merge back into plan order)."""
         results: List = [None] * len(plans)
-        for positions, (idx, prob, keep) in handle:
+        for positions, packed in handle:
             n = len(positions)
             with stage_timer("rec.device", batch=n):
-                idx, prob, keep = (np.asarray(idx), np.asarray(prob),
-                                   np.asarray(keep))
+                idx, prob, keep = unpack_ctc_raw(np.asarray(packed))
             with stage_timer("rec.decode", batch=n):
                 decoded = self.decoder.decode_with_positions(
                     (idx[:n], prob[:n], keep[:n]))

@@ -39,6 +39,25 @@ class CTCRaw(NamedTuple):
     keep: jax.Array       # bool: contributes a character
 
 
+def pack_ctc_raw(raw: CTCRaw) -> jax.Array:
+    """Fold (indices, probs, keep) into ONE (B, T, 2) f32 array so a chunk
+    costs a single device→host fetch instead of three (the axon tunnel
+    charges ~30 ms RTT per fetch — docs/environment-variables.md).
+    Channel 0 = index where kept else −1 (vocab ≤ 18.7k is exact in f32);
+    channel 1 = prob."""
+    idx = jnp.where(raw.keep, raw.indices, -1).astype(jnp.float32)
+    return jnp.stack([idx, raw.probs], axis=-1)
+
+
+def unpack_ctc_raw(packed: np.ndarray
+                   ) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Host inverse of pack_ctc_raw → (indices, probs, keep) np arrays."""
+    ch0 = packed[..., 0]
+    keep = ch0 >= 0
+    idx = np.where(keep, ch0, 0).astype(np.int32)
+    return idx, packed[..., 1], keep
+
+
 def argmax_last(x: jax.Array, axis: int = -1) -> jax.Array:
     """Argmax with last-max-wins tie-breaking (decode.rs:27-31)."""
     n = x.shape[axis]
