@@ -175,16 +175,27 @@ class CausalLM(nn.Module):
         return jnp.zeros((c.layers, batch, c.heads, c.head_dim,
                           c.head_dim), jnp.float32)
 
-    def trunk(self, embeds, position_ids, cache, pos, mask, dstate=None):
+    def trunk(self, embeds, position_ids, cache, pos, mask, dstate=None,
+              aux_layers: Tuple[int, ...] = ()):
+        """``aux_layers``: 1-based layer ids whose POST-layer hidden states
+        are concatenated along the hidden axis and returned as the fourth
+        output — the DFlash target-feature tap (hunyuanocr llm.rs:1108-1122
+        records hidden_states after layer index+1 and cats on dim 2)."""
         cos, sin = _rope_tables(self.cfg, position_ids)
         cos = cos.astype(embeds.dtype)
         sin = sin.astype(embeds.dtype)
         if dstate is None:
             dstate = self.empty_delta_state(embeds.shape[0])
         x = embeds
-        for layer in self.decoder_layers:
+        aux = []
+        for li, layer in enumerate(self.decoder_layers):
             x, cache, dstate = layer(x, cos, sin, cache, pos, mask, dstate)
-        return self.final_norm(x), cache, dstate
+            if (li + 1) in aux_layers:
+                aux.append(x)
+        out = self.final_norm(x)
+        if aux_layers:
+            return out, cache, dstate, jnp.concatenate(aux, axis=-1)
+        return out, cache, dstate
 
     def prefill(self, embeds, position_ids, cache, mask, dstate=None):
         hidden, cache, dstate = self.trunk(embeds, position_ids, cache,
@@ -245,3 +256,33 @@ class CausalLM(nn.Module):
 
     def logits_for(self, hidden):
         return self.lm_head(hidden).astype(jnp.float32)
+
+    # ----------------- DFlash aux-capturing variants -----------------
+
+    def prefill_aux(self, embeds, position_ids, cache, mask,
+                    aux_layers: Tuple[int, ...]):
+        """prefill + the concatenated mid-layer hidden states the DFlash
+        draft consumes as context (dflash.rs reset_context)."""
+        hidden, cache, _, aux = self.trunk(
+            embeds, position_ids, cache, jnp.int32(0), mask,
+            aux_layers=aux_layers)
+        return (self.lm_head(hidden[:, -1]).astype(jnp.float32), hidden,
+                cache, aux)
+
+    def decode_block_aux(self, tok_ids, position_ids, cache, pos,
+                         aux_layers: Tuple[int, ...]):
+        """Causal verify block + aux hiddens for the accepted rows
+        (dflash.rs append_context feeds them back into the draft)."""
+        b, t = tok_ids.shape
+        embeds = self.tok_emb(tok_ids)
+        cap = cache.capacity
+        cap_pos = jnp.arange(cap)[None, None, None, :]
+        q_pos = jnp.arange(t)[None, None, :, None]
+        limit = cache.length[:, None, None, None] + q_pos + 1
+        mask = cap_pos < limit
+        if cache.pad is not None:
+            mask = mask & (cap_pos >= cache.pad[:, None, None, None])
+        hidden, cache, _, aux = self.trunk(embeds, position_ids, cache,
+                                           pos, mask, aux_layers=aux_layers)
+        cache = cache.advance(t)
+        return self.lm_head(hidden).astype(jnp.float32), hidden, cache, aux

@@ -38,7 +38,9 @@ from ..utils.tracing import stage_timer
 from .attention import (combine_masks, create_causal_mask,
                         create_left_padding_mask)
 from .decoder import CausalLM, DecoderConfig
+from .dflash import DFlashConfig, DFlashDraft
 from .kv_cache import KVCache, decoder_cache_capacity
+from .paged_kv import PagedKVCache, page_bucket
 from .model import ByteTokenizer
 from .paddleocr_vl import SwiGLU
 from .attention import scaled_dot_product_attention
@@ -100,13 +102,19 @@ class FamilyConfig:
     prompt_templates: Optional[Dict[str, str]] = None
     # mechanism knobs
     draft_len: int = 0              # speculation block size (0 = greedy)
+    # HunyuanOCR: the real DFlash block draft (vl/dflash.py). When set it
+    # replaces the generic MTP layer in generate_speculative.
+    dflash: Optional[DFlashConfig] = None
     diffusion_block: int = 0        # SDAR block length (0 = AR)
     fork_token: str = "<FORK>"
     max_active_branches: int = 64   # hpd_parsing/model.rs:23-41
 
     def tiny(self) -> "FamilyConfig":
-        return dataclasses.replace(self, decoder=self.decoder.tiny(),
-                                   vision=self.vision.tiny())
+        return dataclasses.replace(
+            self, decoder=self.decoder.tiny(),
+            vision=self.vision.tiny(),
+            dflash=None if self.dflash is None else self.dflash.tiny(
+                vocab_size=256, hidden=64, heads=4, kv_heads=2, head_dim=16))
 
 
 FAMILY_CONFIGS: Dict[str, FamilyConfig] = {
@@ -114,7 +122,8 @@ FAMILY_CONFIGS: Dict[str, FamilyConfig] = {
         "hunyuanocr",
         DecoderConfig(vocab_size=128000, hidden=2048, layers=20, heads=16,
                       kv_heads=4, ffn=6144, rope_kind="xdrope"),
-        VisionConfig(), tasks=("ocr", "table", "formula"), draft_len=8),
+        VisionConfig(), tasks=("ocr", "table", "formula"), draft_len=8,
+        dflash=DFlashConfig()),
     "glmocr": FamilyConfig(
         "glmocr",
         DecoderConfig(vocab_size=151552, hidden=1536, layers=24, heads=12,
@@ -203,7 +212,9 @@ class FamilyModule(nn.Module):
         self.lm = CausalLM(self.cfg.decoder)
         self.v_proj_1 = nn.Dense(self.cfg.decoder.hidden * 2, name="vp1")
         self.v_proj_2 = nn.Dense(self.cfg.decoder.hidden, name="vp2")
-        if self.cfg.draft_len > 0:
+        if self.cfg.dflash is not None:
+            self.dflash = DFlashDraft(self.cfg.dflash, name="dflash")
+        elif self.cfg.draft_len > 0:
             self.mtp = MTPDraftLayer(self.cfg.decoder.hidden,
                                      self.cfg.decoder.vocab_size,
                                      name="mtp")
@@ -236,6 +247,34 @@ class FamilyModule(nn.Module):
     def draft_step(self, h, tok):
         return self.mtp(h, tok)
 
+    # --------------------- DFlash (HunyuanOCR) ---------------------
+
+    def prefill_aux(self, embeds, position_ids, cache, mask):
+        return self.lm.prefill_aux(embeds, position_ids, cache, mask,
+                                   self.cfg.dflash.target_layer_ids)
+
+    def decode_block_aux(self, tok_ids, position_ids, cache, pos):
+        return self.lm.decode_block_aux(tok_ids, position_ids, cache, pos,
+                                        self.cfg.dflash.target_layer_ids)
+
+    def dflash_context_rows(self, aux_hidden, start):
+        return self.dflash.context_rows(aux_hidden, start)
+
+    def dflash_proposals(self, bonus_tok, ctx_cache: PagedKVCache,
+                         n_pages: int, start):
+        """Draft one block: [bonus embed, mask embeds], non-causal pass,
+        rows 1.. through the TARGET LM head → argmax proposals
+        (dflash.rs proposals_from_hidden:1166-1181)."""
+        d = self.cfg.dflash
+        b = bonus_tok.shape[0]
+        mask_ids = jnp.full((b, d.block_size - 1), d.mask_token_id,
+                            jnp.int32)
+        q_ids = jnp.concatenate([bonus_tok[:, None], mask_ids], axis=1)
+        q_emb = self.lm.embed_tokens(q_ids)
+        hidden = self.dflash.draft_hidden(q_emb, ctx_cache, n_pages, start)
+        logits = self.lm.logits_for(hidden[:, 1:])
+        return jnp.argmax(logits, -1).astype(jnp.int32)
+
     def init_all(self, patches, valid, ids, position_ids):
         img = self.encode_vision(patches, valid)
         emb = self.embed_tokens(ids)
@@ -245,7 +284,17 @@ class FamilyModule(nn.Module):
                                dtype=emb.dtype)
         logits, _, _, _ = self.prefill(emb, position_ids,
                                        cache, jnp.ones((b, 1, t, t), bool))
-        if self.cfg.draft_len > 0:
+        if self.cfg.dflash is not None:
+            d = self.cfg.dflash
+            aux = jnp.zeros((b, 2, c.hidden * len(d.target_layer_ids)),
+                            emb.dtype)
+            _k, _v = self.dflash.context_rows(aux, 0)
+            ctx = PagedKVCache.create(d.layers, b, d.kv_heads, 1,
+                                      d.page_size, d.head_dim,
+                                      dtype=emb.dtype)
+            self.dflash_proposals(jnp.zeros((b,), jnp.int32), ctx, 1,
+                                  jnp.int32(0))
+        elif self.cfg.draft_len > 0:
             _h, _l = self.mtp(jnp.zeros((b, c.hidden)),
                               jnp.zeros((b,), jnp.int32))
         return img, logits
@@ -376,6 +425,9 @@ class VLMFamily:
         if (self.cfg.draft_len <= 0
                 or os.environ.get("OAR_TPU_DISABLE_SPECULATION")):
             return self.generate(images, task, max_new_tokens=max_new_tokens)
+        if self.cfg.dflash is not None:
+            return self._generate_dflash(images, task,
+                                         max_new_tokens=max_new_tokens)
         task = task or self.cfg.tasks[0]
         out: List[str] = []
         for image in images:
@@ -409,6 +461,117 @@ class VLMFamily:
             while len(ids) < max_new_tokens and ids[-1] != c.eos_id:
                 emitted, a, h, tok, cache = spec_round(
                     self.params, h, tok, cache, cpos, wpos)
+                n_acc = int(a[0])
+                for v in np.asarray(emitted)[0, : n_acc + 1].tolist():
+                    ids.append(int(v))
+                    if v == c.eos_id or len(ids) >= max_new_tokens:
+                        break
+                cpos = cpos + 1 + n_acc
+                wpos = wpos + 1 + n_acc
+            out.append(self._detok(ids))
+        return out
+
+    # --------------------- DFlash generation (batch-1) ---------------------
+    def _dflash_round_impl(self, params, tok, cache, ctx, cpos, wpos,
+                           *, n_pages: int):
+        """One DFlash round: block draft (1 draft fwd) → causal target
+        verify (1 target fwd) → cache rollback → append the verified rows'
+        aux hiddens to the draft context (dflash.rs decode loop)."""
+        d = self.cfg.dflash
+        b = tok.shape[0]
+        k = d.block_size - 1
+        drafts = self.module.apply(
+            params, tok, ctx, n_pages, ctx.length[0],
+            method=FamilyModule.dflash_proposals)          # (B, K)
+        block = jnp.concatenate([tok[:, None], drafts], 1)
+        pos_ids = (cpos[None, :, None]
+                   + jnp.arange(k + 1)[None, None, :])
+        pos_ids = jnp.broadcast_to(pos_ids, (3, b, k + 1))
+        prev_len = cache.length
+        logits, _hidden, cache, aux = self.module.apply(
+            params, block, pos_ids, cache, wpos,
+            method=FamilyModule.decode_block_aux)
+        res = verify_draft(drafts, logits)
+        a = res.accepted
+        cache = cache.trim_to(prev_len[0] + 1 + a[0])
+        next_tok = jnp.take_along_axis(res.next_tokens, a[:, None],
+                                       axis=1)[:, 0]
+        # context grows by the committed rows only: append all K+1 rows
+        # (one slice write), then trim back to the accepted prefix
+        ctx_len = ctx.length[0]
+        ks, vs = self.module.apply(params, aux, ctx_len,
+                                   method=FamilyModule.dflash_context_rows)
+        for li in range(d.layers):
+            ctx = ctx.append(li, ks[li], vs[li], ctx_len)
+        ctx = ctx.advance(1 + a[0]).trim_to(ctx_len + 1 + a[0])
+        return res.next_tokens, a, next_tok, cache, ctx
+
+    def _generate_dflash(self, images: Sequence[np.ndarray],
+                         task: Optional[str] = None, *,
+                         max_new_tokens: int = 256) -> List[str]:
+        """Greedy-exact DFlash speculative decoding: the emitted tokens
+        come exclusively from target argmaxes (verify_draft), so output
+        equals `generate` token for token; the draft only sets the pace."""
+        task = task or self.cfg.tasks[0]
+        d = self.cfg.dflash
+        out: List[str] = []
+        for image in images:
+            embeds, positions, valid_lengths, max_len = self._build_inputs(
+                [image], task)
+            c = self.cfg.decoder
+            k = d.block_size - 1
+            capacity = decoder_cache_capacity(max_len,
+                                              max_new_tokens + k + 1)
+            cache = KVCache.create(c.layers, 1, c.kv_heads, capacity,
+                                   c.head_dim, dtype=embeds.dtype)
+            b, t = 1, max_len
+            pad_rows = t - jnp.asarray(valid_lengths)
+            cache = cache.with_pad(pad_rows)
+            causal = create_causal_mask(t)
+            padm = create_left_padding_mask(jnp.asarray(valid_lengths), t)
+            full = jnp.broadcast_to(combine_masks(causal, padm),
+                                    (b, 1, t, t))
+            full = jnp.concatenate(
+                [full, jnp.zeros((b, 1, t, capacity - t), bool)], -1)
+            logits, _hidden, cache, aux = jax.jit(functools.partial(
+                self.module.apply, method=FamilyModule.prefill_aux))(
+                self.params, embeds, positions, cache, full)
+            cache = cache.advance(t)
+
+            # draft context: paged cache primed with the prompt's aux rows
+            # (dflash.rs reset_context). Left-pad rows are stored but
+            # masked via ctx.pad.
+            n_pages_cap = max(
+                1, -(-(t + max_new_tokens + k + 1) // d.page_size))
+            ctx = PagedKVCache.create(d.layers, 1, d.kv_heads, n_pages_cap,
+                                      d.page_size, d.head_dim,
+                                      dtype=embeds.dtype)
+            ctx = ctx._replace(pad=pad_rows)
+            ks, vs = jax.jit(functools.partial(
+                self.module.apply, method=FamilyModule.dflash_context_rows)
+            )(self.params, aux, jnp.int32(0))
+            for li in range(d.layers):
+                ctx = ctx.append(li, ks[li], vs[li], jnp.int32(0))
+            ctx = ctx.advance(t)
+
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            cpos = jnp.max(positions, axis=(0, 2)) + 1
+            wpos = t
+            if not hasattr(self, "_dflash_rounds"):
+                # one compiled round per page bucket (the jit-per-bucket
+                # discipline of kv_cache.KV_CAPACITY_BUCKETS)
+                self._dflash_rounds = {}
+            ids: List[int] = [int(tok[0])]
+            while len(ids) < max_new_tokens and ids[-1] != c.eos_id:
+                npg = page_bucket(int(wpos) + k + 1, d.page_size,
+                                  ctx.num_pages)
+                spec_round = self._dflash_rounds.get(npg)
+                if spec_round is None:
+                    spec_round = jax.jit(functools.partial(
+                        self._dflash_round_impl, n_pages=npg))
+                    self._dflash_rounds[npg] = spec_round
+                emitted, a, tok, cache, ctx = spec_round(
+                    self.params, tok, cache, ctx, cpos, wpos)
                 n_acc = int(a[0])
                 for v in np.asarray(emitted)[0, : n_acc + 1].tolist():
                     ids.append(int(v))
