@@ -64,7 +64,9 @@ class HunyuanOCRConfig:
     rms_eps: float = 1e-5
     rope_theta: float = 10000.0
     use_qk_norm: bool = True
-    xdrope_section: Tuple[int, ...] = (24, 20, 20)   # sums to head_dim/2
+    # 4-axis XDRoPE [seq, w, h, t] (model.rs:1482-1495; upstream HF
+    # processor lines 74-94); sums to head_dim/2
+    xdrope_section: Tuple[int, ...] = (16, 16, 16, 16)
     # vision (config.json vision_config)
     v_dim: int = 1152
     v_ffn: int = 4304
@@ -75,8 +77,12 @@ class HunyuanOCRConfig:
     v_ln_eps: float = 1e-5
     v_max_image: int = 2048       # learned-position base grid (vision.rs:60)
     add_patchemb_bias: bool = True
-    # token ids
+    # token ids (config.json; placeholder strings are tokenizer specials —
+    # hy_place_holder no.100/102/101 = start/image/end, model.rs:1401)
+    bos_id: int = 1
     eos_id: int = 2
+    image_start_id: int = 120814
+    image_end_id: int = 120815
     image_token_id: int = 120816
 
     @property
@@ -90,7 +96,7 @@ class HunyuanOCRConfig:
     def tiny(self) -> "HunyuanOCRConfig":
         return dataclasses.replace(
             self, vocab_size=512, hidden=64, layers=2, heads=4, kv_heads=2,
-            head_dim=16, ffn=128, xdrope_section=(4, 2, 2), v_dim=32,
+            head_dim=16, ffn=128, xdrope_section=(2, 2, 2, 2), v_dim=32,
             v_ffn=64, v_layers=2, v_heads=4, v_patch=4, v_max_image=32)
 
 
@@ -336,3 +342,149 @@ class HunyuanOCRModule(nn.Module):
         logits, _, _ = self.prefill(emb, position_ids, cache,
                                     jnp.ones((b, 1, t, t), bool))
         return img, logits
+
+
+# ------------------------------- driver -------------------------------
+
+def build_position_ids(seq_len: int, first_image_tok: int,
+                       hm: int, wm: int) -> np.ndarray:
+    """4-axis XDRoPE position ids [seq, w, h, t] (model.rs:1476-1527):
+    every axis holds the arange; the spatial run of (wm+1)·hm tokens
+    starting ONE AFTER the first image token (the begin marker keeps its
+    arange position) gets w = col cycle, h = row, t = 0."""
+    pos = np.broadcast_to(np.arange(seq_len, dtype=np.int32),
+                          (4, seq_len)).copy()
+    start = first_image_tok + 1
+    n = (wm + 1) * hm
+    j = np.arange(n)
+    pos[1, start:start + n] = j % (wm + 1)
+    pos[2, start:start + n] = j // (wm + 1)
+    pos[3, start:start + n] = 0
+    return pos
+
+
+class HunyuanOCRModel:
+    """Public entry: image + instruction → text (batch-1 per image, the
+    reference's decode focus; model.rs:656-700 generate loop). Scan decode
+    on device, one compiled program per (prompt-bucket, capacity)."""
+
+    def __init__(self, params=None, *, cfg: "HunyuanOCRConfig" = None,
+                 tokenizer=None, runtime=None, seed: int = 0):
+        from ..runtime.runtime import Runtime
+        from .model import ByteTokenizer
+
+        self.cfg = cfg or HunyuanOCRConfig()
+        self.runtime = runtime or Runtime.default()
+        self.tokenizer = tokenizer or ByteTokenizer()
+        self.module = HunyuanOCRModule(self.cfg)
+        if params is None:
+            params = self._init_params(seed)
+        self.params = jax.device_put(params, self.runtime.device)
+        self._encode = jax.jit(
+            lambda p, x, pe, gh, gw: self.module.apply(
+                p, x, pe, gh, gw, method=HunyuanOCRModule.encode_image),
+            static_argnames=("gh", "gw"))
+        self._gen = jax.jit(self._prefill_decode,
+                            static_argnames=("max_new", "capacity"))
+        self._pos_table = np.asarray(self.module.apply(
+            self.params, method=HunyuanOCRModule.position_table
+        ).astype(jnp.float32))
+
+    def _init_params(self, seed: int):
+        c = self.cfg
+        rng = jax.random.PRNGKey(seed)
+        m = c.v_merge
+        patches = jnp.zeros((1, m * m, c.v_patch ** 2 * 3), jnp.float32)
+        pos = jnp.zeros((m * m, c.v_dim), jnp.float32)
+        ids = jnp.zeros((1, 4), jnp.int32)
+        pids = jnp.zeros((4, 1, 4), jnp.int32)
+        return self.module.init(rng, patches, pos, m, m, ids, pids,
+                                method=HunyuanOCRModule.init_all)
+
+    def _prefill_decode(self, params, embeds, position_ids,
+                        *, max_new: int, capacity: int):
+        from .attention import create_causal_mask
+
+        c = self.cfg
+        b, t, _ = embeds.shape
+        cache = KVCache.create(c.layers, b, c.kv_heads, capacity,
+                               c.head_dim, dtype=embeds.dtype)
+        full = jnp.broadcast_to(create_causal_mask(t), (b, 1, t, t))
+        full = jnp.concatenate(
+            [full, jnp.zeros((b, 1, t, capacity - t), bool)], -1)
+        logits, _, cache = self.module.apply(
+            params, embeds, position_ids, cache, full,
+            method=HunyuanOCRModule.prefill)
+        cache = cache.advance(t)
+        first = jnp.argmax(logits, -1).astype(jnp.int32)
+
+        def step(carry, i):
+            tok, cache, done = carry
+            pids = jnp.broadcast_to((t + i)[None, None, None], (4, b, 1))
+            logits, _, cache = self.module.apply(
+                params, tok, pids, cache, t + i,
+                method=HunyuanOCRModule.decode_step)
+            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            nxt = jnp.where(done, c.eos_id, nxt)
+            return (nxt, cache, done | (nxt == c.eos_id)), tok
+
+        (_, _, _), ids = jax.lax.scan(
+            step, (first, cache, first == c.eos_id),
+            jnp.arange(max_new), length=max_new)
+        return jnp.transpose(ids, (1, 0))
+
+    def _prepare_image(self, image: np.ndarray):
+        import cv2
+
+        c = self.cfg
+        unit = c.v_patch * c.v_merge
+        h, w = image.shape[:2]
+        th = max(unit, int(round(h / unit)) * unit)
+        tw = max(unit, int(round(w / unit)) * unit)
+        resized = cv2.resize(image, (tw, th),
+                             interpolation=cv2.INTER_LINEAR)
+        x = (resized.astype(np.float32) / 255.0 - 0.5) / 0.5
+        p = c.v_patch
+        gh, gw = th // p, tw // p
+        patches = x.reshape(gh, p, gw, p, 3).transpose(0, 2, 1, 3, 4)
+        return patches.reshape(1, gh * gw, p * p * 3), gh, gw
+
+    def generate(self, images, instruction: str = "OCR:",
+                 *, max_new_tokens: int = 256):
+        from .kv_cache import decoder_cache_capacity
+
+        c = self.cfg
+        out = []
+        for image in images:
+            patches, gh, gw = self._prepare_image(image)
+            pos = interpolate_positions(self._pos_table[1:], c.v_grid,
+                                        gh, gw)
+            img_emb = self._encode(
+                self.params,
+                jnp.asarray(patches, self.runtime.compute_dtype),
+                jnp.asarray(pos, self.runtime.compute_dtype), gh=gh, gw=gw)
+            hm, wm = gh // c.v_merge, gw // c.v_merge
+            n_img = hm * (wm + 1) + 2          # incl. begin/end markers
+            row = ([c.bos_id, c.image_start_id]
+                   + [c.image_token_id] * n_img
+                   + [c.image_end_id]
+                   + self.tokenizer.encode(instruction))
+            ids = np.asarray(row, np.int32)
+            pids = build_position_ids(len(row), 2, hm, wm)
+            embeds = self.module.apply(
+                self.params, jnp.asarray(ids)[None],
+                method=HunyuanOCRModule.embed)
+            # image embeddings replace the whole expanded run
+            embeds = embeds.at[0, 2:2 + n_img].set(
+                img_emb.astype(embeds.dtype))
+            capacity = decoder_cache_capacity(len(row), max_new_tokens)
+            toks = self._gen(self.params, embeds,
+                             jnp.asarray(pids)[:, None, :],
+                             max_new=max_new_tokens, capacity=capacity)
+            ids_out = []
+            for v in np.asarray(toks)[0].tolist():
+                if v == c.eos_id:
+                    break
+                ids_out.append(int(v))
+            out.append(self.tokenizer.decode(ids_out))
+        return out

@@ -44,7 +44,7 @@ def models():
     patches = jnp.zeros((1, 4, p2), jnp.float32)
     pos = jnp.zeros((4, CFG.v_dim), jnp.float32)
     ids = jnp.zeros((1, 4), jnp.int32)
-    pids = jnp.zeros((3, 1, 4), jnp.int32)
+    pids = jnp.zeros((4, 1, 4), jnp.int32)
     params = f.init(rng, patches, pos, 2, 2, ids, pids,
                     method=HunyuanOCRModule.init_all)
     cm = build_hunyuan_map(params)
@@ -91,9 +91,10 @@ def test_decoder_parity(models):
     rng = np.random.default_rng(3)
     ids = rng.integers(0, CFG.vocab_size, (2, 9)).astype(np.int32)
     pids = np.broadcast_to(np.arange(9, dtype=np.int32)[None, None],
-                           (3, 2, 9)).copy()
+                           (4, 2, 9)).copy()
     pids[1] += 1                                    # distinct per-axis ids
     pids[2] += 2
+    pids[3] = 0
     with torch.no_grad():
         emb = t.model.embed_tokens(torch.from_numpy(ids).long())
         ref = t.model(emb, torch.from_numpy(pids).long()).numpy()
@@ -130,3 +131,32 @@ def test_official_names(models):
         "model.norm.weight",
     ]:
         assert expected in names, expected
+
+
+def test_build_position_ids_spatial_run():
+    # model.rs:1476-1527: run starts one AFTER the first image token
+    pids = np.asarray(__import__(
+        "oar_ocr_tpu.vl.hunyuan", fromlist=["build_position_ids"]
+    ).build_position_ids(12, 2, hm=2, wm=2))
+    assert pids.shape == (4, 12)
+    np.testing.assert_array_equal(pids[0], np.arange(12))
+    # begin marker (index 2) keeps arange on all axes
+    assert pids[1, 2] == 2 and pids[2, 2] == 2 and pids[3, 2] == 2
+    # spatial run: 6 tokens at 3..8, w cycles 0..2, h rows, t zero
+    np.testing.assert_array_equal(pids[1, 3:9], [0, 1, 2, 0, 1, 2])
+    np.testing.assert_array_equal(pids[2, 3:9], [0, 0, 0, 1, 1, 1])
+    np.testing.assert_array_equal(pids[3, 3:9], [0, 0, 0, 0, 0, 0])
+    # trailing text resumes arange
+    np.testing.assert_array_equal(pids[1, 9:], [9, 10, 11])
+
+
+def test_generate_driver_smoke():
+    from oar_ocr_tpu.vl.hunyuan import HunyuanOCRModel
+
+    m = HunyuanOCRModel(cfg=CFG, seed=3)
+    img = np.random.default_rng(0).integers(0, 255, (24, 40, 3),
+                                            dtype=np.uint8)
+    out = m.generate([img], max_new_tokens=6)
+    assert len(out) == 1 and isinstance(out[0], str)
+    # deterministic across calls (greedy, fixed weights)
+    assert out == m.generate([img], max_new_tokens=6)
