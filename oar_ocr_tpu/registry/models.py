@@ -19,6 +19,7 @@ from dataclasses import dataclass
 from typing import Dict, Optional
 
 from ..errors import DownloadError, ModelLoadError
+from .upstream import UPSTREAM_ARTIFACTS
 
 OAR_TPU_HOME = os.environ.get(
     "OAR_TPU_HOME", os.path.join(os.path.expanduser("~"), ".oar_ocr_tpu"))
@@ -26,57 +27,87 @@ OAR_TPU_HOME = os.environ.get(
 
 @dataclass(frozen=True)
 class ModelEntry:
-    """One registry entry (download/registry.rs Entry analog)."""
+    """One registry entry (download/registry.rs Entry analog). ``source``
+    names the upstream artifact this converted checkpoint derives from;
+    its expected SHA-256/size live in upstream.UPSTREAM_ARTIFACTS and are
+    verified by tools/convert_weights.py before conversion."""
 
     name: str
     task: str
     filename: str
     sha256: Optional[str] = None
-    charset: Optional[str] = None       # companion dictionary file
+    charset: Optional[str] = None       # companion dictionary/tokenizer
+    source: Optional[str] = None        # upstream artifact (registry.rs)
     notes: str = ""
 
 
-# The classic-model registry. Checksums are filled when weight conversion
-# produces the artifacts (round ≥2); names mirror the reference registry's
-# model set so users find the same lineup.
+def _e(name: str, task: str, *, charset: Optional[str] = None,
+       source: Optional[str] = None, notes: str = "") -> ModelEntry:
+    return ModelEntry(name, task, f"{name}.safetensors", charset=charset,
+                      source=source or f"{name}.onnx", notes=notes)
+
+
+# Multilingual PP-OCR mobile recognizers (registry.rs lineup). v5 models
+# pair with the shipped ppocrv5_* dictionaries; v3/v4 dictionaries ship
+# inside the upstream model dirs and resolve via asset_path at load.
+_V5_LANGS = {"arabic": "ppocrv5_arabic_dict.txt",
+             "cyrillic": "ppocrv5_cyrillic_dict.txt",
+             "devanagari": "ppocrv5_devanagari_dict.txt",
+             "el": "ppocrv5_el_dict.txt", "en": "ppocrv5_en_dict.txt",
+             "eslav": "ppocrv5_eslav_dict.txt",
+             "korean": "ppocrv5_korean_dict.txt",
+             "latin": "ppocrv5_latin_dict.txt", "ta": "ppocrv5_ta_dict.txt",
+             "te": "ppocrv5_te_dict.txt", "th": "ppocrv5_th_dict.txt"}
+_V3_LANGS = ("arabic", "chinese_cht", "cyrillic", "devanagari", "en",
+             "japan", "ka", "korean", "latin", "ta", "te")
+
 MODEL_REGISTRY: Dict[str, ModelEntry] = {e.name: e for e in [
-    # detection
-    ModelEntry("pp-ocrv5_mobile_det", "text_detection", "pp-ocrv5_mobile_det.safetensors"),
-    ModelEntry("pp-ocrv5_server_det", "text_detection", "pp-ocrv5_server_det.safetensors"),
-    ModelEntry("pp-ocrv4_mobile_det", "text_detection", "pp-ocrv4_mobile_det.safetensors"),
-    ModelEntry("pp-ocrv4_server_det", "text_detection", "pp-ocrv4_server_det.safetensors"),
-    ModelEntry("pp-ocrv6_tiny_det", "text_detection", "pp-ocrv6_tiny_det.safetensors"),
-    ModelEntry("pp-ocrv6_small_det", "text_detection", "pp-ocrv6_small_det.safetensors"),
-    ModelEntry("pp-ocrv6_medium_det", "text_detection", "pp-ocrv6_medium_det.safetensors"),
-    ModelEntry("seal_det", "seal_text_detection", "seal_det.safetensors"),
-    # recognition
-    ModelEntry("pp-ocrv5_mobile_rec", "text_recognition",
-               "pp-ocrv5_mobile_rec.safetensors", charset="ppocrv5_dict.txt"),
-    ModelEntry("pp-ocrv5_server_rec", "text_recognition",
-               "pp-ocrv5_server_rec.safetensors", charset="ppocrv5_dict.txt"),
-    ModelEntry("pp-ocrv4_mobile_rec", "text_recognition",
-               "pp-ocrv4_mobile_rec.safetensors", charset="ppocr_keys_v1.txt"),
-    ModelEntry("pp-ocrv6_tiny_rec", "text_recognition",
-               "pp-ocrv6_tiny_rec.safetensors", charset="ppocrv6_dict.txt"),
-    ModelEntry("pp-ocrv6_small_rec", "text_recognition",
-               "pp-ocrv6_small_rec.safetensors", charset="ppocrv6_dict.txt"),
-    ModelEntry("pp-ocrv6_medium_rec", "text_recognition",
-               "pp-ocrv6_medium_rec.safetensors", charset="ppocrv6_dict.txt"),
-    ModelEntry("svtrv2_rec", "text_recognition", "svtrv2_rec.safetensors",
-               charset="ppocrv5_dict.txt"),
-    ModelEntry("repsvtr_rec", "text_recognition", "repsvtr_rec.safetensors",
-               charset="ppocrv5_dict.txt"),
-    # classification
-    ModelEntry("pplcnet_x1_0_doc_ori", "document_orientation",
-               "pplcnet_doc_ori.safetensors"),
-    ModelEntry("pplcnet_x0_25_textline_ori", "textline_orientation",
-               "pplcnet_textline_ori.safetensors"),
-    ModelEntry("pplcnet_table_cls", "table_classification",
-               "pplcnet_table_cls.safetensors"),
-    # rectification
-    ModelEntry("uvdoc", "document_rectification", "uvdoc.safetensors"),
-    # layout (one entry per variant in domain/layout.py)
-    *[ModelEntry(v, "layout_detection", f"{v}.safetensors")
+    # ---- text detection ----
+    _e("pp-ocrv4_mobile_det", "text_detection"),
+    _e("pp-ocrv4_server_det", "text_detection"),
+    _e("pp-ocrv5_mobile_det", "text_detection"),
+    _e("pp-ocrv5_server_det", "text_detection"),
+    _e("pp-ocrv6_tiny_det", "text_detection"),
+    _e("pp-ocrv6_small_det", "text_detection"),
+    _e("pp-ocrv6_medium_det", "text_detection"),
+    _e("pp-ocrv4_mobile_seal_det", "seal_text_detection"),
+    _e("pp-ocrv4_server_seal_det", "seal_text_detection"),
+    # ---- text recognition: core ----
+    _e("pp-ocrv3_mobile_rec", "text_recognition",
+       charset="ppocr_keys_v1.txt"),
+    _e("pp-ocrv4_mobile_rec", "text_recognition",
+       charset="ppocr_keys_v1.txt"),
+    _e("pp-ocrv4_server_rec", "text_recognition",
+       charset="ppocr_keys_v1.txt"),
+    _e("pp-ocrv4_server_rec_doc", "text_recognition",
+       charset="ppocrv4_doc_dict.txt"),
+    _e("pp-ocrv5_mobile_rec", "text_recognition",
+       charset="ppocrv5_dict.txt"),
+    _e("pp-ocrv5_server_rec", "text_recognition",
+       charset="ppocrv5_dict.txt"),
+    _e("pp-ocrv6_tiny_rec", "text_recognition",
+       charset="ppocrv6_tiny_dict.txt"),
+    _e("pp-ocrv6_small_rec", "text_recognition",
+       charset="ppocrv6_dict.txt"),
+    _e("pp-ocrv6_medium_rec", "text_recognition",
+       charset="ppocrv6_dict.txt"),
+    _e("ch_repsvtr_rec", "text_recognition", charset="ppocr_keys_v1.txt"),
+    _e("ch_svtrv2_rec", "text_recognition", charset="ppocr_keys_v1.txt"),
+    _e("en_pp-ocrv4_mobile_rec", "text_recognition"),
+    # ---- text recognition: multilingual ----
+    *[_e(f"{lang}_pp-ocrv5_mobile_rec", "text_recognition", charset=dct)
+      for lang, dct in _V5_LANGS.items()],
+    *[_e(f"{lang}_pp-ocrv3_mobile_rec", "text_recognition")
+      for lang in _V3_LANGS],
+    # ---- classification / rectification ----
+    _e("pp-lcnet_x1_0_doc_ori", "document_orientation"),
+    _e("pp-lcnet_x0_25_textline_ori", "textline_orientation"),
+    _e("p2o_pp-lcnet_x0_25_textline_ori", "textline_orientation"),
+    _e("pp-lcnet_x1_0_textline_ori", "textline_orientation"),
+    _e("pp-lcnet_x1_0_table_cls", "table_classification"),
+    _e("uvdoc", "document_rectification"),
+    # ---- layout detection (one per domain/layout.py variant) ----
+    *[_e(v, "layout_detection")
       for v in ("picodet_layout_1x", "picodet_layout_1x_table",
                 "picodet-s_layout_3cls", "picodet-l_layout_3cls",
                 "picodet-s_layout_17cls", "picodet-l_layout_17cls",
@@ -84,22 +115,35 @@ MODEL_REGISTRY: Dict[str, ModelEntry] = {e.name: e for e in [
                 "pp-docblocklayout", "pp-doclayout-s", "pp-doclayout-m",
                 "pp-doclayout-l", "pp-doclayout_plus-l", "pp-doclayoutv2",
                 "pp-doclayoutv3")],
-    ModelEntry("rt-detr-l_wired_table_cell_det", "table_cell_detection",
-               "rtdetr_wired_cell.safetensors"),
-    ModelEntry("rt-detr-l_wireless_table_cell_det", "table_cell_detection",
-               "rtdetr_wireless_cell.safetensors"),
-    # tables / formulas
-    ModelEntry("slanet", "table_structure_recognition", "slanet.safetensors"),
-    ModelEntry("slanet_plus", "table_structure_recognition",
-               "slanet_plus.safetensors"),
-    ModelEntry("slanext", "table_structure_recognition", "slanext.safetensors"),
-    ModelEntry("pp-formulanet-s", "formula_recognition",
-               "pp-formulanet-s.safetensors", charset="formula_vocab.json"),
-    ModelEntry("pp-formulanet-plus-m", "formula_recognition",
-               "pp-formulanet-plus-m.safetensors", charset="formula_vocab.json"),
-    ModelEntry("unimernet", "formula_recognition", "unimernet.safetensors",
-               charset="unimernet_vocab.json"),
-    # VLM families (vl/families.py + vl/model.py); charset = HF tokenizer
+    _e("rt-detr-l_wired_table_cell_det", "table_cell_detection"),
+    _e("rt-detr-l_wireless_table_cell_det", "table_cell_detection"),
+    # ---- table structure ----
+    _e("slanet", "table_structure_recognition",
+       charset="table_structure_dict_ch.txt"),
+    _e("slanet_plus", "table_structure_recognition",
+       charset="table_structure_dict_ch.txt"),
+    _e("slanet_plus_v2", "table_structure_recognition",
+       charset="table_structure_dict_ch.txt"),
+    _e("slanext_wired", "table_structure_recognition",
+       charset="table_structure_dict_ch.txt"),
+    _e("slanext_wireless", "table_structure_recognition",
+       charset="table_structure_dict_ch.txt"),
+    # ---- formulas ----
+    _e("pp-formulanet-s", "formula_recognition",
+       charset="pp-formulanet-tokenizer.json"),
+    _e("pp-formulanet-l", "formula_recognition",
+       charset="pp-formulanet-tokenizer.json"),
+    _e("pp-formulanet_plus-s", "formula_recognition",
+       charset="pp-formulanet-tokenizer.json"),
+    _e("pp-formulanet_plus-m", "formula_recognition",
+       charset="pp-formulanet-tokenizer.json"),
+    _e("pp-formulanet_plus-l", "formula_recognition",
+       charset="pp-formulanet-tokenizer.json"),
+    _e("unimernet", "formula_recognition",
+       charset="unimernet_tokenizer.json"),
+    _e("latex_ocr_rec", "formula_recognition",
+       charset="unimernet_tokenizer.json"),
+    # ---- VLM families (HF checkpoints; charset = HF tokenizer.json) ----
     ModelEntry("paddleocr-vl-0.9b", "vlm", "paddleocr_vl.safetensors",
                charset="paddleocr_vl_tokenizer.json"),
     ModelEntry("paddleocr-vl-1.5", "vlm", "paddleocr_vl_15.safetensors",
@@ -127,6 +171,19 @@ MODEL_REGISTRY: Dict[str, ModelEntry] = {e.name: e for e in [
     ModelEntry("monkeyocrv2-b", "vlm", "monkeyocrv2_b.safetensors",
                charset="qwen2_tokenizer.json"),
 ]}
+
+# Companion assets shipped as first-class registry entries upstream
+# (dictionaries + tokenizers, registry.rs) — resolvable via asset_path.
+ASSET_REGISTRY = tuple(
+    n for n in UPSTREAM_ARTIFACTS if n.endswith((".txt", ".json")))
+
+
+def upstream_provenance(entry: ModelEntry):
+    """(sha256, size) of the upstream artifact this entry converts from,
+    or None for HF-hub families outside registry.rs."""
+    if entry.source is None:
+        return None
+    return UPSTREAM_ARTIFACTS.get(entry.source)
 
 
 def asset_path(filename: str) -> Optional[str]:

@@ -138,3 +138,34 @@ class TestConvertMaps:
         a = np.asarray(model.apply(params, x))
         b = np.asarray(model.apply(restored, x))
         np.testing.assert_array_equal(a, b)
+
+
+def test_registry_mirrors_upstream_lineup():
+    """VERDICT r1 #8: every upstream model artifact (registry.rs 98-entry
+    table) has a converted-weight entry; every dict/tokenizer asset is a
+    first-class asset entry; provenance hashes resolve."""
+    from oar_ocr_tpu.registry.models import (ASSET_REGISTRY, MODEL_REGISTRY,
+                                             upstream_provenance)
+    from oar_ocr_tpu.registry.upstream import UPSTREAM_ARTIFACTS
+
+    assert len(UPSTREAM_ARTIFACTS) == 98
+    onnx = {n for n in UPSTREAM_ARTIFACTS if n.endswith(".onnx")}
+    covered = {e.source for e in MODEL_REGISTRY.values() if e.source}
+    assert onnx - covered == set()
+    assert set(ASSET_REGISTRY) == {
+        n for n in UPSTREAM_ARTIFACTS if not n.endswith(".onnx")}
+    for e in MODEL_REGISTRY.values():
+        if e.source:
+            sha, size = upstream_provenance(e)
+            assert len(sha) == 64 and size > 0
+    # all checksums are 64-char lowercase hex (registry.rs test parity)
+    for sha, size in UPSTREAM_ARTIFACTS.values():
+        assert sha == sha.lower() and len(sha) == 64
+
+
+def test_registry_charsets_are_registered_assets():
+    from oar_ocr_tpu.registry.models import ASSET_REGISTRY, MODEL_REGISTRY
+
+    for e in MODEL_REGISTRY.values():
+        if e.charset and e.source:       # upstream-derived entries only
+            assert e.charset in ASSET_REGISTRY, (e.name, e.charset)

@@ -174,6 +174,20 @@ def main(argv=None) -> int:
     assert args.source, "--source required unless --describe"
     from safetensors.numpy import load_file
 
+    # upstream provenance check (registry.rs download-with-verification):
+    # when converting from the raw upstream artifact, its SHA-256 must
+    # match the pinned table. Converted/intermediate files skip this.
+    from oar_ocr_tpu.registry.models import (sha256_file,
+                                             upstream_provenance)
+
+    prov = upstream_provenance(entry)
+    if prov and entry.source and os.path.basename(args.source) == entry.source:
+        actual = sha256_file(args.source)
+        if actual != prov[0]:
+            print(f"upstream checksum mismatch for {entry.source}: "
+                  f"expected {prov[0]}, got {actual}", file=sys.stderr)
+            return 3
+
     source = load_file(args.source)
     tree = cm.convert(source, strict=not args.non_strict)
     unused = cm.unused_sources(source)
