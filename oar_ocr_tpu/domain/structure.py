@@ -186,35 +186,123 @@ class StructureResult:
         default_factory=PageContinuationFlags)
     error: Optional[str] = None
 
-    # ---------------- markdown (structure.rs:471) ----------------
+    # ---------------- markdown (structure.rs:471-860) ----------------
     def to_markdown(self) -> str:
+        """Full PaddleX-parity markdown rendering (domain/markdown.py holds
+        the rule helpers; structure.rs:471 the original)."""
+        from .markdown import (clean_ocr_text, format_as_bullet_list,
+                               format_content_block, format_first_line,
+                               format_text_block, format_title_with_level,
+                               format_vision_footnote_block, get_seg_flag,
+                               has_bullet_markers, image_markdown,
+                               infer_paragraph_title_levels,
+                               simplify_table_html)
+
+        T = LayoutElementType
+        els = self.elements
+        table_boxes = [el.xyxy for el in els if el.element_type == T.TABLE]
+        page_width = float(self.width or max(
+            (el.xyxy[2] for el in els), default=1.0))
+        title_levels = infer_paragraph_title_levels(els)
         parts: List[str] = []
-        for el in self.elements:
+        prev_text: Optional[LayoutElement] = None
+
+        def _ioa(a, b) -> float:
+            ix0, iy0 = max(a[0], b[0]), max(a[1], b[1])
+            ix1, iy1 = min(a[2], b[2]), min(a[3], b[3])
+            inter = max(ix1 - ix0, 0) * max(iy1 - iy0, 0)
+            area = max((a[2] - a[0]) * (a[3] - a[1]), 1e-6)
+            return inter / area
+
+        for idx, el in enumerate(els):
             t = el.element_type
-            if t.excluded_from_markdown:
+            if t.excluded_from_markdown or t in (T.ASIDE_TEXT,
+                                                 T.FORMULA_NUMBER):
                 continue
-            if t == LayoutElementType.TABLE and el.table is not None:
-                parts.append(el.table.html)
-            elif t.is_formula and el.formula_latex:
-                parts.append(f"$${el.formula_latex}$$")
-            elif t == LayoutElementType.DOC_TITLE:
-                parts.append(f"# {postprocess_text(el.text or '')}")
-            elif t in (LayoutElementType.PARAGRAPH_TITLE,
-                       LayoutElementType.TITLE):
-                parts.append(f"## {postprocess_text(el.text or '')}")
-            elif t in (LayoutElementType.FIGURE_TITLE,
-                       LayoutElementType.TABLE_TITLE,
-                       LayoutElementType.CHART_TITLE):
-                parts.append(f"*{postprocess_text(el.text or '')}*")
-            elif t.is_image_like:
-                parts.append("<!-- image -->")
-            elif t == LayoutElementType.SEAL:
+            # low-confidence text mostly inside a table is that table's
+            # content, not body text (structure.rs:509-517)
+            if t == T.TEXT and el.score < 0.7 and any(
+                    _ioa(el.xyxy, tb) > 0.3 for tb in table_boxes):
+                continue
+
+            is_continuation = (t == T.TEXT and prev_text is not None
+                               and not get_seg_flag(el, prev_text))
+
+            if t == T.DOC_TITLE:
+                cleaned = clean_ocr_text(el.text or "")
+                kw = cleaned.strip().rstrip(":").upper()
+                prefix = "## " if kw in ("ABSTRACT", "INTRODUCTION",
+                                         "REFERENCES", "REFERENCE") else "# "
+                parts.append(prefix + cleaned)
+            elif t in (T.PARAGRAPH_TITLE, T.TITLE):
+                level, formatted = format_title_with_level(
+                    el.text or "", title_levels.get(idx))
+                parts.append("#" * level + " " + formatted)
+            elif t == T.TABLE:
+                if el.table is not None and el.table.html:
+                    inner = simplify_table_html(el.table.html)
+                    inner = inner.replace("<table>", '<table border="1">', 1)
+                    parts.append('<div style="text-align: center;">'
+                                 + clean_ocr_text(inner) + "</div>")
+                else:
+                    parts.append("[Table]")
+            elif t.is_formula:
+                raw = (el.formula_latex or el.text or "").strip()
+                if not raw:
+                    continue
+                if raw.startswith("$$") and raw.endswith("$$"):
+                    raw = raw[2:-2]
+                elif raw.startswith("$") and raw.endswith("$"):
+                    raw = raw[1:-1]
+                parts.append(f"$${raw}$$")
+            elif t in (T.IMAGE, T.FIGURE, T.CHART):
+                kind = "chart" if t == T.CHART else "image"
+                parts.append(image_markdown(kind, el.xyxy, page_width))
+            elif t == T.SEAL:
+                seal = "![Seal]"
                 if el.text:
-                    parts.append(f"**[Seal]** {postprocess_text(el.text)}")
+                    seal += "\n> " + el.text
+                parts.append(seal)
+            elif t in (T.FIGURE_TITLE, T.TABLE_TITLE, T.CHART_TITLE):
+                if el.text:
+                    parts.append('<div style="text-align: center;">'
+                                 + clean_ocr_text(el.text) + " </div>")
+            elif t == T.ABSTRACT:
+                if el.text:
+                    parts.append(format_first_line(
+                        el.text, " ", ("abstract", "摘要"), "## "))
+            elif t == T.REFERENCE:
+                if el.text:
+                    parts.append(format_first_line(
+                        el.text, "\n", ("references", "参考文献"), "## "))
+            elif t == T.CONTENT:
+                if el.text:
+                    parts.append(format_content_block(el.text))
+            elif t == T.VISION_FOOTNOTE:
+                if el.text:
+                    parts.append(format_vision_footnote_block(el.text))
+            elif t == T.LIST:
+                if el.text:
+                    lines = [ln.strip() for ln
+                             in format_text_block(el.text).splitlines()
+                             if ln.strip()]
+                    parts.append("".join(f"- {ln}\n" for ln in lines))
+            elif t == T.ALGORITHM:
+                if el.text:
+                    parts.append(el.text.strip("\n"))
             else:
-                txt = postprocess_text(el.text or "")
-                if txt:
-                    parts.append(txt)
+                if not el.text:
+                    continue
+                cleaned = clean_ocr_text(el.text)
+                if has_bullet_markers(cleaned):
+                    parts.append(format_as_bullet_list(cleaned))
+                elif is_continuation and parts:
+                    # paragraph continuation: glue to the previous block
+                    parts[-1] = parts[-1] + format_text_block(el.text)
+                else:
+                    parts.append(format_text_block(el.text))
+            if t in (T.TEXT, T.REFERENCE_CONTENT):
+                prev_text = el
         return postprocess_markdown("\n\n".join(p for p in parts if p))
 
     # ---------------- html (structure.rs:903) ----------------
@@ -247,8 +335,12 @@ class StructureResult:
             "elements": [el.to_json() for el in self.elements],
         }
 
-    def save_results(self, out_dir: str, stem: str = "page") -> Dict[str, str]:
-        """structure.rs:1072 — write markdown + html + json side by side."""
+    def save_results(self, out_dir: str, stem: str = "page",
+                     page_image=None) -> Dict[str, str]:
+        """structure.rs:1072 — write markdown + html + json side by side.
+        With ``page_image`` (HWC uint8) the image/chart crops referenced by
+        the markdown's ``imgs/…`` links are extracted and saved too (the
+        reference's imgs/ directory, structure.rs:690-713)."""
         os.makedirs(out_dir, exist_ok=True)
         paths = {}
         for ext, content in (("md", self.to_markdown()),
@@ -259,7 +351,39 @@ class StructureResult:
             with open(p, "w", encoding="utf-8") as f:
                 f.write(content)
             paths[ext] = p
+        if page_image is not None:
+            n = self.extract_images(out_dir, page_image)
+            if n:
+                paths["imgs"] = os.path.join(out_dir, "imgs")
         return paths
+
+    def extract_images(self, out_dir: str, page_image) -> int:
+        """Crop every image/chart element into ``out_dir/imgs/`` under the
+        exact names the markdown references. Returns crops written."""
+        import cv2
+
+        from .markdown import image_markdown_name
+
+        T = LayoutElementType
+        img_dir = os.path.join(out_dir, "imgs")
+        count = 0
+        h, w = page_image.shape[:2]
+        for el in self.elements:
+            if el.element_type not in (T.IMAGE, T.FIGURE, T.CHART):
+                continue
+            kind = "chart" if el.element_type == T.CHART else "image"
+            x0, y0, x1, y1 = el.xyxy
+            xi0, yi0 = max(int(x0), 0), max(int(y0), 0)
+            xi1, yi1 = min(int(round(x1)), w), min(int(round(y1)), h)
+            if xi1 <= xi0 or yi1 <= yi0:
+                continue
+            os.makedirs(img_dir, exist_ok=True)
+            crop = page_image[yi0:yi1, xi0:xi1]
+            name = image_markdown_name(kind, el.xyxy)
+            path = os.path.join(out_dir, name)
+            cv2.imwrite(path, crop[..., ::-1])
+            count += 1
+        return count
 
 
 def concatenate_markdown_pages(pages: Sequence[StructureResult]) -> str:

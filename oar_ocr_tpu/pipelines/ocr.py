@@ -27,7 +27,8 @@ import numpy as np
 from ..core.constants import MAX_POOLED_CROPS
 from ..core.types import BoxType, LimitType
 from ..domain.text_region import OAROCRResult, TextRegion
-from ..errors import InvalidInputError
+from ..errors import (InvalidInputError, batch_item_error,
+                      format_batch_error_message)
 from ..models.detection.detector import DBDetector
 from ..models.recognition.recognizer import CropPlan, CTCRecognizer
 from ..ops.resize import DetResizeConfig
@@ -176,14 +177,18 @@ class OAROCR:
                 # per-image on error (ocr.rs:576-588); single-image
                 # failures yield empty results rather than failing the call
                 det_out = []
+                failures = []
                 for page_i in chunk:
                     try:
                         det_out.extend(self.detector.detect(
                             pages, [shapes[page_i]], page_indices=[page_i]))
-                    except Exception:
-                        logger.warning("detection failed for page %d",
-                                       page_i, exc_info=True)
+                    except Exception as exc:
+                        failures.append((page_i, batch_item_error(
+                            "detection", page_i, len(chunk), exc)))
                         det_out.append(([], []))
+                if failures:
+                    logger.warning(format_batch_error_message(
+                        "detection", failures, len(chunk)))
             for local_i, page_i in enumerate(chunk):
                 boxes, scores = det_out[local_i]
                 order = (sort_quad_boxes_indices(boxes)

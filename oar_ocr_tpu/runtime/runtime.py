@@ -161,7 +161,11 @@ def pad_to(arr: np.ndarray, shape: Tuple[int, ...], value=0) -> np.ndarray:
         return arr
     pads = [(0, t - s) for s, t in zip(arr.shape, shape)]
     if any(p[1] < 0 for p in pads):
-        raise ValueError(f"cannot pad {arr.shape} to smaller {shape}")
+        from ..errors import ProcessingError
+
+        raise ProcessingError.tensor_operation(
+            "cannot pad array to a smaller target", shape=arr.shape,
+            target=tuple(shape))
     return np.pad(arr, pads, constant_values=value)
 
 
