@@ -67,7 +67,15 @@ class VisionBlock(nn.Module):
         q = q.reshape(shp).transpose(0, 2, 1, 3)
         k = k.reshape(shp).transpose(0, 2, 1, 3)
         v = v.reshape(shp).transpose(0, 2, 1, 3)
-        if valid_len is not None and os.environ.get("OAR_TPU_FLASH_VISION"):
+        from .paddleocr_vl import ATTN_FULL_SEQ_THRESHOLD
+
+        use_flash = (t > ATTN_FULL_SEQ_THRESHOLD
+                     or bool(os.environ.get("OAR_TPU_FLASH_VISION"))) \
+            and not os.environ.get("OAR_TPU_DISABLE_PALLAS")
+        if valid_len is not None and use_flash:
+            # memory guard: above the reference's 8192-token threshold the
+            # full (T, T) score matrix would thrash HBM (vision.rs:12);
+            # the Pallas online-softmax kernel is the default there
             from ..ops.flash_attention import flash_attention
 
             o = flash_attention(q, k, v, valid_len=valid_len)

@@ -117,7 +117,16 @@ class HyVisionAttention(nn.Module):
         q = h(x, "q_proj")
         k = h(x, "k_proj")
         v = h(x, "v_proj")
-        o = scaled_dot_product_attention(q, k, v, None)
+        import os
+
+        if (t > 8192                      # vision.rs memory-guard threshold
+                and not os.environ.get("OAR_TPU_DISABLE_PALLAS")):
+            from ..ops.flash_attention import flash_attention
+
+            o = flash_attention(q, k, v,
+                                valid_len=jnp.full((b,), t, jnp.int32))
+        else:
+            o = scaled_dot_product_attention(q, k, v, None)
         o = o.transpose(0, 2, 1, 3).reshape(b, t, d)
         return nn.Dense(d, dtype=x.dtype, name="o_proj")(o)
 
