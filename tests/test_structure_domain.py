@@ -42,7 +42,7 @@ def test_markdown_render():
     assert "# My Doc" in md
     assert "Hello world" in md
     assert "skip me" not in md
-    assert "<!-- image -->" in md
+    assert "imgs/img_in_image_box" in md    # centered img link
 
 
 def test_markdown_table_and_formula():
@@ -54,7 +54,7 @@ def test_markdown_table_and_formula():
                       formula_latex="x^2"),
     ])
     md = res.to_markdown()
-    assert "<table>" in md and "$$x^2$$" in md
+    assert '<table border="1">' in md and "$$x^2$$" in md
 
 
 def test_html_render():
