@@ -241,10 +241,15 @@ class FormulaRecognitionPredictor(TaskPredictorCore[FormulaRecognitionConfig]):
     def __init__(self, config: FormulaRecognitionConfig = FormulaRecognitionConfig(),
                  params=None, runtime: Optional[Runtime] = None):
         super().__init__(config, runtime)
-        from ..models.recognition.formula import FormulaRecognizer
+        if config.model_type == "unimernet":
+            from ..models.recognition.unimernet import UniMERNetRecognizer
 
-        self._model = FormulaRecognizer(params, max_len=config.max_len,
-                                        runtime=self.runtime)
+            self._model = UniMERNetRecognizer(params, runtime=self.runtime)
+        else:
+            from ..models.recognition.formula import FormulaRecognizer
+
+            self._model = FormulaRecognizer(params, max_len=config.max_len,
+                                            runtime=self.runtime)
 
     def predict(self, images: Sequence[np.ndarray]):
         self._validate(images)

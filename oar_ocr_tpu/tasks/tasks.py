@@ -117,7 +117,11 @@ class TableStructureConfig:
 @dataclass
 class FormulaRecognitionConfig:
     max_len: int = 256
-    RULES = {"max_len": Rule(min=1, max=4096)}
+    # "pp_formulanet" | "unimernet" — the reference's model_type switch
+    # (oarocr structure builder with_formula_recognition model_type)
+    model_type: str = "pp_formulanet"
+    RULES = {"max_len": Rule(min=1, max=4096),
+             "model_type": Rule(choices=("pp_formulanet", "unimernet"))}
 
 
 @dataclass
