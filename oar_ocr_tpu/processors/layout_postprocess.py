@@ -122,3 +122,29 @@ def remove_overlapping_boxes(boxes: Sequence[LayoutBox], *,
                     keep[i] = False
                     break
     return [b for b, k in zip(boxes, keep) if k]
+
+
+def sort_by_order_pairs(boxes: List[LayoutBox],
+                        order_pairs: Sequence[Sequence[float]],
+                        mode: str) -> List[LayoutBox]:
+    """PP-DocLayoutV2/V3 pointer-network reading order
+    (layout_detection_adapter.rs:778-800): the deploy graph emits extra
+    per-box order features — V2 rows carry a (col, row) pair (feature dim
+    8) sorted lexicographically; V3 rows carry a single order scalar
+    (feature dim 7). The sorted order is stamped into
+    ``LayoutBox.order_index`` so downstream xycut_enhanced can trust the
+    model ordering (is_reading_order_sorted)."""
+
+    if mode not in ("v2", "v3"):
+        raise ValueError(f"unknown order mode {mode!r}")
+    idx = list(range(len(boxes)))
+    if mode == "v2":
+        idx.sort(key=lambda i: (float(order_pairs[i][0]),
+                                float(order_pairs[i][1])))
+    else:
+        idx.sort(key=lambda i: float(order_pairs[i][0]))
+    out = []
+    for rank, i in enumerate(idx):
+        boxes[i].order_index = float(rank)
+        out.append(boxes[i])
+    return out

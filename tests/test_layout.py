@@ -100,3 +100,27 @@ def test_layout_detector_runs(variant, rng):
         assert item.box.shape == (4,)
         # boxes scaled back to source image coordinates
         assert -256 <= item.box[0] <= 512
+
+
+def test_sort_by_order_pairs_v2_v3():
+    """layout_detection_adapter.rs:778-800 — V2 sorts (col, row)
+    lexicographically; V3 sorts by the single order scalar."""
+    from oar_ocr_tpu.domain.layout import LayoutBox
+    from oar_ocr_tpu.processors.layout_postprocess import sort_by_order_pairs
+
+    def mk(name):
+        return LayoutBox(label=name, score=0.9,
+                         box=np.zeros(4, np.float32))
+
+    boxes = [mk("a"), mk("b"), mk("c")]
+    pairs = [(1.0, 2.0), (0.0, 9.0), (1.0, 1.0)]
+    out = sort_by_order_pairs(list(boxes), pairs, "v2")
+    assert [b.label for b in out] == ["b", "c", "a"]
+    assert [b.order_index for b in out] == [0.0, 1.0, 2.0]
+
+    boxes = [mk("a"), mk("b"), mk("c")]
+    out = sort_by_order_pairs(list(boxes), [(2.0,), (0.5,), (1.0,)], "v3")
+    assert [b.label for b in out] == ["b", "c", "a"]
+
+    with pytest.raises(ValueError):
+        sort_by_order_pairs([], [], "v4")
