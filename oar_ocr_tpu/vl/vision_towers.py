@@ -327,3 +327,214 @@ def intern_tile_image(image: np.ndarray, *, image_size: int = 448,
         tiles.append(cv2.resize(image, (image_size, image_size),
                                 interpolation=cv2.INTER_LINEAR))
     return tiles
+
+
+# --------------------------- GLM-OCR (GLM-4V) ---------------------------
+
+@dataclass(frozen=True)
+class GlmVisionConfig:
+    """glmocr/vision.rs GlmOcrVisionConfig (dims from config.json)."""
+
+    hidden: int = 1536
+    heads: int = 12
+    ffn: int = 4224
+    depth: int = 24
+    patch: int = 14
+    merge: int = 2
+    out_hidden: int = 1536
+    attention_bias: bool = False
+    rms_eps: float = 1e-5
+    rope_theta: float = 10000.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden // self.heads
+
+    def tiny(self) -> "GlmVisionConfig":
+        return dataclasses.replace(self, hidden=32, heads=4, ffn=64,
+                                   depth=2, patch=4, out_hidden=48)
+
+
+class _TowersRMSNorm(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), -1, keepdims=True)
+        return ((x.astype(jnp.float32) * jax.lax.rsqrt(var + self.eps))
+                * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+class GlmVisionBlock(nn.Module):
+    """norm1/norm2 RMSNorms, fused attn.qkv + per-head q/k RMSNorms +
+    attn.proj, SwiGLU mlp (glmocr/vision.rs:203-525)."""
+
+    cfg: GlmVisionConfig
+
+    @nn.compact
+    def __call__(self, x, cos, sin):
+        c = self.cfg
+        t, d = x.shape
+        hd = c.head_dim
+        h = _TowersRMSNorm(eps=c.rms_eps, name="norm1")(x)
+        qkv = nn.Dense(3 * d, use_bias=c.attention_bias, dtype=x.dtype,
+                       name="attn.qkv")(h)
+        qkv = qkv.reshape(t, 3, c.heads, hd)
+        q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+        q = _TowersRMSNorm(eps=c.rms_eps, name="attn.q_norm")(q)
+        k = _TowersRMSNorm(eps=c.rms_eps, name="attn.k_norm")(k)
+        q = q.transpose(1, 0, 2)
+        k = k.transpose(1, 0, 2)
+        v = v.transpose(1, 0, 2)
+        cs = cos[None].astype(jnp.float32)
+        sn = sin[None].astype(jnp.float32)
+        q = (q.astype(jnp.float32) * cs
+             + _rotate_half(q.astype(jnp.float32)) * sn).astype(x.dtype)
+        k = (k.astype(jnp.float32) * cs
+             + _rotate_half(k.astype(jnp.float32)) * sn).astype(x.dtype)
+        attn = jnp.einsum("hqd,hkd->hqk", q, k).astype(jnp.float32)
+        attn = jax.nn.softmax(attn * (hd ** -0.5), -1).astype(x.dtype)
+        o = jnp.einsum("hqk,hkd->hqd", attn, v)
+        o = o.transpose(1, 0, 2).reshape(t, d)
+        x = x + nn.Dense(d, use_bias=c.attention_bias, dtype=x.dtype,
+                         name="attn.proj")(o)
+        h = _TowersRMSNorm(eps=c.rms_eps, name="norm2")(x)
+        gate = nn.Dense(c.ffn, use_bias=False, dtype=x.dtype,
+                        name="mlp.gate_proj")(h)
+        up = nn.Dense(c.ffn, use_bias=False, dtype=x.dtype,
+                      name="mlp.up_proj")(h)
+        h = nn.Dense(d, use_bias=False, dtype=x.dtype,
+                     name="mlp.down_proj")(jax.nn.silu(gate) * up)
+        return x + h
+
+
+class GlmVisionModel(nn.Module):
+    """(T, 3·p²) merge-block-ordered patches → (T/merge², out_hidden)
+    (glmocr/vision.rs:602-861): blocks → post RMSNorm → per-block
+    downsample conv → merger (proj → LN → tanh-gelu → SwiGLU)."""
+
+    cfg: GlmVisionConfig
+
+    @nn.compact
+    def __call__(self, patches, cos, sin):
+        c = self.cfg
+        x = nn.Dense(c.hidden, use_bias=True, dtype=patches.dtype,
+                     name="patch_embed.proj")(patches)
+        for i in range(c.depth):
+            x = GlmVisionBlock(c, name=f"blocks.{i}")(x, cos, sin)
+        x = _TowersRMSNorm(eps=c.rms_eps, name="post_layernorm")(x)
+        m = c.merge
+        t = x.shape[0]
+        x = x.reshape(t // (m * m), m, m, c.hidden)
+        x = nn.Conv(c.out_hidden, (m, m), strides=(m, m), padding="VALID",
+                    dtype=x.dtype, name="downsample")(x)
+        x = x.reshape(t // (m * m), c.out_hidden)
+        # merger (candle .gelu() is the TANH approximation; the gate act is
+        # cfg.hidden_act = silu)
+        x = nn.Dense(c.out_hidden, use_bias=False, dtype=x.dtype,
+                     name="merger.proj")(x)
+        x = nn.LayerNorm(epsilon=c.rms_eps, dtype=x.dtype,
+                         name="merger.post_projection_norm")(x)
+        x = jax.nn.gelu(x, approximate=True)
+        ctx = c.out_hidden * 3                     # context_dim = out·in_ch
+        gate = nn.Dense(ctx, use_bias=False, dtype=x.dtype,
+                        name="merger.gate_proj")(x)
+        up = nn.Dense(ctx, use_bias=False, dtype=x.dtype,
+                      name="merger.up_proj")(x)
+        return nn.Dense(c.out_hidden, use_bias=False, dtype=x.dtype,
+                        name="merger.down_proj")(jax.nn.silu(gate) * up)
+
+
+# --------------------------- OvisOCR2 (Qwen2.5-VL-ish) ---------------------
+
+@dataclass(frozen=True)
+class OvisVisionConfig:
+    """ovisocr2/vision.rs OvisOcr2VisionConfig."""
+
+    hidden: int = 1152
+    heads: int = 16
+    ffn: int = 4304
+    depth: int = 27
+    patch: int = 14
+    merge: int = 2
+    out_hidden: int = 1024
+    num_positions: int = 1024           # pos_embed rows (grid²)
+    ln_eps: float = 1e-6
+    rope_theta: float = 10000.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden // self.heads
+
+    @property
+    def pos_grid(self) -> int:
+        return int(round(self.num_positions ** 0.5))
+
+    def tiny(self) -> "OvisVisionConfig":
+        return dataclasses.replace(self, hidden=32, heads=4, ffn=64,
+                                   depth=2, patch=4, out_hidden=48,
+                                   num_positions=16)
+
+
+class OvisVisionBlock(nn.Module):
+    cfg: OvisVisionConfig
+
+    @nn.compact
+    def __call__(self, x, cos, sin):
+        c = self.cfg
+        t, d = x.shape
+        hd = c.head_dim
+        h = nn.LayerNorm(epsilon=c.ln_eps, dtype=x.dtype, name="norm1")(x)
+        qkv = nn.Dense(3 * d, dtype=x.dtype, name="attn.qkv")(h)
+        qkv = qkv.reshape(t, 3, c.heads, hd)
+        q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+        q = q.transpose(1, 0, 2)
+        k = k.transpose(1, 0, 2)
+        v = v.transpose(1, 0, 2)
+        cs = cos[None].astype(jnp.float32)
+        sn = sin[None].astype(jnp.float32)
+        q = (q.astype(jnp.float32) * cs
+             + _rotate_half(q.astype(jnp.float32)) * sn).astype(x.dtype)
+        k = (k.astype(jnp.float32) * cs
+             + _rotate_half(k.astype(jnp.float32)) * sn).astype(x.dtype)
+        attn = jnp.einsum("hqd,hkd->hqk", q, k).astype(jnp.float32)
+        attn = jax.nn.softmax(attn * (hd ** -0.5), -1).astype(x.dtype)
+        o = jnp.einsum("hqk,hkd->hqd", attn, v)
+        o = o.transpose(1, 0, 2).reshape(t, d)
+        x = x + nn.Dense(d, dtype=x.dtype, name="attn.proj")(o)
+        h = nn.LayerNorm(epsilon=c.ln_eps, dtype=x.dtype, name="norm2")(x)
+        h = nn.Dense(c.ffn, dtype=x.dtype, name="mlp.linear_fc1")(h)
+        h = jax.nn.gelu(h, approximate=True)       # gelu_pytorch_tanh
+        h = nn.Dense(d, dtype=x.dtype, name="mlp.linear_fc2")(h)
+        return x + h
+
+
+class OvisVisionModel(nn.Module):
+    """(T, 3·p²) merge-block-ordered patches + interpolated pos rows →
+    merger (norm → group merge² → fc1 gelu_erf → fc2) (ovisocr2/vision.rs
+    :385-530)."""
+
+    cfg: OvisVisionConfig
+
+    @nn.compact
+    def __call__(self, patches, pos_embed, cos, sin):
+        c = self.cfg
+        x = nn.Dense(c.hidden, use_bias=False, dtype=patches.dtype,
+                     name="patch_embed.proj")(patches)
+        # pos_embed table lives under its checkpoint name; rows arrive
+        # host-interpolated in the same merge-block order as the patches
+        self.param("pos_embed.weight", nn.initializers.normal(0.02),
+                   (c.num_positions, c.hidden))
+        x = x + pos_embed.astype(x.dtype)
+        for i in range(c.depth):
+            x = OvisVisionBlock(c, name=f"blocks.{i}")(x, cos, sin)
+        g = c.merge ** 2
+        x = nn.LayerNorm(epsilon=c.ln_eps, dtype=x.dtype,
+                         name="merger.norm")(x)
+        x = x.reshape(x.shape[0] // g, g * c.hidden)
+        x = nn.Dense(g * c.hidden, dtype=x.dtype,
+                     name="merger.linear_fc1")(x)
+        x = jax.nn.gelu(x, approximate=False)      # gelu_erf
+        return nn.Dense(c.out_hidden, dtype=x.dtype,
+                        name="merger.linear_fc2")(x)

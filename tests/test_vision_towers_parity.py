@@ -137,3 +137,74 @@ class TestInternTiling:
         # single tile → no thumbnail
         sq = np.zeros((448, 448, 3), np.uint8)
         assert len(intern_tile_image(sq, image_size=448, max_blocks=1)) == 1
+
+
+class TestGlmVision:
+    def test_forward_parity(self):
+        from oar_ocr_tpu.vl.vision_towers import (GlmVisionConfig,
+                                                  GlmVisionModel)
+
+        cfg = GlmVisionConfig().tiny()
+        t = tr.GlmVisionTorch(hidden=cfg.hidden, heads=cfg.heads,
+                              ffn=cfg.ffn, depth=cfg.depth,
+                              patch=cfg.patch, merge=cfg.merge,
+                              out_hidden=cfg.out_hidden, eps=cfg.rms_eps)
+        seed_all(t, seed=17)
+        f = GlmVisionModel(cfg)
+        h = w = 4
+        hp, wp = mineru_vision_positions(h, w, cfg.merge)
+        cos, sin = _qwen_vision_rope(hp, wp, cfg.head_dim, cfg.rope_theta)
+        pd = 3 * cfg.patch ** 2
+        patches = np.random.default_rng(3).normal(
+            size=(h * w, pd)).astype(np.float32)
+        params = f.init(jax.random.PRNGKey(0), jnp.asarray(patches),
+                        jnp.asarray(cos), jnp.asarray(sin))
+        cm = build_hunyuan_map(params, name="glm-vision")
+        fixture = hf_state_dict(t)
+        tree = cm.convert(fixture, strict=True)
+        assert cm.unused_sources(fixture) == []
+        with torch.no_grad():
+            ref = t(torch.from_numpy(patches),
+                    torch.from_numpy(cos), torch.from_numpy(sin)).numpy()
+        ours = f.apply(tree, jnp.asarray(patches), jnp.asarray(cos),
+                       jnp.asarray(sin))
+        assert ours.shape == ref.shape    # (hw/merge², out_hidden)
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4,
+                                   rtol=1e-3)
+
+
+class TestOvisVision:
+    def test_forward_parity(self):
+        from oar_ocr_tpu.vl.vision_towers import (OvisVisionConfig,
+                                                  OvisVisionModel)
+
+        cfg = OvisVisionConfig().tiny()
+        t = tr.OvisVisionTorch(hidden=cfg.hidden, heads=cfg.heads,
+                               ffn=cfg.ffn, depth=cfg.depth,
+                               patch=cfg.patch, merge=cfg.merge,
+                               out_hidden=cfg.out_hidden,
+                               num_positions=cfg.num_positions,
+                               eps=cfg.ln_eps)
+        seed_all(t, seed=19)
+        f = OvisVisionModel(cfg)
+        h = w = 4
+        hp, wp = mineru_vision_positions(h, w, cfg.merge)
+        cos, sin = _qwen_vision_rope(hp, wp, cfg.head_dim, cfg.rope_theta)
+        pd = 3 * cfg.patch ** 2
+        rng = np.random.default_rng(4)
+        patches = rng.normal(size=(h * w, pd)).astype(np.float32)
+        pos_rows = rng.normal(size=(h * w, cfg.hidden)).astype(np.float32)
+        params = f.init(jax.random.PRNGKey(0), jnp.asarray(patches),
+                        jnp.asarray(pos_rows), jnp.asarray(cos),
+                        jnp.asarray(sin))
+        cm = build_hunyuan_map(params, name="ovis-vision")
+        fixture = hf_state_dict(t)
+        tree = cm.convert(fixture, strict=True)
+        assert cm.unused_sources(fixture) == []
+        with torch.no_grad():
+            ref = t(torch.from_numpy(patches), torch.from_numpy(pos_rows),
+                    torch.from_numpy(cos), torch.from_numpy(sin)).numpy()
+        ours = f.apply(tree, jnp.asarray(patches), jnp.asarray(pos_rows),
+                       jnp.asarray(cos), jnp.asarray(sin))
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4,
+                                   rtol=1e-3)

@@ -188,3 +188,162 @@ class HpdVisionTorch(nn.Module):
         x = self.mlp1["0"](x)
         x = F.gelu(self.mlp1["1"](x), approximate="none")
         return self.mlp1["3"](x)
+
+
+class TorchRMS(nn.Module):
+    def __init__(self, d, eps=1e-5):
+        super().__init__()
+        self.weight = nn.Parameter(torch.ones(d))
+        self.eps = eps
+
+    def forward(self, x):
+        var = x.float().pow(2).mean(-1, keepdim=True)
+        return (x.float() * torch.rsqrt(var + self.eps) *
+                self.weight.float()).to(x.dtype)
+
+
+class GlmVisionBlockTorch(nn.Module):
+    def __init__(self, d, heads, ffn, eps=1e-5, attn_bias=False):
+        super().__init__()
+        hd = d // heads
+        self.norm1 = TorchRMS(d, eps)
+        self.norm2 = TorchRMS(d, eps)
+        self.attn = nn.ModuleDict({
+            "qkv": nn.Linear(d, 3 * d, bias=attn_bias),
+            "proj": nn.Linear(d, d, bias=attn_bias),
+            "q_norm": TorchRMS(hd, eps),
+            "k_norm": TorchRMS(hd, eps),
+        })
+        self.mlp = nn.ModuleDict({
+            "gate_proj": nn.Linear(d, ffn, bias=False),
+            "up_proj": nn.Linear(d, ffn, bias=False),
+            "down_proj": nn.Linear(ffn, d, bias=False),
+        })
+        self.heads = heads
+
+    def forward(self, x, cos, sin):
+        t, d = x.shape
+        hd = d // self.heads
+        h = self.norm1(x)
+        qkv = self.attn["qkv"](h).reshape(t, 3, self.heads, hd)
+        q = self.attn["q_norm"](qkv[:, 0]).transpose(0, 1)
+        k = self.attn["k_norm"](qkv[:, 1]).transpose(0, 1)
+        v = qkv[:, 2].transpose(0, 1)
+        q = q * cos[None] + rotate_half(q) * sin[None]
+        k = k * cos[None] + rotate_half(k) * sin[None]
+        o = F.scaled_dot_product_attention(q[None], k[None], v[None])[0]
+        o = o.transpose(0, 1).reshape(t, d)
+        x = x + self.attn["proj"](o)
+        h = self.norm2(x)
+        h = self.mlp["down_proj"](F.silu(self.mlp["gate_proj"](h))
+                                  * self.mlp["up_proj"](h))
+        return x + h
+
+
+class GlmVisionTorch(nn.Module):
+    def __init__(self, hidden=32, heads=4, ffn=64, depth=2, patch=4,
+                 merge=2, out_hidden=48, eps=1e-5):
+        super().__init__()
+        patch_dim = 3 * patch * patch
+
+        class PE(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.proj = nn.Linear(patch_dim, hidden)
+
+        self.patch_embed = PE()
+        self.blocks = nn.ModuleList(
+            [GlmVisionBlockTorch(hidden, heads, ffn, eps)
+             for _ in range(depth)])
+        self.post_layernorm = TorchRMS(hidden, eps)
+        self.downsample = nn.Conv2d(hidden, out_hidden, merge, stride=merge)
+        self.merger = nn.ModuleDict({
+            "proj": nn.Linear(out_hidden, out_hidden, bias=False),
+            "post_projection_norm": nn.LayerNorm(out_hidden, eps=eps),
+            "gate_proj": nn.Linear(out_hidden, out_hidden * 3, bias=False),
+            "up_proj": nn.Linear(out_hidden, out_hidden * 3, bias=False),
+            "down_proj": nn.Linear(out_hidden * 3, out_hidden, bias=False),
+        })
+        self.merge = merge
+        self.hidden = hidden
+
+    def forward(self, patches, cos, sin):
+        x = self.patch_embed.proj(patches)
+        for b in self.blocks:
+            x = b(x, cos, sin)
+        x = self.post_layernorm(x)
+        m = self.merge
+        t = x.shape[0]
+        x = x.reshape(t // (m * m), m, m, self.hidden).permute(0, 3, 1, 2)
+        x = self.downsample(x).reshape(t // (m * m), -1)
+        x = self.merger["proj"](x)
+        x = self.merger["post_projection_norm"](x)
+        x = F.gelu(x, approximate="tanh")
+        g = F.silu(self.merger["gate_proj"](x)) * self.merger["up_proj"](x)
+        return self.merger["down_proj"](g)
+
+
+class OvisVisionBlockTorch(nn.Module):
+    def __init__(self, d, heads, ffn, eps=1e-6):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(d, eps=eps)
+        self.norm2 = nn.LayerNorm(d, eps=eps)
+        self.attn = nn.ModuleDict({"qkv": nn.Linear(d, 3 * d),
+                                   "proj": nn.Linear(d, d)})
+        self.mlp = nn.ModuleDict({"linear_fc1": nn.Linear(d, ffn),
+                                  "linear_fc2": nn.Linear(ffn, d)})
+        self.heads = heads
+
+    def forward(self, x, cos, sin):
+        t, d = x.shape
+        hd = d // self.heads
+        h = self.norm1(x)
+        qkv = self.attn["qkv"](h).reshape(t, 3, self.heads, hd)
+        q = qkv[:, 0].transpose(0, 1)
+        k = qkv[:, 1].transpose(0, 1)
+        v = qkv[:, 2].transpose(0, 1)
+        q = q * cos[None] + rotate_half(q) * sin[None]
+        k = k * cos[None] + rotate_half(k) * sin[None]
+        o = F.scaled_dot_product_attention(q[None], k[None], v[None])[0]
+        o = o.transpose(0, 1).reshape(t, d)
+        x = x + self.attn["proj"](o)
+        h = self.norm2(x)
+        h = self.mlp["linear_fc2"](
+            F.gelu(self.mlp["linear_fc1"](h), approximate="tanh"))
+        return x + h
+
+
+class OvisVisionTorch(nn.Module):
+    def __init__(self, hidden=32, heads=4, ffn=64, depth=2, patch=4,
+                 merge=2, out_hidden=48, num_positions=16, eps=1e-6):
+        super().__init__()
+        patch_dim = 3 * patch * patch
+
+        class PE(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.proj = nn.Linear(patch_dim, hidden, bias=False)
+
+        self.patch_embed = PE()
+        self.pos_embed = nn.Embedding(num_positions, hidden)
+        self.blocks = nn.ModuleList(
+            [OvisVisionBlockTorch(hidden, heads, ffn, eps)
+             for _ in range(depth)])
+        self.merger = nn.ModuleDict({
+            "norm": nn.LayerNorm(hidden, eps=eps),
+            "linear_fc1": nn.Linear(merge * merge * hidden,
+                                    merge * merge * hidden),
+            "linear_fc2": nn.Linear(merge * merge * hidden, out_hidden),
+        })
+        self.merge = merge
+        self.hidden = hidden
+
+    def forward(self, patches, pos_embed, cos, sin):
+        x = self.patch_embed.proj(patches) + pos_embed
+        for b in self.blocks:
+            x = b(x, cos, sin)
+        x = self.merger["norm"](x)
+        g = self.merge ** 2
+        x = x.reshape(x.shape[0] // g, g * self.hidden)
+        x = F.gelu(self.merger["linear_fc1"](x), approximate="none")
+        return self.merger["linear_fc2"](x)
