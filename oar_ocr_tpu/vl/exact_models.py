@@ -1,0 +1,388 @@
+"""End-to-end exact VLM drivers: MinerU, GLM-OCR, OvisOCR2, HPD, Monkey.
+
+Ties each family's EXACT vision tower (vl/vision_towers.py) to its EXACT
+text decoder (vl/llm_decoders.py) under the checkpoint's own tree roots,
+with a shared batch-1 prefill + lax.scan greedy harness — so every family
+`generate()` runs the architecture its published weights expect:
+
+| family          | vision root        | text root                  |
+|-----------------|--------------------|----------------------------|
+| MinerU 2.5      | ``visual.``        | ``model.`` + ``lm_head``   | (mineru/model.rs:208-242)
+| GLM-OCR         | ``model.visual.``  | ``model.language_model.`` + ``lm_head`` | (glmocr/model.rs:71-95)
+| OvisOCR2        | ``model.visual.``  | ``model.language_model.`` + ``lm_head`` | (ovisocr2/model.rs:77-78)
+| HPD-Parsing     | ``vision_model.``/``mlp1.`` | ``language_model.model.`` + ``language_model.lm_head`` | (hpd_parsing/model.rs:245-247)
+| MonkeyOCRv2     | ``vision_tower.``  | ``model.`` + ``lm_head``   | (monkeyocrv2/model.rs:94-95)
+
+Image-token positions: MinerU/Monkey use the Qwen2-VL 3-axis MRoPE rule
+(text axes run together; an image span takes (t, row, col) grid ids from
+a common base, and following text resumes at max+1 — mineru/model.rs
+position builder); the rope/qk-norm decoders (SDAR/GLM/Ovis) use plain
+sequential positions.
+
+These drivers run tiny configs today (random weights); the full-size
+configs are the published-checkpoint presets in llm_decoders.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .attention import create_causal_mask, create_generation_mask
+from .kv_cache import KVCache, decoder_cache_capacity
+from .llm_decoders import (GLM_TEXT, MINERU_TEXT, OVIS_TEXT, SDAR_TEXT,
+                           UnifiedDecoder, UnifiedLMConfig)
+from .vision_towers import (GlmVisionConfig, GlmVisionModel,
+                            HpdVisionConfig, HpdVisionModel,
+                            MinerUVisionConfig, MinerUVisionModel,
+                            OvisVisionConfig, OvisVisionModel,
+                            _qwen_vision_rope, intern_tile_image,
+                            mineru_vision_positions)
+
+
+@dataclass(frozen=True)
+class ExactVLMSpec:
+    """One family's wiring: tower kind + tree roots + position rule."""
+
+    name: str
+    text_cfg: UnifiedLMConfig
+    tower: str                       # qwen2vl | glm | ovis | internvit
+    vision_root: str
+    text_root: str
+    lm_head_name: str
+    image_token_id: int = 151655
+    mrope_images: bool = False       # Qwen2-VL 3-axis image positions
+
+
+def _tiny_text(cfg: UnifiedLMConfig, **kw) -> UnifiedLMConfig:
+    base = dict(vocab_size=256, hidden=48, layers=2, heads=4, kv_heads=2,
+                head_dim=12, ffn=96)
+    base.update(kw)
+    return dataclasses.replace(cfg, **base)
+
+
+class ExactVLMModule(nn.Module):
+    """Vision tower + UnifiedDecoder + LM head in one param tree, with
+    submodule names equal to the checkpoint roots."""
+
+    spec: ExactVLMSpec
+    vision_cfg: object
+
+    def setup(self):
+        s = self.spec
+        tower_cls = {"qwen2vl": MinerUVisionModel, "glm": GlmVisionModel,
+                     "ovis": OvisVisionModel,
+                     "internvit": HpdVisionModel}[s.tower]
+        self.visual = tower_cls(self.vision_cfg, name=s.vision_root)
+        self.text = UnifiedDecoder(s.text_cfg, name=s.text_root)
+        self.lm_head = nn.Dense(s.text_cfg.vocab_size, use_bias=False,
+                                name=s.lm_head_name)
+
+    def encode_image(self, *tower_args):
+        return self.visual(*tower_args)
+
+    def embed(self, ids):
+        return self.text.embed(ids)
+
+    def prefill(self, embeds, position_ids, cache, mask, dstate,
+                conv_state):
+        hidden, cache, dstate, conv_state = self.text(
+            embeds, position_ids, cache, jnp.int32(0), mask, dstate,
+            conv_state)
+        logits = self.lm_head(hidden[:, -1]).astype(jnp.float32)
+        return logits, cache, dstate, conv_state
+
+    def decode_step(self, tok_ids, position_ids, cache, pos, dstate,
+                    conv_state):
+        embeds = self.text.embed(tok_ids)[:, None, :]
+        mask = create_generation_mask(cache.length + 1, cache.capacity,
+                                      cache.pad)
+        hidden, cache, dstate, conv_state = self.text(
+            embeds, position_ids, cache, pos, mask, dstate, conv_state)
+        cache = cache.advance(1)
+        logits = self.lm_head(hidden[:, -1]).astype(jnp.float32)
+        return logits, cache, dstate, conv_state
+
+    def init_all(self, tower_args, ids, position_ids):
+        img = self.encode_image(*tower_args)
+        emb = self.text.embed(ids)
+        c = self.spec.text_cfg
+        b, t = ids.shape
+        cache = KVCache.create(c.layers, b, c.kv_heads, t, c.head_dim,
+                               dtype=emb.dtype)
+        dstate, conv = self.text.empty_states(b)
+        mask = jnp.ones((b, 1, t, t), bool)
+        logits, *_ = self.prefill(emb, position_ids, cache, mask, dstate,
+                                  conv)
+        return img, logits
+
+
+def qwen2vl_positions(seq_len: int, image_start: int, n_image: int,
+                      grid_hw: Tuple[int, int], merge: int) -> np.ndarray:
+    """Qwen2-VL get_rope_index for one image: 3 axes (t, h, w); text runs
+    all axes together; the image span uses grid coordinates from the text
+    base; following text resumes at max+1."""
+    hm, wm = grid_hw[0] // merge, grid_hw[1] // merge
+    pos = np.zeros((3, seq_len), np.int32)
+    pos[:, :image_start] = np.arange(image_start)
+    base = image_start
+    j = np.arange(n_image)
+    pos[0, image_start:image_start + n_image] = base
+    pos[1, image_start:image_start + n_image] = base + j // wm
+    pos[2, image_start:image_start + n_image] = base + j % wm
+    nxt = int(pos[:, image_start:image_start + n_image].max()) + 1 \
+        if n_image else base
+    tail = seq_len - image_start - n_image
+    pos[:, image_start + n_image:] = nxt + np.arange(tail)
+    return pos
+
+
+class ExactVLM:
+    """Shared batch-1 prefill + scan greedy harness over ExactVLMModule."""
+
+    def __init__(self, spec: ExactVLMSpec, vision_cfg, params=None, *,
+                 tokenizer=None, runtime=None, seed: int = 0):
+        from ..runtime.runtime import Runtime
+        from .model import ByteTokenizer
+
+        self.spec = spec
+        self.vision_cfg = vision_cfg
+        self.runtime = runtime or Runtime.default()
+        self.tokenizer = tokenizer or ByteTokenizer()
+        self.module = ExactVLMModule(spec, vision_cfg)
+        if params is None:
+            params = self._init_params(seed)
+        self.params = jax.device_put(params, self.runtime.device)
+        self._gen = jax.jit(self._prefill_decode,
+                            static_argnames=("max_new", "capacity"))
+        self._encode = jax.jit(lambda p, *a: self.module.apply(
+            p, *a, method=ExactVLMModule.encode_image))
+
+    # -------------------- tower preprocessing --------------------
+    def _tower_inputs(self, image: np.ndarray):
+        import cv2
+
+        s, v = self.spec, self.vision_cfg
+        if s.tower == "internvit":
+            tiles = intern_tile_image(image, image_size=v.image_size,
+                                      max_blocks=4)
+            p = v.patch
+            g = v.grid
+            arr = np.stack(tiles).astype(np.float32) / 255.0
+            arr = (arr - 0.5) / 0.5
+            n = arr.shape[0]
+            patches = arr.reshape(n, g, p, g, p, 3).transpose(
+                0, 1, 3, 2, 4, 5).reshape(n, g * g, 3 * p * p)
+            return (jnp.asarray(patches),), len(tiles) * (g // v.downsample) ** 2
+        # qwen-style towers: resize to patch·merge multiples, merge-block
+        # patch order + 2-D rope tables
+        unit = v.patch * v.merge
+        h, w = image.shape[:2]
+        th = max(unit, int(round(h / unit)) * unit)
+        tw = max(unit, int(round(w / unit)) * unit)
+        resized = cv2.resize(image, (tw, th),
+                             interpolation=cv2.INTER_LINEAR)
+        x = (resized.astype(np.float32) / 255.0 - 0.5) / 0.5
+        p = v.patch
+        gh, gw = th // p, tw // p
+        m = v.merge
+        x = x.reshape(gh // m, m, p, gw // m, m, p, 3)
+        x = x.transpose(0, 3, 1, 4, 2, 5, 6).reshape(gh * gw, p * p * 3)
+        pd = x.shape[-1]
+        if s.tower == "qwen2vl":
+            tp = getattr(v, "temporal_patch", 1)
+            x = np.tile(x, (1, tp))           # temporal duplication
+        hp, wp = mineru_vision_positions(gh, gw, m)
+        cos, sin = _qwen_vision_rope(hp, wp, v.head_dim, v.rope_theta)
+        self._last_grid = (gh, gw)
+        if s.tower == "ovis":
+            # interpolated pos rows in the same merge-block order
+            pos_rows = self._ovis_pos_rows(gh, gw)
+            return ((jnp.asarray(x), jnp.asarray(pos_rows),
+                     jnp.asarray(cos), jnp.asarray(sin)),
+                    (gh // m) * (gw // m))
+        return ((jnp.asarray(x), jnp.asarray(cos), jnp.asarray(sin)),
+                (gh // m) * (gw // m))
+
+    def _ovis_pos_rows(self, gh: int, gw: int) -> np.ndarray:
+        from .hunyuan import interpolate_positions
+
+        v = self.vision_cfg
+        table = np.asarray(self.params["params"][self.spec.vision_root]
+                           ["pos_embed.weight"], np.float32)
+        rows = interpolate_positions(table, v.pos_grid, gh, gw)
+        m = v.merge
+        rows = rows.reshape(gh // m, m, gw // m, m, -1)
+        rows = rows.transpose(0, 2, 1, 3, 4).reshape(gh * gw, -1)
+        return rows
+
+    def _init_params(self, seed: int):
+        s, v = self.spec, self.vision_cfg
+        rng = jax.random.PRNGKey(seed)
+        m = getattr(v, "merge", 2)
+        p = v.patch
+        if s.tower == "internvit":
+            g = v.grid
+            tower_args = (jnp.zeros((1, g * g, 3 * p * p), jnp.float32),)
+        else:
+            t = m * m
+            pd = p * p * 3 * (getattr(v, "temporal_patch", 1)
+                              if s.tower == "qwen2vl" else 1)
+            hd = v.head_dim
+            cos = jnp.ones((t, hd), jnp.float32)
+            sin = jnp.zeros((t, hd), jnp.float32)
+            if s.tower == "ovis":
+                tower_args = (jnp.zeros((t, pd), jnp.float32),
+                              jnp.zeros((t, v.hidden), jnp.float32),
+                              cos, sin)
+            else:
+                tower_args = (jnp.zeros((t, pd), jnp.float32), cos, sin)
+        ids = jnp.zeros((1, 4), jnp.int32)
+        naxes = 3 if s.text_cfg.rope_kind == "mrope" else 1
+        pids = (jnp.zeros((3, 1, 4), jnp.int32) if naxes == 3
+                else jnp.zeros((1, 4), jnp.int32))
+        return self.module.init(rng, tower_args, ids, pids,
+                                method=ExactVLMModule.init_all)
+
+    def _prefill_decode(self, params, embeds, position_ids,
+                        *, max_new: int, capacity: int):
+        s = self.spec
+        c = s.text_cfg
+        b, t, _ = embeds.shape
+        cache = KVCache.create(c.layers, b, c.kv_heads, capacity,
+                               c.head_dim, dtype=embeds.dtype)
+        mask = jnp.broadcast_to(create_causal_mask(t), (b, 1, t, t))
+        mask = jnp.concatenate(
+            [mask, jnp.zeros((b, 1, t, capacity - t), bool)], -1)
+        logits, cache, dstate, conv = self.module.apply(
+            params, embeds, position_ids, cache, mask,
+            *self._empty_states(params, b),
+            method=ExactVLMModule.prefill)
+        cache = cache.advance(t)
+        first = jnp.argmax(logits, -1).astype(jnp.int32)
+        mrope = position_ids.ndim == 3
+        if mrope:
+            npos0 = jnp.max(position_ids, axis=(0, 2)) + 1
+        else:
+            npos0 = jnp.max(position_ids, axis=-1) + 1
+
+        def step(carry, i):
+            tok, cache, done, npos, ds, cv = carry
+            pids = (jnp.broadcast_to(npos[None, :, None], (3, b, 1))
+                    if mrope else npos[:, None])
+            logits, cache, ds, cv = self.module.apply(
+                params, tok, pids, cache, t + i, ds, cv,
+                method=ExactVLMModule.decode_step)
+            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            nxt = jnp.where(done, c.eos_id, nxt)
+            return (nxt, cache, done | (nxt == c.eos_id), npos + 1,
+                    ds, cv), tok
+
+        (_, _, _, _, _, _), ids = jax.lax.scan(
+            step, (first, cache, first == c.eos_id, npos0, dstate, conv),
+            jnp.arange(max_new), length=max_new)
+        return jnp.transpose(ids, (1, 0))
+
+    def _empty_states(self, params, batch: int):
+        c = self.spec.text_cfg
+        d = c.linear_head_dim
+        dstate = jnp.zeros((c.layers, batch, c.linear_v_heads, d, d),
+                           jnp.float32)
+        conv_dim = 2 * c.linear_k_heads * d + c.linear_v_heads * d
+        conv = jnp.zeros((c.layers, batch, max(c.conv_kernel - 1, 1),
+                          conv_dim), jnp.float32)
+        return dstate, conv
+
+    def generate(self, images: Sequence[np.ndarray],
+                 instruction: str = "OCR:", *,
+                 max_new_tokens: int = 64) -> List[str]:
+        s = self.spec
+        c = s.text_cfg
+        out = []
+        for image in images:
+            tower_args, n_img = self._tower_inputs(image)
+            img_emb = self._encode(self.params, *tower_args)
+            prompt = self.tokenizer.encode(instruction)
+            row = [c.eos_id] + [s.image_token_id % c.vocab_size] * n_img \
+                + prompt
+            ids = np.asarray(row, np.int32)
+            t = len(row)
+            if c.rope_kind == "mrope" and s.mrope_images:
+                grid = getattr(self, "_last_grid", (2, 2))
+                pids = qwen2vl_positions(
+                    t, 1, n_img, grid,
+                    getattr(self.vision_cfg, "merge", 2))[:, None, :]
+            elif c.rope_kind == "mrope":
+                pids = np.broadcast_to(np.arange(t, dtype=np.int32),
+                                       (3, 1, t)).copy()
+            else:
+                pids = np.arange(t, dtype=np.int32)[None]
+            embeds = self.module.apply(self.params, jnp.asarray(ids)[None],
+                                       method=ExactVLMModule.embed)
+            embeds = embeds.at[0, 1:1 + n_img].set(
+                img_emb[:n_img].astype(embeds.dtype))
+            capacity = decoder_cache_capacity(t, max_new_tokens)
+            toks = self._gen(self.params, embeds, jnp.asarray(pids),
+                             max_new=max_new_tokens, capacity=capacity)
+            ids_out = []
+            for v_ in np.asarray(toks)[0].tolist():
+                if v_ == c.eos_id:
+                    break
+                ids_out.append(int(v_))
+            out.append(self.tokenizer.decode(ids_out))
+        return out
+
+
+# ----------------------------- family factories -----------------------------
+
+def mineru_exact(tiny: bool = False, **kw) -> ExactVLM:
+    text = _tiny_text(MINERU_TEXT, mrope_sections=(2, 2, 2)) if tiny \
+        else MINERU_TEXT
+    vision = MinerUVisionConfig().tiny() if tiny else MinerUVisionConfig()
+    spec = ExactVLMSpec("mineru", text, "qwen2vl", "visual", "model",
+                        "lm_head", mrope_images=True)
+    return ExactVLM(spec, vision, **kw)
+
+
+def glm_exact(tiny: bool = False, **kw) -> ExactVLM:
+    text = _tiny_text(GLM_TEXT) if tiny else GLM_TEXT
+    vision = GlmVisionConfig().tiny() if tiny else GlmVisionConfig()
+    spec = ExactVLMSpec("glmocr", text, "glm", "model.visual",
+                        "model.language_model", "lm_head")
+    return ExactVLM(spec, vision, **kw)
+
+
+def ovis_exact(tiny: bool = False, **kw) -> ExactVLM:
+    text = _tiny_text(OVIS_TEXT, layers=4, linear_head_dim=8) if tiny \
+        else OVIS_TEXT
+    vision = OvisVisionConfig().tiny() if tiny else OvisVisionConfig()
+    spec = ExactVLMSpec("ovisocr2", text, "ovis", "model.visual",
+                        "model.language_model", "lm_head")
+    return ExactVLM(spec, vision, **kw)
+
+
+def hpd_exact(tiny: bool = False, **kw) -> ExactVLM:
+    text = _tiny_text(SDAR_TEXT) if tiny else SDAR_TEXT
+    vision = HpdVisionConfig().tiny() if tiny else HpdVisionConfig()
+    # HPD's checkpoint keeps the vision tree at the ROOT (vision_model./
+    # mlp1.); here it nests under "hpd_vision" (flax submodules need a
+    # name) — the conversion map strips that one prefix
+    spec = ExactVLMSpec("hpd_parsing", text, "internvit", "hpd_vision",
+                        "language_model.model", "language_model.lm_head")
+    return ExactVLM(spec, vision, **kw)
+
+
+def monkey_exact(tiny: bool = False, **kw) -> ExactVLM:
+    text = _tiny_text(SDAR_TEXT) if tiny else SDAR_TEXT
+    # MonkeyOCRv2's vision_tower is a Monkey ViT (monkeyocrv2/vision.rs);
+    # the Qwen-ViT layout is the closest built tower — flagged in ROADMAP
+    vision = MinerUVisionConfig().tiny() if tiny else MinerUVisionConfig()
+    spec = ExactVLMSpec("monkeyocrv2", text, "qwen2vl", "vision_tower",
+                        "model", "lm_head")
+    return ExactVLM(spec, vision, **kw)

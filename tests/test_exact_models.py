@@ -1,0 +1,77 @@
+"""Exact end-to-end VLM drivers (tower + decoder + LM head under the
+checkpoint roots): smoke-generate every family and assert the tree roots
+match the checkpoints'."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from oar_ocr_tpu.vl.exact_models import (glm_exact, hpd_exact,
+                                         mineru_exact, monkey_exact,
+                                         ovis_exact, qwen2vl_positions)
+
+FACTORIES = {"mineru": mineru_exact, "glm": glm_exact, "ovis": ovis_exact,
+             "hpd": hpd_exact, "monkey": monkey_exact}
+
+
+@pytest.mark.parametrize("name", sorted(FACTORIES))
+def test_generate_smoke(name):
+    m = FACTORIES[name](tiny=True)
+    img = np.random.default_rng(0).integers(0, 255, (24, 40, 3),
+                                            dtype=np.uint8)
+    out = m.generate([img], max_new_tokens=6)
+    assert len(out) == 1 and isinstance(out[0], str)
+    # greedy determinism
+    assert out == m.generate([img], max_new_tokens=6)
+
+
+def test_mineru_tree_roots():
+    from oar_ocr_tpu.runtime.ppocr_maps import hf_vl_name
+    from oar_ocr_tpu.runtime.weights import flatten_params
+
+    m = mineru_exact(tiny=True)
+    names = {hf_vl_name(k) for k in flatten_params(m.params)}
+    for expected in [
+        "visual.patch_embed.proj.weight",
+        "visual.blocks.0.attn.qkv.weight",
+        "visual.merger.mlp.0.weight",
+        "model.embed_tokens.weight",
+        "model.layers.0.self_attn.q_proj.bias",   # Qwen2-VL qkv bias
+        "model.norm.weight",
+        "lm_head.weight",
+    ]:
+        assert expected in names, expected
+
+
+def test_glm_tree_roots():
+    from oar_ocr_tpu.runtime.ppocr_maps import hf_vl_name
+    from oar_ocr_tpu.runtime.weights import flatten_params
+
+    m = glm_exact(tiny=True)
+    names = {hf_vl_name(k) for k in flatten_params(m.params)}
+    for expected in [
+        "model.visual.blocks.0.attn.q_norm.weight",
+        "model.visual.merger.post_projection_norm.weight",
+        "model.language_model.layers.0.mlp.gate_up_proj.weight",
+        "model.language_model.layers.0.post_self_attn_layernorm.weight",
+        "lm_head.weight",
+    ]:
+        assert expected in names, expected
+
+
+def test_qwen2vl_positions_rule():
+    # text(2) + image 2x2 merged grid (4 tokens) + text(2)
+    pos = qwen2vl_positions(8, 2, 4, (4, 4), 2)
+    np.testing.assert_array_equal(pos[:, :2], [[0, 1]] * 3)
+    # image: t stays at base 2; h = 2 + row; w = 2 + col
+    np.testing.assert_array_equal(pos[0, 2:6], [2, 2, 2, 2])
+    np.testing.assert_array_equal(pos[1, 2:6], [2, 2, 3, 3])
+    np.testing.assert_array_equal(pos[2, 2:6], [2, 3, 2, 3])
+    # trailing text resumes at max+1 = 4
+    np.testing.assert_array_equal(pos[:, 6:], [[4, 5]] * 3)
