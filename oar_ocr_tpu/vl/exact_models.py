@@ -41,6 +41,7 @@ from .llm_decoders import (GLM_TEXT, MINERU_TEXT, OVIS_TEXT, SDAR_TEXT,
 from .vision_towers import (GlmVisionConfig, GlmVisionModel,
                             HpdVisionConfig, HpdVisionModel,
                             MinerUVisionConfig, MinerUVisionModel,
+                            MonkeyVisionConfig, MonkeyVisionModel,
                             OvisVisionConfig, OvisVisionModel,
                             _qwen_vision_rope, intern_tile_image,
                             mineru_vision_positions)
@@ -77,7 +78,7 @@ class ExactVLMModule(nn.Module):
     def setup(self):
         s = self.spec
         tower_cls = {"qwen2vl": MinerUVisionModel, "glm": GlmVisionModel,
-                     "ovis": OvisVisionModel,
+                     "ovis": OvisVisionModel, "monkey": MonkeyVisionModel,
                      "internvit": HpdVisionModel}[s.tower]
         self.visual = tower_cls(self.vision_cfg, name=s.vision_root)
         self.text = UnifiedDecoder(s.text_cfg, name=s.text_root)
@@ -380,9 +381,7 @@ def hpd_exact(tiny: bool = False, **kw) -> ExactVLM:
 
 def monkey_exact(tiny: bool = False, **kw) -> ExactVLM:
     text = _tiny_text(SDAR_TEXT) if tiny else SDAR_TEXT
-    # MonkeyOCRv2's vision_tower is a Monkey ViT (monkeyocrv2/vision.rs);
-    # the Qwen-ViT layout is the closest built tower — flagged in ROADMAP
-    vision = MinerUVisionConfig().tiny() if tiny else MinerUVisionConfig()
-    spec = ExactVLMSpec("monkeyocrv2", text, "qwen2vl", "vision_tower",
+    vision = MonkeyVisionConfig().tiny() if tiny else MonkeyVisionConfig()
+    spec = ExactVLMSpec("monkeyocrv2", text, "monkey", "vision_tower",
                         "model", "lm_head")
     return ExactVLM(spec, vision, **kw)

@@ -538,3 +538,99 @@ class OvisVisionModel(nn.Module):
         x = jax.nn.gelu(x, approximate=False)      # gelu_erf
         return nn.Dense(c.out_hidden, dtype=x.dtype,
                         name="merger.linear_fc2")(x)
+
+
+# --------------------------- MonkeyOCRv2 (Monkey ViT) ---------------------
+
+@dataclass(frozen=True)
+class MonkeyVisionConfig:
+    """monkeyocrv2/vision.rs MonkeyOcrV2VisionConfig."""
+
+    embed_dim: int = 1152
+    heads: int = 16
+    ffn: int = 4304
+    depth: int = 27
+    patch: int = 14
+    merge: int = 2
+    out_hidden: int = 1024           # llm hidden (merger.mlp.2 out)
+    rms_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    post_trunk_norm: bool = True
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.heads
+
+    def tiny(self) -> "MonkeyVisionConfig":
+        return dataclasses.replace(self, embed_dim=32, heads=4, ffn=64,
+                                   depth=2, patch=4, out_hidden=48)
+
+
+class MonkeyVisionBlock(nn.Module):
+    """RMS norms + bias-free fused qkv/proj + SwiGLU fc1(gate)/fc3(up)/
+    fc2(down) (monkeyocrv2/vision.rs:65-270)."""
+
+    cfg: MonkeyVisionConfig
+
+    @nn.compact
+    def __call__(self, x, cos, sin):
+        c = self.cfg
+        t, d = x.shape
+        hd = c.head_dim
+        h = _TowersRMSNorm(eps=c.rms_eps, name="norm1")(x)
+        qkv = nn.Dense(3 * d, use_bias=False, dtype=x.dtype,
+                       name="attn.qkv")(h)
+        qkv = qkv.reshape(t, 3, c.heads, hd)
+        q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+        q = q.transpose(1, 0, 2)
+        k = k.transpose(1, 0, 2)
+        v = v.transpose(1, 0, 2)
+        cs = cos[None].astype(jnp.float32)
+        sn = sin[None].astype(jnp.float32)
+        q = (q.astype(jnp.float32) * cs
+             + _rotate_half(q.astype(jnp.float32)) * sn).astype(x.dtype)
+        k = (k.astype(jnp.float32) * cs
+             + _rotate_half(k.astype(jnp.float32)) * sn).astype(x.dtype)
+        attn = jnp.einsum("hqd,hkd->hqk", q, k).astype(jnp.float32)
+        attn = jax.nn.softmax(attn * (hd ** -0.5), -1).astype(x.dtype)
+        o = jnp.einsum("hqk,hkd->hqd", attn, v)
+        o = o.transpose(1, 0, 2).reshape(t, d)
+        x = x + nn.Dense(d, use_bias=False, dtype=x.dtype,
+                         name="attn.proj")(o)
+        h = _TowersRMSNorm(eps=c.rms_eps, name="norm2")(x)
+        gate = nn.Dense(c.ffn, use_bias=False, dtype=x.dtype,
+                        name="mlp.fc1")(h)
+        up = nn.Dense(c.ffn, use_bias=False, dtype=x.dtype,
+                      name="mlp.fc3")(h)
+        h = nn.Dense(d, use_bias=False, dtype=x.dtype,
+                     name="mlp.fc2")(jax.nn.silu(gate) * up)
+        return x + h
+
+
+class MonkeyVisionModel(nn.Module):
+    """patch_embed.patchifier (proj + RMS norm) → blocks →
+    post_trunk_norm → merger (ln_q LN → group merge² → mlp.0 gelu_erf →
+    mlp.2) (monkeyocrv2/vision.rs:335-420)."""
+
+    cfg: MonkeyVisionConfig
+
+    @nn.compact
+    def __call__(self, patches, cos, sin):
+        c = self.cfg
+        x = nn.Dense(c.embed_dim, use_bias=True, dtype=patches.dtype,
+                     name="patch_embed.patchifier.proj")(patches)
+        x = _TowersRMSNorm(eps=c.rms_eps,
+                           name="patch_embed.patchifier.norm")(x)
+        for i in range(c.depth):
+            x = MonkeyVisionBlock(c, name=f"blocks.{i}")(x, cos, sin)
+        if c.post_trunk_norm:
+            x = _TowersRMSNorm(eps=c.rms_eps, name="post_trunk_norm")(x)
+        g = c.merge ** 2
+        x = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype,
+                         name="merger.ln_q")(x)
+        x = x.reshape(x.shape[0] // g, g * c.embed_dim)
+        x = nn.Dense(g * c.embed_dim, dtype=x.dtype,
+                     name="merger.mlp.0")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        return nn.Dense(c.out_hidden, dtype=x.dtype,
+                        name="merger.mlp.2")(x)

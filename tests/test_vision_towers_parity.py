@@ -208,3 +208,37 @@ class TestOvisVision:
                        jnp.asarray(cos), jnp.asarray(sin))
         np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4,
                                    rtol=1e-3)
+
+
+class TestMonkeyVision:
+    def test_forward_parity(self):
+        from oar_ocr_tpu.vl.vision_towers import (MonkeyVisionConfig,
+                                                  MonkeyVisionModel)
+
+        cfg = MonkeyVisionConfig().tiny()
+        t = tr.MonkeyVisionTorch(embed_dim=cfg.embed_dim, heads=cfg.heads,
+                                 ffn=cfg.ffn, depth=cfg.depth,
+                                 patch=cfg.patch, merge=cfg.merge,
+                                 out_hidden=cfg.out_hidden,
+                                 eps=cfg.rms_eps)
+        seed_all(t, seed=23)
+        f = MonkeyVisionModel(cfg)
+        h = w = 4
+        hp, wp = mineru_vision_positions(h, w, cfg.merge)
+        cos, sin = _qwen_vision_rope(hp, wp, cfg.head_dim, cfg.rope_theta)
+        pd = 3 * cfg.patch ** 2
+        patches = np.random.default_rng(5).normal(
+            size=(h * w, pd)).astype(np.float32)
+        params = f.init(jax.random.PRNGKey(0), jnp.asarray(patches),
+                        jnp.asarray(cos), jnp.asarray(sin))
+        cm = build_hunyuan_map(params, name="monkey-vision")
+        fixture = hf_state_dict(t)
+        tree = cm.convert(fixture, strict=True)
+        assert cm.unused_sources(fixture) == []
+        with torch.no_grad():
+            ref = t(torch.from_numpy(patches), torch.from_numpy(cos),
+                    torch.from_numpy(sin)).numpy()
+        ours = f.apply(tree, jnp.asarray(patches), jnp.asarray(cos),
+                       jnp.asarray(sin))
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4,
+                                   rtol=1e-3)

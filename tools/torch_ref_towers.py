@@ -347,3 +347,82 @@ class OvisVisionTorch(nn.Module):
         x = x.reshape(x.shape[0] // g, g * self.hidden)
         x = F.gelu(self.merger["linear_fc1"](x), approximate="none")
         return self.merger["linear_fc2"](x)
+
+
+class MonkeyVisionBlockTorch(nn.Module):
+    def __init__(self, d, heads, ffn, eps=1e-6):
+        super().__init__()
+        self.norm1 = TorchRMS(d, eps)
+        self.norm2 = TorchRMS(d, eps)
+        self.attn = nn.ModuleDict({
+            "qkv": nn.Linear(d, 3 * d, bias=False),
+            "proj": nn.Linear(d, d, bias=False),
+        })
+        self.mlp = nn.ModuleDict({
+            "fc1": nn.Linear(d, ffn, bias=False),
+            "fc3": nn.Linear(d, ffn, bias=False),
+            "fc2": nn.Linear(ffn, d, bias=False),
+        })
+        self.heads = heads
+
+    def forward(self, x, cos, sin):
+        t, d = x.shape
+        hd = d // self.heads
+        h = self.norm1(x)
+        qkv = self.attn["qkv"](h).reshape(t, 3, self.heads, hd)
+        q = qkv[:, 0].transpose(0, 1)
+        k = qkv[:, 1].transpose(0, 1)
+        v = qkv[:, 2].transpose(0, 1)
+        q = q * cos[None] + rotate_half(q) * sin[None]
+        k = k * cos[None] + rotate_half(k) * sin[None]
+        o = F.scaled_dot_product_attention(q[None], k[None], v[None])[0]
+        o = o.transpose(0, 1).reshape(t, d)
+        x = x + self.attn["proj"](o)
+        h = self.norm2(x)
+        h = self.mlp["fc2"](F.silu(self.mlp["fc1"](h)) * self.mlp["fc3"](h))
+        return x + h
+
+
+class MonkeyVisionTorch(nn.Module):
+    def __init__(self, embed_dim=32, heads=4, ffn=64, depth=2, patch=4,
+                 merge=2, out_hidden=48, eps=1e-6):
+        super().__init__()
+        patch_dim = 3 * patch * patch
+
+        class Patchifier(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.proj = nn.Linear(patch_dim, embed_dim)
+                self.norm = TorchRMS(embed_dim, eps)
+
+        class PE(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.patchifier = Patchifier()
+
+        self.patch_embed = PE()
+        self.blocks = nn.ModuleList(
+            [MonkeyVisionBlockTorch(embed_dim, heads, ffn, eps)
+             for _ in range(depth)])
+        self.post_trunk_norm = TorchRMS(embed_dim, eps)
+        self.merger = nn.ModuleDict({
+            "ln_q": nn.LayerNorm(embed_dim, eps=1e-6),
+            "mlp": nn.ModuleDict({
+                "0": nn.Linear(merge * merge * embed_dim,
+                               merge * merge * embed_dim),
+                "2": nn.Linear(merge * merge * embed_dim, out_hidden),
+            }),
+        })
+        self.merge = merge
+
+    def forward(self, patches, cos, sin):
+        x = self.patch_embed.patchifier.norm(
+            self.patch_embed.patchifier.proj(patches))
+        for b in self.blocks:
+            x = b(x, cos, sin)
+        x = self.post_trunk_norm(x)
+        x = self.merger["ln_q"](x)
+        g = self.merge ** 2
+        x = x.reshape(x.shape[0] // g, -1)
+        x = F.gelu(self.merger["mlp"]["0"](x), approximate="none")
+        return self.merger["mlp"]["2"](x)
