@@ -359,3 +359,48 @@ class UnifiedDecoder(nn.Module):
             dstate = dstate.at[i].set(ds_i)
             conv_state = conv_state.at[i].set(cs_i)
         return self.final_norm(x), cache, dstate, conv_state
+
+
+class GlmMtpHead(nn.Module):
+    """GLM-OCR's trained MTP draft layer (glmocr/mtp.rs:40-155, the
+    DeepSeek-style multi-token-prediction head stored as the checkpoint's
+    extra ``layers.{num_layers}`` entry): fuse [enorm(embed(token)) ‖
+    hnorm(prev_hidden)] through ``eh_proj``, run ONE full GLM decoder
+    layer (same sandwich-norm/partial-rotary topology), then
+    ``shared_head.norm`` + ``shared_head.head`` logits. Submodule names
+    sit at this module's level exactly as in the checkpoint."""
+
+    cfg: UnifiedLMConfig
+
+    @nn.compact
+    def __call__(self, ids, prev_hidden, position_ids, cache: KVCache,
+                 pos, mask):
+        c = self.cfg
+        emb = nn.Embed(c.vocab_size, c.hidden, name="embed_tokens")(ids)
+        e = RMSNorm(eps=c.rms_eps, name="enorm")(emb)
+        h = RMSNorm(eps=c.rms_eps, name="hnorm")(prev_hidden)
+        x = nn.Dense(c.hidden, use_bias=False, dtype=emb.dtype,
+                     name="eh_proj")(jnp.concatenate([e, h], -1))
+
+        # one GLM decoder layer, parts at THIS level (mtp.rs loads the
+        # decoder layer from the same vb as enorm/eh_proj)
+        cos, sin = _rope_tables(c, position_ids)
+        cos = jnp.asarray(cos, jnp.float32)
+        sin = jnp.asarray(sin, jnp.float32)
+        hn = RMSNorm(eps=c.rms_eps, name="input_layernorm")(x)
+        attn, cache = UnifiedAttention(c, 0, name="self_attn")(
+            hn, cos, sin, cache, pos, mask)
+        if c.sandwich_norms:
+            attn = RMSNorm(eps=c.rms_eps,
+                           name="post_self_attn_layernorm")(attn)
+        x = x + attn
+        hn = RMSNorm(eps=c.rms_eps, name="post_attention_layernorm")(x)
+        m = UnifiedMlp(c, name="mlp")(hn)
+        if c.sandwich_norms:
+            m = RMSNorm(eps=c.rms_eps, name="post_mlp_layernorm")(m)
+        x = x + m
+
+        out = RMSNorm(eps=c.rms_eps, name="shared_head.norm")(x)
+        logits = nn.Dense(c.vocab_size, use_bias=False, dtype=out.dtype,
+                          name="shared_head.head")(out)
+        return logits.astype(jnp.float32), x, cache

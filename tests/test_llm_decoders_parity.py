@@ -153,3 +153,45 @@ def test_glm_names_sandwich():
     assert "layers.0.post_self_attn_layernorm.weight" in names
     assert "layers.0.post_mlp_layernorm.weight" in names
     assert "layers.0.mlp.gate_up_proj.weight" in names
+
+
+def test_glm_mtp_head():
+    """GLM MTP draft: checkpoint names + a draft→verify exactness round
+    (the emitted tokens come from the TARGET's argmaxes regardless of
+    draft quality — vl/speculative.verify_draft)."""
+    from oar_ocr_tpu.vl.llm_decoders import GlmMtpHead
+    from oar_ocr_tpu.vl.speculative import verify_draft
+
+    cfg = VARIANTS["glm"]
+    head = GlmMtpHead(cfg)
+    b, k = 1, 3
+    cache = KVCache.create(1, b, cfg.kv_heads, 8, cfg.head_dim,
+                           dtype=jnp.float32)
+    ids = jnp.zeros((b, k), jnp.int32)
+    prev = jnp.zeros((b, k, cfg.hidden), jnp.float32)
+    pids = jnp.arange(k, dtype=jnp.int32)[None]
+    mask = jnp.ones((b, 1, k, 8), bool)
+    params = head.init(jax.random.PRNGKey(3), ids, prev, pids, cache,
+                       jnp.int32(0), mask)
+    names = {hf_vl_name(kk) for kk in flatten_params(params)}
+    for expected in ["embed_tokens.weight", "enorm.weight", "hnorm.weight",
+                     "eh_proj.weight", "input_layernorm.weight",
+                     "self_attn.q_proj.weight", "mlp.gate_up_proj.weight",
+                     "shared_head.norm.weight", "shared_head.head.weight",
+                     "post_self_attn_layernorm.weight"]:
+        assert expected in names, expected
+    logits, hidden, _ = head.apply(params, ids, prev, pids, cache,
+                                   jnp.int32(0), mask)
+    assert logits.shape == (b, k, cfg.vocab_size)
+    assert hidden.shape == (b, k, cfg.hidden)
+    # verification exactness: whatever the draft proposes, the emitted
+    # prefix equals the target's own argmaxes
+    drafts = jnp.argmax(logits, -1).astype(jnp.int32)
+    target_logits = jnp.asarray(
+        np.random.default_rng(0).normal(size=(b, k + 1, cfg.vocab_size))
+        .astype(np.float32))
+    res = verify_draft(drafts, target_logits)
+    target_argmax = np.asarray(jnp.argmax(target_logits, -1))
+    n = int(res.accepted[0])
+    emitted = np.asarray(res.next_tokens)[0, :n + 1]
+    np.testing.assert_array_equal(emitted, target_argmax[0, :n + 1])
