@@ -385,3 +385,44 @@ def monkey_exact(tiny: bool = False, **kw) -> ExactVLM:
     spec = ExactVLMSpec("monkeyocrv2", text, "monkey", "vision_tower",
                         "model", "lm_head")
     return ExactVLM(spec, vision, **kw)
+
+
+# Registry-name → exact-stack factory (the construction surface real
+# checkpoints load through; families.FAMILY_CLASSES remains the
+# mechanism harness — ROADMAP "converge at conversion time")
+EXACT_FACTORIES = {
+    "mineru-2.5": mineru_exact,
+    "mineru-2.5-pro": mineru_exact,
+    "glm-ocr": glm_exact,
+    "ovisocr2-0.8b": ovis_exact,
+    "hpd-parsing-1b": hpd_exact,
+    "monkeyocrv2-s": monkey_exact,
+    "monkeyocrv2-b": monkey_exact,
+}
+
+
+def exact_from_registry(name: str, **kw):
+    """Construct the exact architecture for a VLM registry entry
+    (registry/models.py names). PaddleOCR-VL and HunyuanOCR have their
+    own full modules (vl/model.PaddleOCRVL, vl/hunyuan.HunyuanOCRModel)."""
+    if name.startswith("paddleocr-vl"):
+        from .model import PaddleOCRVL
+
+        return PaddleOCRVL(**kw)
+    if name.startswith("hunyuanocr"):
+        from .hunyuan import HunyuanOCRModel
+
+        return HunyuanOCRModel(**kw)
+    if name == "mineru-diffusion-v1":
+        # SDAR text + MinerU tower; block-diffusion decode converges here
+        # at weight conversion (vl/diffusion.py holds the loop)
+        return hpd_exact(**{k: v for k, v in kw.items()
+                            if k != "tokenizer"})
+    try:
+        return EXACT_FACTORIES[name](**kw)
+    except KeyError:
+        from ..errors import InvalidInputError
+
+        raise InvalidInputError("unknown exact VLM registry name",
+                                name=name,
+                                known=sorted(EXACT_FACTORIES)) from None

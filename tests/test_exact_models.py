@@ -75,3 +75,22 @@ def test_qwen2vl_positions_rule():
     np.testing.assert_array_equal(pos[2, 2:6], [2, 3, 2, 3])
     # trailing text resumes at max+1 = 4
     np.testing.assert_array_equal(pos[:, 6:], [[4, 5]] * 3)
+
+
+def test_exact_from_registry():
+    from oar_ocr_tpu.errors import InvalidInputError
+    from oar_ocr_tpu.vl.exact_models import (EXACT_FACTORIES,
+                                             exact_from_registry)
+    from oar_ocr_tpu.registry.models import MODEL_REGISTRY
+
+    # every VLM registry entry resolves to an exact factory or module
+    for name, entry in MODEL_REGISTRY.items():
+        if entry.task != "vlm":
+            continue
+        assert (name in EXACT_FACTORIES
+                or name.startswith(("paddleocr-vl", "hunyuanocr"))
+                or name == "mineru-diffusion-v1"), name
+    m = exact_from_registry("glm-ocr", tiny=True)
+    assert m.spec.name == "glmocr"
+    with pytest.raises(InvalidInputError):
+        exact_from_registry("nope")
