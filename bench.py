@@ -92,8 +92,9 @@ def main():
                 pages, [shapes[i] for i in idx], page_indices=idx)))
 
         det_out, rec_pending = [], []
-        for idx, handle in det_pending:
-            det_out.extend(pipe.detector.collect(handle))
+
+        def flush(idx, cand):
+            det_out.extend(pipe.detector.finalize(cand))
             batch_plans = sorted(
                 (p for i in idx for p in by_page[i]),
                 key=lambda p: p.wh_ratio)
@@ -101,6 +102,17 @@ def main():
                 chunk = batch_plans[s : s + rbs]
                 rec_pending.append((chunk, pipe.recognizer.dispatch_chunk(
                     pages, chunk, host_images=pages_np)))
+
+        # two-phase det collect: batch i's device score fetch rides the
+        # link while batch i+1's host contour pass runs
+        prev = None
+        for idx, handle in det_pending:
+            cand = pipe.detector.collect_candidates(handle)
+            if prev is not None:
+                flush(*prev)
+            prev = (idx, cand)
+        if prev is not None:
+            flush(*prev)
 
         rec_out = []
         for chunk, handle in rec_pending:

@@ -171,6 +171,15 @@ class DBDetector:
         return self.collect(self.dispatch(pages_u8, shapes, page_indices))
 
     def collect(self, handle) -> List[Tuple[List[np.ndarray], List[float]]]:
+        return self.finalize(self.collect_candidates(handle))
+
+    def collect_candidates(self, handle):
+        """Phase 1 of collect (split so a pipeline can run the NEXT
+        batch's host contour pass while this batch's device scores ride
+        the slow d2h link): fetch the bit-packed bitmaps, extract quad
+        candidates on the host (native C++ fast path), dispatch the
+        device scoring call and start its async host copy. Returns an
+        opaque pending tuple for ``finalize``."""
         plans, prob_dev, packed, out_w = handle
         n = len(plans)
         pp_cfg = self.postprocess.cfg
@@ -179,9 +188,11 @@ class DBDetector:
 
         if pp_cfg.score_mode == ScoreMode.SLOW:
             # exact contour scoring → host path (rare mode)
-            return self._host_path(prob_dev, packed_np, plans, out_w)
+            return ("done", self._host_path(prob_dev, packed_np, plans,
+                                            out_w))
         if pp_cfg.box_type == BoxType.POLY:
-            return self._poly_path(prob_dev, packed_np, plans, out_w)
+            return ("done", self._poly_path(prob_dev, packed_np, plans,
+                                            out_w))
 
         # --- quad path: host contours (native C++ fast path), device scores ---
         from ... import native as native_mod
@@ -219,18 +230,34 @@ class DBDetector:
                     raw_minis.append(mb.astype(np.float32))
                     cand_img.append(i)
 
-        results: List[Tuple[List[np.ndarray], List[float]]] = [
-            ([], []) for _ in plans]
+        scores_dev = None
+        k = len(cand_boxes)
         if cand_boxes:
-            k = len(cand_boxes)
             kb = max(SCORE_BUCKETS.bucket(k), _SCORE_CHUNK)
             quads = np.zeros((kb, 4, 2), np.float32)
             quads[:k] = np.stack(cand_boxes)
             img_idx = np.zeros((kb,), np.int32)
             img_idx[:k] = cand_img
+            scores_dev = self._scores(prob_dev, jnp.asarray(quads),
+                                      jnp.asarray(img_idx))
+            try:
+                scores_dev.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass
+        return ("pending", plans, raw_minis, per_page_count, scores_dev, k)
+
+    def finalize(self, pending
+                 ) -> List[Tuple[List[np.ndarray], List[float]]]:
+        """Phase 2: fetch the (already in-flight) scores and build the
+        per-page box lists."""
+        if pending[0] == "done":
+            return pending[1]
+        _, plans, raw_minis, per_page_count, scores_dev, k = pending
+        results: List[Tuple[List[np.ndarray], List[float]]] = [
+            ([], []) for _ in plans]
+        if scores_dev is not None:
             with stage_timer("det.scores", k=k):
-                scores = np.asarray(self._scores(
-                    prob_dev, jnp.asarray(quads), jnp.asarray(img_idx)))[:k]
+                scores = np.asarray(scores_dev)[:k]
 
             with stage_timer("det.finalize", k=k):
                 ci = 0

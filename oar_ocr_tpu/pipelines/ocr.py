@@ -169,9 +169,18 @@ class OAROCR:
 
         line_angles: dict = {}
         pool: List[Tuple[int, int, CropPlan]] = []
-        for chunk, handle in det_pending:
+        # two-phase det collect with one-step lookahead: batch i+1's host
+        # contour pass runs while batch i's device scores ride the d2h
+        # link, and batch i's rec chunks still dispatch before batch
+        # i+2's work (streaming preserved)
+        staged = [None]
+
+        def _consume(chunk, cand):
+            nonlocal pool
             try:
-                det_out = self.detector.collect(handle)
+                if cand[0] == "error":
+                    raise RuntimeError("det candidates failed")
+                det_out = self.detector.finalize(cand)
             except Exception:
                 # graceful degradation: batched detection falls back to
                 # per-image on error (ocr.rs:576-588); single-image
@@ -207,6 +216,17 @@ class OAROCR:
             if pool:
                 _dispatch_pool(pool)
                 pool = []
+
+        for chunk, handle in det_pending:
+            try:
+                cand = self.detector.collect_candidates(handle)
+            except Exception:
+                cand = ("error", handle)
+            if staged[0] is not None:
+                _consume(*staged[0])
+            staged[0] = (chunk, cand)
+        if staged[0] is not None:
+            _consume(*staged[0])
 
         texts: dict = {}
         word_box_map: dict = {}

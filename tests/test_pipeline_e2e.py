@@ -121,7 +121,7 @@ def test_det_fallback_ladder(pipeline, rng, monkeypatch):
     results — the reference's fallback ladder (ocr.rs:576-588)."""
     img = _doc_image(rng)
     calls = {"n": 0}
-    orig = type(pipeline.detector).collect
+    orig = type(pipeline.detector).collect_candidates
 
     def flaky(self, handle):
         calls["n"] += 1
@@ -129,7 +129,7 @@ def test_det_fallback_ladder(pipeline, rng, monkeypatch):
             raise RuntimeError("injected batch failure")
         return orig(self, handle)
 
-    monkeypatch.setattr(type(pipeline.detector), "collect", flaky)
+    monkeypatch.setattr(type(pipeline.detector), "collect_candidates", flaky)
     results = pipeline.predict([img])
     assert len(results) == 1            # degraded, not raised
     assert calls["n"] >= 2              # retried per-image
@@ -137,7 +137,7 @@ def test_det_fallback_ladder(pipeline, rng, monkeypatch):
     def always_fail(self, handle):
         raise RuntimeError("injected total failure")
 
-    monkeypatch.setattr(type(pipeline.detector), "collect", always_fail)
+    monkeypatch.setattr(type(pipeline.detector), "collect_candidates", always_fail)
     monkeypatch.setattr(type(pipeline.detector), "detect",
                         lambda self, *a, **k: (_ for _ in ()).throw(
                             RuntimeError("fail")))
