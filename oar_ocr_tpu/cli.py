@@ -131,6 +131,28 @@ def cmd_vl(args):
                          ensure_ascii=False))
 
 
+def cmd_vlm(args):
+    """Any VLM family by registry name, running its EXACT architecture
+    (vl/exact_models.exact_from_registry)."""
+    from .vl.exact_models import exact_from_registry
+
+    from .vl.model import PaddleOCRVL
+
+    model = exact_from_registry(args.model, tiny=args.dev_tiny)
+    images = _load_images(args.images)
+    if isinstance(model, PaddleOCRVL):
+        # task-prompted interface (TASK_PROMPTS) instead of free text
+        outs = model.generate(images, "ocr",
+                              max_new_tokens=args.max_new_tokens)
+    else:
+        outs = model.generate(images, args.instruction,
+                              max_new_tokens=args.max_new_tokens)
+    texts = [o.text if hasattr(o, "text") else o for o in outs]
+    for path, text in zip(args.images, texts):
+        print(json.dumps({"source_path": path, "model": args.model,
+                          "text": text}, ensure_ascii=False))
+
+
 def cmd_bench(args):
     import runpy
 
@@ -189,6 +211,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dev-tiny", action="store_true",
                    help="use the development-size model (no weights)")
     p.set_defaults(fn=cmd_vl)
+
+    p = sub.add_parser("vlm", help="any VLM family by registry name "
+                                   "(exact architecture)")
+    p.add_argument("model", help="registry name, e.g. mineru-2.5, "
+                                 "glm-ocr, hunyuanocr-1.5")
+    p.add_argument("images", nargs="+")
+    p.add_argument("--instruction", default="OCR:")
+    p.add_argument("--max-new-tokens", type=int, default=256)
+    p.add_argument("--dev-tiny", action="store_true",
+                   help="use the development-size config (no weights)")
+    p.set_defaults(fn=cmd_vlm)
 
     p = sub.add_parser("bench", help="run the throughput benchmark")
     p.set_defaults(fn=cmd_bench)

@@ -405,14 +405,19 @@ def exact_from_registry(name: str, **kw):
     """Construct the exact architecture for a VLM registry entry
     (registry/models.py names). PaddleOCR-VL and HunyuanOCR have their
     own full modules (vl/model.PaddleOCRVL, vl/hunyuan.HunyuanOCRModel)."""
+    tiny = kw.pop("tiny", False)
     if name.startswith("paddleocr-vl"):
         from .model import PaddleOCRVL
+        from .paddleocr_vl import PaddleOCRVLConfig
 
-        return PaddleOCRVL(**kw)
+        cfg = PaddleOCRVLConfig().tiny() if tiny else PaddleOCRVLConfig()
+        return PaddleOCRVL(cfg=cfg, **kw)
     if name.startswith("hunyuanocr"):
-        from .hunyuan import HunyuanOCRModel
+        from .hunyuan import HunyuanOCRConfig, HunyuanOCRModel
 
-        return HunyuanOCRModel(**kw)
+        cfg = HunyuanOCRConfig().tiny() if tiny else HunyuanOCRConfig()
+        return HunyuanOCRModel(cfg=cfg, **kw)
+    kw["tiny"] = tiny
     if name == "mineru-diffusion-v1":
         # SDAR text + MinerU tower; block-diffusion decode converges here
         # at weight conversion (vl/diffusion.py holds the loop)
