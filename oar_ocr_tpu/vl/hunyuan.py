@@ -283,17 +283,26 @@ class HunyuanDecoder(nn.Module):
     cfg: HunyuanOCRConfig
 
     @nn.compact
-    def __call__(self, embeds, position_ids, cache: KVCache, pos, mask):
+    def __call__(self, embeds, position_ids, cache: KVCache, pos, mask,
+                 aux_layers: Tuple[int, ...] = ()):
+        """``aux_layers``: 1-based post-layer taps for the DFlash draft
+        (llm.rs:1108-1122); static per jitted entry point."""
         c = self.cfg
         cos, sin = mrope_cos_sin(position_ids, c.head_dim,
                                  c.xdrope_section, c.rope_theta)
         cos = jnp.asarray(cos, jnp.float32)
         sin = jnp.asarray(sin, jnp.float32)
         x = embeds
+        aux = []
         for li in range(c.layers):
             x, cache = HunyuanLayer(c, li, name=f"layers.{li}")(
                 x, cos, sin, cache, pos, mask)
-        return RMSNorm(eps=c.rms_eps, name="norm")(x), cache
+            if (li + 1) in aux_layers:
+                aux.append(x)
+        out = RMSNorm(eps=c.rms_eps, name="norm")(x)
+        if aux_layers:
+            return out, cache, jnp.concatenate(aux, axis=-1)
+        return out, cache
 
 
 class HunyuanOCRModule(nn.Module):
@@ -301,6 +310,8 @@ class HunyuanOCRModule(nn.Module):
     (llm.rs:909 lm head = embed_tokens weights)."""
 
     cfg: HunyuanOCRConfig
+    # DFlash target taps (dflash config target_layer_ids); empty = off
+    aux_layers: Tuple[int, ...] = ()
 
     def setup(self):
         c = self.cfg
@@ -338,6 +349,29 @@ class HunyuanOCRModule(nn.Module):
         hidden, cache = self.decoder(embeds, position_ids, cache, pos, mask)
         cache = cache.advance(1)
         return self.lm_logits(hidden[:, -1]), hidden, cache
+
+    def prefill_aux(self, embeds, position_ids, cache, mask):
+        """prefill + concatenated mid-layer hiddens (DFlash context)."""
+        hidden, cache, aux = self.decoder(embeds, position_ids, cache,
+                                          jnp.int32(0), mask,
+                                          self.aux_layers)
+        return self.lm_logits(hidden[:, -1]), hidden, cache, aux
+
+    def decode_block_aux(self, tok_ids, position_ids, cache, pos):
+        """Causal verify block + aux hiddens (dflash verify pass)."""
+        b, t = tok_ids.shape
+        embeds = self.embed_tokens(tok_ids)
+        cap = cache.capacity
+        cap_pos = jnp.arange(cap)[None, None, None, :]
+        q_pos = jnp.arange(t)[None, None, :, None]
+        limit = cache.length[:, None, None, None] + q_pos + 1
+        mask = cap_pos < limit
+        if cache.pad is not None:
+            mask = mask & (cap_pos >= cache.pad[:, None, None, None])
+        hidden, cache, aux = self.decoder(embeds, position_ids, cache,
+                                          pos, mask, self.aux_layers)
+        cache = cache.advance(t)
+        return self.lm_logits(hidden), hidden, cache, aux
 
     def init_all(self, patches, pos_embed, grid_h, grid_w, ids,
                  position_ids):
@@ -496,4 +530,190 @@ class HunyuanOCRModel:
                     break
                 ids_out.append(int(v))
             out.append(self.tokenizer.decode(ids_out))
+        return out
+
+
+class HunyuanOCRSpeculative(HunyuanOCRModel):
+    """Exact HunyuanOCR + the real DFlash block draft (vl/dflash.py) —
+    the deployed decode configuration (model.rs loads model + dflash/ as
+    separate checkpoints; draft params live in their own tree here too).
+    Greedy-exact: emitted tokens come only from target argmaxes."""
+
+    def __init__(self, params=None, *, cfg=None, dflash_cfg=None,
+                 dflash_params=None, tokenizer=None, runtime=None,
+                 seed: int = 0):
+        from .dflash import DFlashConfig, DFlashDraft
+
+        self.dcfg = dflash_cfg or DFlashConfig()
+        base_cfg = cfg or HunyuanOCRConfig()
+        # module with aux taps at the draft's target layers
+        self._aux_layers = tuple(
+            i for i in self.dcfg.target_layer_ids if i <= base_cfg.layers)
+        # build via parent but with taps
+        self.cfg = base_cfg
+        from ..runtime.runtime import Runtime
+        from .model import ByteTokenizer
+
+        self.runtime = runtime or Runtime.default()
+        self.tokenizer = tokenizer or ByteTokenizer()
+        self.module = HunyuanOCRModule(base_cfg,
+                                       aux_layers=self._aux_layers)
+        if params is None:
+            params = self._init_params(seed)
+        self.params = jax.device_put(params, self.runtime.device)
+        self._encode = jax.jit(
+            lambda p, x, pe, gh, gw: self.module.apply(
+                p, x, pe, gh, gw, method=HunyuanOCRModule.encode_image),
+            static_argnames=("gh", "gw"))
+        self._gen = jax.jit(self._prefill_decode,
+                            static_argnames=("max_new", "capacity"))
+        self._pos_table = np.asarray(self.module.apply(
+            self.params, method=HunyuanOCRModule.position_table
+        ).astype(jnp.float32))
+
+        self.draft = DFlashDraft(self.dcfg)
+        if dflash_params is None:
+            from .paged_kv import PagedKVCache
+
+            aux_w = base_cfg.hidden * len(self._aux_layers)
+            rngs = jax.random.PRNGKey(seed + 1)
+            aux0 = jnp.zeros((1, 2, aux_w), jnp.float32)
+            q0 = jnp.zeros((1, self.dcfg.block_size, base_cfg.hidden),
+                           jnp.float32)
+            ctx0 = PagedKVCache.create(
+                self.dcfg.layers, 1, self.dcfg.kv_heads, 1,
+                self.dcfg.page_size, self.dcfg.head_dim,
+                dtype=jnp.float32)
+
+            def _init_all(m):
+                m.context_rows(aux0, 0)
+                return m.draft_hidden(q0, ctx0, 1, 0)
+
+            dflash_params = self.draft.init(rngs, method=_init_all)
+        self.draft_params = jax.device_put(dflash_params,
+                                           self.runtime.device)
+        self._rounds: dict = {}
+
+    def _spec_round(self, params, dparams, tok, cache, ctx, wpos,
+                    *, n_pages: int):
+        from .dflash import DFlashDraft
+        from .speculative import verify_draft
+
+        d = self.dcfg
+        b = tok.shape[0]
+        k = d.block_size - 1
+        # draft block: bonus + mask embeds through the draft, proposals
+        # via the TARGET's tied LM head
+        mask_ids = jnp.full((b, k), d.mask_token_id % self.cfg.vocab_size,
+                            jnp.int32)
+        q_ids = jnp.concatenate([tok[:, None], mask_ids], axis=1)
+        q_emb = self.module.apply(params, q_ids,
+                                  method=HunyuanOCRModule.embed)
+        hidden = self.draft.apply(dparams, q_emb, ctx, n_pages,
+                                  ctx.length[0],
+                                  method=DFlashDraft.draft_hidden)
+        logits = self.module.apply(params, hidden[:, 1:],
+                                   method=HunyuanOCRModule.lm_logits)
+        drafts = jnp.argmax(logits, -1).astype(jnp.int32)
+
+        block = jnp.concatenate([tok[:, None], drafts], 1)
+        pids = (wpos + jnp.arange(k + 1))[None, None, :]
+        pids = jnp.broadcast_to(pids, (4, b, k + 1))
+        prev_len = cache.length
+        t_logits, _h, cache, aux = self.module.apply(
+            params, block, pids, cache, wpos,
+            method=HunyuanOCRModule.decode_block_aux)
+        res = verify_draft(drafts, t_logits)
+        a = res.accepted
+        cache = cache.trim_to(prev_len[0] + 1 + a[0])
+        next_tok = jnp.take_along_axis(res.next_tokens, a[:, None],
+                                       axis=1)[:, 0]
+        ctx_len = ctx.length[0]
+        ks, vs = self.draft.apply(dparams, aux, ctx_len,
+                                  method=DFlashDraft.context_rows)
+        for li in range(d.layers):
+            ctx = ctx.append(li, ks[li], vs[li], ctx_len)
+        ctx = ctx.advance(1 + a[0]).trim_to(ctx_len + 1 + a[0])
+        return res.next_tokens, a, next_tok, cache, ctx
+
+    def generate_speculative(self, images, instruction: str = "OCR:",
+                             *, max_new_tokens: int = 128):
+        from .dflash import DFlashDraft
+        from .paged_kv import PagedKVCache, page_bucket
+
+        c = self.cfg
+        d = self.dcfg
+        k = d.block_size - 1
+        out = []
+        for image in images:
+            patches, gh, gw = self._prepare_image(image)
+            pos = interpolate_positions(self._pos_table[1:], c.v_grid,
+                                        gh, gw)
+            img_emb = self._encode(
+                self.params, jnp.asarray(patches, jnp.float32),
+                jnp.asarray(pos, jnp.float32), gh=gh, gw=gw)
+            hm, wm = gh // c.v_merge, gw // c.v_merge
+            n_img = hm * (wm + 1) + 2
+            row = ([c.bos_id, c.image_start_id]
+                   + [c.image_token_id] * n_img + [c.image_end_id]
+                   + self.tokenizer.encode(instruction))
+            ids = np.asarray(row, np.int32)
+            t = len(row)
+            pids = build_position_ids(t, 2, hm, wm)
+            embeds = self.module.apply(self.params, jnp.asarray(ids)[None],
+                                       method=HunyuanOCRModule.embed)
+            embeds = embeds.at[0, 2:2 + n_img].set(
+                img_emb.astype(embeds.dtype))
+
+            from .attention import create_causal_mask
+            from .kv_cache import decoder_cache_capacity
+
+            capacity = decoder_cache_capacity(t, max_new_tokens + k + 1)
+            cache = KVCache.create(c.layers, 1, c.kv_heads, capacity,
+                                   c.head_dim, dtype=embeds.dtype)
+            full = jnp.broadcast_to(create_causal_mask(t), (1, 1, t, t))
+            full = jnp.concatenate(
+                [full, jnp.zeros((1, 1, t, capacity - t), bool)], -1)
+            import functools
+
+            logits, _h, cache, aux = jax.jit(functools.partial(
+                self.module.apply, method=HunyuanOCRModule.prefill_aux))(
+                self.params, embeds, jnp.asarray(pids)[:, None, :], cache,
+                full)
+            cache = cache.advance(t)
+
+            n_pages_cap = max(
+                1, -(-(t + max_new_tokens + k + 1) // d.page_size))
+            ctx = PagedKVCache.create(d.layers, 1, d.kv_heads, n_pages_cap,
+                                      d.page_size, d.head_dim,
+                                      dtype=embeds.dtype)
+            ks, vs = jax.jit(functools.partial(
+                self.draft.apply, method=DFlashDraft.context_rows))(
+                self.draft_params, aux, jnp.int32(0))
+            for li in range(d.layers):
+                ctx = ctx.append(li, ks[li], vs[li], jnp.int32(0))
+            ctx = ctx.advance(t)
+
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            wpos = t
+            ids_out = [int(tok[0])]
+            while len(ids_out) < max_new_tokens and ids_out[-1] != c.eos_id:
+                npg = page_bucket(wpos + k + 1, d.page_size, ctx.num_pages)
+                rnd = self._rounds.get(npg)
+                if rnd is None:
+                    import functools
+
+                    rnd = jax.jit(functools.partial(self._spec_round,
+                                                    n_pages=npg))
+                    self._rounds[npg] = rnd
+                emitted, a, tok, cache, ctx = rnd(
+                    self.params, self.draft_params, tok, cache, ctx, wpos)
+                n_acc = int(a[0])
+                for v_ in np.asarray(emitted)[0, : n_acc + 1].tolist():
+                    ids_out.append(int(v_))
+                    if v_ == c.eos_id or len(ids_out) >= max_new_tokens:
+                        break
+                wpos += 1 + n_acc
+            final = [i for i in ids_out if i != c.eos_id]
+            out.append(self.tokenizer.decode(final))
         return out

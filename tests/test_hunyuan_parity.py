@@ -160,3 +160,22 @@ def test_generate_driver_smoke():
     assert len(out) == 1 and isinstance(out[0], str)
     # deterministic across calls (greedy, fixed weights)
     assert out == m.generate([img], max_new_tokens=6)
+
+
+def test_speculative_greedy_exactness():
+    """DFlash speculation on the EXACT stack emits the same token stream
+    as plain greedy decode (vl/hunyuan.HunyuanOCRSpeculative)."""
+    from oar_ocr_tpu.vl.dflash import DFlashConfig
+    from oar_ocr_tpu.vl.hunyuan import (HunyuanOCRModel,
+                                        HunyuanOCRSpeculative)
+
+    dcfg = DFlashConfig().tiny(vocab_size=CFG.vocab_size,
+                               hidden=CFG.hidden)
+    img = np.random.default_rng(1).integers(0, 255, (24, 40, 3),
+                                            dtype=np.uint8)
+    for seed in (3, 9):
+        spec = HunyuanOCRSpeculative(cfg=CFG, dflash_cfg=dcfg, seed=seed)
+        plain = HunyuanOCRModel(cfg=CFG, seed=seed)
+        s_out = spec.generate_speculative([img], max_new_tokens=12)
+        p_out = plain.generate([img], max_new_tokens=12)
+        assert s_out == p_out, (seed, s_out, p_out)
