@@ -110,6 +110,46 @@ class ExactVLMModule(nn.Module):
         logits = self.lm_head(hidden[:, -1]).astype(jnp.float32)
         return logits, cache, dstate, conv_state
 
+    def _block_mask(self, cache, t: int, bidirectional: bool):
+        cap = cache.capacity
+        cap_pos = jnp.arange(cap)[None, None, None, :]
+        if bidirectional:
+            limit = cache.length[:, None, None, None] + t
+            mask = jnp.broadcast_to(cap_pos < limit,
+                                    (cache.length.shape[0], 1, t, cap))
+        else:
+            q_pos = jnp.arange(t)[None, None, :, None]
+            limit = cache.length[:, None, None, None] + q_pos + 1
+            mask = cap_pos < limit
+        if cache.pad is not None:
+            mask = mask & (cap_pos >= cache.pad[:, None, None, None])
+        return mask
+
+    def decode_block_bidir(self, tok_ids, position_ids, cache, pos,
+                           dstate, conv_state):
+        """Non-causal block pass (SDAR diffusion trials — callers discard
+        the returned cache except on the commit pass)."""
+        b, t = tok_ids.shape
+        embeds = self.text.embed(tok_ids)
+        mask = self._block_mask(cache, t, True)
+        hidden, cache, dstate, conv_state = self.text(
+            embeds, position_ids, cache, pos, mask, dstate, conv_state)
+        cache = cache.advance(t)
+        logits = self.lm_head(hidden).astype(jnp.float32)
+        return logits, cache, dstate, conv_state
+
+    def decode_block_causal(self, tok_ids, position_ids, cache, pos,
+                            dstate, conv_state):
+        """Causal block pass (diffusion KV commit / speculative verify)."""
+        b, t = tok_ids.shape
+        embeds = self.text.embed(tok_ids)
+        mask = self._block_mask(cache, t, False)
+        hidden, cache, dstate, conv_state = self.text(
+            embeds, position_ids, cache, pos, mask, dstate, conv_state)
+        cache = cache.advance(t)
+        logits = self.lm_head(hidden).astype(jnp.float32)
+        return logits, cache, dstate, conv_state
+
     def init_all(self, tower_args, ids, position_ids):
         img = self.encode_image(*tower_args)
         emb = self.text.embed(ids)
@@ -300,6 +340,33 @@ class ExactVLM:
                           conv_dim), jnp.float32)
         return dstate, conv
 
+    def _prepare_prompt(self, image, instruction: str):
+        """tower encode + prompt row + fused embeds + position ids."""
+        s = self.spec
+        c = s.text_cfg
+        tower_args, n_img = self._tower_inputs(image)
+        img_emb = self._encode(self.params, *tower_args)
+        prompt = self.tokenizer.encode(instruction)
+        row = [c.eos_id] + [s.image_token_id % c.vocab_size] * n_img \
+            + prompt
+        ids = np.asarray(row, np.int32)
+        t = len(row)
+        if c.rope_kind == "mrope" and s.mrope_images:
+            grid = getattr(self, "_last_grid", (2, 2))
+            pids = qwen2vl_positions(
+                t, 1, n_img, grid,
+                getattr(self.vision_cfg, "merge", 2))[:, None, :]
+        elif c.rope_kind == "mrope":
+            pids = np.broadcast_to(np.arange(t, dtype=np.int32),
+                                   (3, 1, t)).copy()
+        else:
+            pids = np.arange(t, dtype=np.int32)[None]
+        embeds = self.module.apply(self.params, jnp.asarray(ids)[None],
+                                   method=ExactVLMModule.embed)
+        embeds = embeds.at[0, 1:1 + n_img].set(
+            img_emb[:n_img].astype(embeds.dtype))
+        return embeds, pids, t
+
     def generate(self, images: Sequence[np.ndarray],
                  instruction: str = "OCR:", *,
                  max_new_tokens: int = 64) -> List[str]:
@@ -307,27 +374,7 @@ class ExactVLM:
         c = s.text_cfg
         out = []
         for image in images:
-            tower_args, n_img = self._tower_inputs(image)
-            img_emb = self._encode(self.params, *tower_args)
-            prompt = self.tokenizer.encode(instruction)
-            row = [c.eos_id] + [s.image_token_id % c.vocab_size] * n_img \
-                + prompt
-            ids = np.asarray(row, np.int32)
-            t = len(row)
-            if c.rope_kind == "mrope" and s.mrope_images:
-                grid = getattr(self, "_last_grid", (2, 2))
-                pids = qwen2vl_positions(
-                    t, 1, n_img, grid,
-                    getattr(self.vision_cfg, "merge", 2))[:, None, :]
-            elif c.rope_kind == "mrope":
-                pids = np.broadcast_to(np.arange(t, dtype=np.int32),
-                                       (3, 1, t)).copy()
-            else:
-                pids = np.arange(t, dtype=np.int32)[None]
-            embeds = self.module.apply(self.params, jnp.asarray(ids)[None],
-                                       method=ExactVLMModule.embed)
-            embeds = embeds.at[0, 1:1 + n_img].set(
-                img_emb[:n_img].astype(embeds.dtype))
+            embeds, pids, t = self._prepare_prompt(image, instruction)
             capacity = decoder_cache_capacity(t, max_new_tokens)
             toks = self._gen(self.params, embeds, jnp.asarray(pids),
                              max_new=max_new_tokens, capacity=capacity)
@@ -419,10 +466,8 @@ def exact_from_registry(name: str, **kw):
         return HunyuanOCRModel(cfg=cfg, **kw)
     kw["tiny"] = tiny
     if name == "mineru-diffusion-v1":
-        # SDAR text + MinerU tower; block-diffusion decode converges here
-        # at weight conversion (vl/diffusion.py holds the loop)
-        return hpd_exact(**{k: v for k, v in kw.items()
-                            if k != "tokenizer"})
+        kw.setdefault("tiny", tiny)
+        return mineru_diffusion_exact(**kw)
     try:
         return EXACT_FACTORIES[name](**kw)
     except KeyError:
@@ -431,3 +476,91 @@ def exact_from_registry(name: str, **kw):
         raise InvalidInputError("unknown exact VLM registry name",
                                 name=name,
                                 known=sorted(EXACT_FACTORIES)) from None
+
+
+class SdarDiffusionExact(ExactVLM):
+    """MinerU-Diffusion on the exact stack: SDAR/Qwen3 decoder + MinerU
+    tower, decoding by block diffusion (bidirectional trials → confidence
+    unmasking → causal KV commit; vl/diffusion.py schedule,
+    mineru_diffusion/model.rs:1-12)."""
+
+    MASK_TOKEN_OFFSET = 1
+
+    def generate(self, images, instruction: str = "OCR:", *,
+                 max_new_tokens: int = 64, block_len: int = 8,
+                 num_unmask_steps: int = 4,
+                 confidence_threshold: float = 0.9):
+        import functools
+
+        from .diffusion import MASK_ID, transfer_count, unmask_step
+
+        c = self.spec.text_cfg
+        mask_tok = c.vocab_size - self.MASK_TOKEN_OFFSET
+        bidir = jax.jit(functools.partial(
+            self.module.apply, method=ExactVLMModule.decode_block_bidir))
+        commit = jax.jit(functools.partial(
+            self.module.apply, method=ExactVLMModule.decode_block_causal))
+        prefill = jax.jit(functools.partial(
+            self.module.apply, method=ExactVLMModule.prefill))
+        out = []
+        for image in images:
+            embeds, pids, t = self._prepare_prompt(image, instruction)
+            n_blocks = max(1, -(-max_new_tokens // block_len))
+            capacity = decoder_cache_capacity(
+                t, n_blocks * block_len + block_len)
+            cache = KVCache.create(c.layers, 1, c.kv_heads, capacity,
+                                   c.head_dim, dtype=embeds.dtype)
+            mask = jnp.broadcast_to(create_causal_mask(t), (1, 1, t, t))
+            mask = jnp.concatenate(
+                [mask, jnp.zeros((1, 1, t, capacity - t), bool)], -1)
+            ds, cv = self._empty_states(self.params, 1)
+            _, cache, ds, cv = prefill(self.params, embeds,
+                                       jnp.asarray(pids), cache, mask,
+                                       ds, cv)
+            cache = cache.advance(t)
+            wpos = t
+            ids: List[int] = []
+            done = False
+            for _ in range(n_blocks):
+                if done:
+                    break
+                tokens = np.full((1, block_len), MASK_ID, np.int64)
+                bp = wpos + np.arange(block_len, dtype=np.int32)
+                bpids = (np.broadcast_to(bp[None, None], (3, 1, block_len))
+                         if self.spec.text_cfg.rope_kind == "mrope"
+                         else bp[None])
+                for s_i in range(num_unmask_steps):
+                    if not (tokens == MASK_ID).any():
+                        break
+                    feed = np.where(tokens == MASK_ID, mask_tok, tokens)
+                    logits, _c, _d, _v = bidir(
+                        self.params, jnp.asarray(feed, jnp.int32),
+                        jnp.asarray(bpids), cache, wpos, ds, cv)
+                    prev = (transfer_count(s_i - 1, num_unmask_steps,
+                                           block_len) if s_i else 0)
+                    tokens = np.asarray(unmask_step(
+                        jnp.asarray(tokens.astype(np.int32)), logits,
+                        confidence_threshold=confidence_threshold,
+                        min_transfer=transfer_count(
+                            s_i, num_unmask_steps, block_len) - prev)
+                    ).astype(np.int64)
+                _, cache, ds, cv = commit(
+                    self.params, jnp.asarray(tokens.astype(np.int32)),
+                    jnp.asarray(bpids), cache, wpos, ds, cv)
+                wpos += block_len
+                for v_ in tokens[0].tolist():
+                    if v_ == c.eos_id:
+                        done = True
+                        break
+                    ids.append(int(v_))
+            out.append(self.tokenizer.decode(ids[:max_new_tokens]))
+        return out
+
+
+def mineru_diffusion_exact(tiny: bool = False, **kw) -> SdarDiffusionExact:
+    text = _tiny_text(SDAR_TEXT) if tiny else SDAR_TEXT
+    vision = MinerUVisionConfig().tiny() if tiny else MinerUVisionConfig()
+    spec = ExactVLMSpec("mineru_diffusion", text, "qwen2vl",
+                        "vision_tower", "language_model.model",
+                        "language_model.lm_head")
+    return SdarDiffusionExact(spec, vision, **kw)

@@ -94,3 +94,21 @@ def test_exact_from_registry():
     assert m.spec.name == "glmocr"
     with pytest.raises(InvalidInputError):
         exact_from_registry("nope")
+
+
+def test_mineru_diffusion_exact():
+    from oar_ocr_tpu.vl.exact_models import mineru_diffusion_exact
+
+    m = mineru_diffusion_exact(tiny=True)
+    img = np.random.default_rng(0).integers(0, 255, (24, 40, 3),
+                                            dtype=np.uint8)
+    out = m.generate([img], max_new_tokens=12, block_len=4,
+                     num_unmask_steps=3)
+    assert len(out) == 1 and isinstance(out[0], str)
+    assert out == m.generate([img], max_new_tokens=12, block_len=4,
+                             num_unmask_steps=3)
+    # registry resolution
+    from oar_ocr_tpu.vl.exact_models import exact_from_registry
+
+    assert isinstance(exact_from_registry("mineru-diffusion-v1", tiny=True),
+                      type(m))
