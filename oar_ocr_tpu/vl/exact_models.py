@@ -564,3 +564,129 @@ def mineru_diffusion_exact(tiny: bool = False, **kw) -> SdarDiffusionExact:
                         "vision_tower", "language_model.model",
                         "language_model.lm_head")
     return SdarDiffusionExact(spec, vision, **kw)
+
+
+class GlmSpeculativeExact(ExactVLM):
+    """GLM-OCR with its trained MTP draft on the exact stack: the draft
+    (llm_decoders.GlmMtpHead — the checkpoint's extra layers.{L} entry)
+    proposes K tokens recurrently from (prev_hidden, token), one causal
+    target pass verifies (glmocr/mtp.rs draft loop + text.rs verify).
+    Greedy-exact by construction (vl/speculative.verify_draft)."""
+
+    def __init__(self, spec, vision_cfg, params=None, *, draft_k: int = 4,
+                 mtp_params=None, **kw):
+        from .llm_decoders import GlmMtpHead
+
+        super().__init__(spec, vision_cfg, params, **kw)
+        self.draft_k = draft_k
+        c = spec.text_cfg
+        self.mtp = GlmMtpHead(c)
+        if mtp_params is None:
+            cache = KVCache.create(1, 1, c.kv_heads, 8, c.head_dim,
+                                   dtype=jnp.float32)
+            mtp_params = self.mtp.init(
+                jax.random.PRNGKey(11), jnp.zeros((1, 1), jnp.int32),
+                jnp.zeros((1, 1, c.hidden), jnp.float32),
+                jnp.zeros((1, 1), jnp.int32), cache, jnp.int32(0),
+                jnp.ones((1, 1, 1, 8), bool))
+        self.mtp_params = jax.device_put(mtp_params, self.runtime.device)
+
+    def _spec_round(self, params, mparams, h, tok, cache, mtp_cache,
+                    wpos, *, k: int):
+        from .speculative import verify_draft
+
+        c = self.spec.text_cfg
+        b = tok.shape[0]
+
+        # K recurrent draft steps through the trained MTP layer, each
+        # appending to the draft's own KV cache
+        drafts = []
+        cur_tok, cur_h = tok, h
+        for i in range(k):
+            pids = (wpos + i)[None, None] * jnp.ones((b, 1), jnp.int32)
+            cap = mtp_cache.capacity
+            col = jnp.arange(cap)[None, None, None, :]
+            mask = col < (mtp_cache.length[:, None, None, None] + 1)
+            logits, hid, mtp_cache = self.mtp.apply(
+                mparams, cur_tok[:, None], cur_h[:, None], pids,
+                mtp_cache, wpos + i, mask)
+            mtp_cache = mtp_cache.advance(1)
+            cur_h = hid[:, -1]
+            cur_tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+            drafts.append(cur_tok)
+        drafts = jnp.stack(drafts, axis=1)                 # (B, K)
+
+        block = jnp.concatenate([tok[:, None], drafts], 1)
+        bp = wpos + jnp.arange(k + 1)
+        bpids = bp[None]
+        prev_len = cache.length
+        ds, cv = self._empty_states(params, b)
+        t_logits, cache, _, _ = self.module.apply(
+            params, block, bpids, cache, wpos, ds, cv,
+            method=ExactVLMModule.decode_block_causal)
+        res = verify_draft(drafts, t_logits)
+        a = res.accepted
+        cache = cache.trim_to(prev_len[0] + 1 + a[0])
+        mtp_cache = mtp_cache.trim_to(prev_len[0] + 1 + a[0])
+        next_tok = jnp.take_along_axis(res.next_tokens, a[:, None],
+                                       axis=1)[:, 0]
+        # the draft's next prev-hidden: target hidden at the last
+        # accepted position — recompute cheaply from logits path isn't
+        # exposed; use the embedding of the accepted token (mtp fuses it
+        # with enorm/hnorm; exactness is unaffected — only acceptance)
+        h_next = self.module.apply(params, next_tok[:, None],
+                                   method=ExactVLMModule.embed)[:, 0]
+        return res.next_tokens, a, next_tok, h_next, cache, mtp_cache
+
+    def generate_speculative(self, images, instruction: str = "OCR:", *,
+                             max_new_tokens: int = 64):
+        import functools
+
+        c = self.spec.text_cfg
+        k = self.draft_k
+        prefill = jax.jit(functools.partial(
+            self.module.apply, method=ExactVLMModule.prefill))
+        rnd = jax.jit(functools.partial(self._spec_round, k=k))
+        out = []
+        for image in images:
+            embeds, pids, t = self._prepare_prompt(image, instruction)
+            capacity = decoder_cache_capacity(t, max_new_tokens + k + 1)
+            cache = KVCache.create(c.layers, 1, c.kv_heads, capacity,
+                                   c.head_dim, dtype=embeds.dtype)
+            mtp_cache = KVCache.create(1, 1, c.kv_heads, capacity,
+                                       c.head_dim, dtype=embeds.dtype)
+            mask = jnp.broadcast_to(create_causal_mask(t), (1, 1, t, t))
+            mask = jnp.concatenate(
+                [mask, jnp.zeros((1, 1, t, capacity - t), bool)], -1)
+            ds, cv = self._empty_states(self.params, 1)
+            logits, cache, ds, cv = prefill(self.params, embeds,
+                                            jnp.asarray(pids), cache,
+                                            mask, ds, cv)
+            cache = cache.advance(t)
+            mtp_cache = mtp_cache.advance(t)   # positions track target
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            h = self.module.apply(self.params, tok[:, None],
+                                  method=ExactVLMModule.embed)[:, 0]
+            wpos = t
+            ids = [int(tok[0])]
+            while len(ids) < max_new_tokens and ids[-1] != c.eos_id:
+                emitted, a, tok, h, cache, mtp_cache = rnd(
+                    self.params, self.mtp_params, h, tok, cache,
+                    mtp_cache, jnp.int32(wpos))
+                n_acc = int(a[0])
+                for v_ in np.asarray(emitted)[0, : n_acc + 1].tolist():
+                    ids.append(int(v_))
+                    if v_ == c.eos_id or len(ids) >= max_new_tokens:
+                        break
+                wpos += 1 + n_acc
+            final = [i for i in ids if i != c.eos_id]
+            out.append(self.tokenizer.decode(final))
+        return out
+
+
+def glm_speculative_exact(tiny: bool = False, **kw) -> GlmSpeculativeExact:
+    text = _tiny_text(GLM_TEXT) if tiny else GLM_TEXT
+    vision = GlmVisionConfig().tiny() if tiny else GlmVisionConfig()
+    spec = ExactVLMSpec("glmocr", text, "glm", "model.visual",
+                        "model.language_model", "lm_head")
+    return GlmSpeculativeExact(spec, vision, **kw)

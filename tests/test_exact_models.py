@@ -112,3 +112,17 @@ def test_mineru_diffusion_exact():
 
     assert isinstance(exact_from_registry("mineru-diffusion-v1", tiny=True),
                       type(m))
+
+
+def test_glm_mtp_speculative_exactness():
+    from oar_ocr_tpu.vl.exact_models import (glm_exact,
+                                             glm_speculative_exact)
+
+    img = np.random.default_rng(2).integers(0, 255, (24, 40, 3),
+                                            dtype=np.uint8)
+    for seed in (5, 12):
+        spec = glm_speculative_exact(tiny=True, seed=seed)
+        plain = glm_exact(tiny=True, seed=seed)
+        s_out = spec.generate_speculative([img], max_new_tokens=10)
+        p_out = plain.generate([img], max_new_tokens=10)
+        assert s_out == p_out, (seed, s_out, p_out)
