@@ -690,3 +690,101 @@ def glm_speculative_exact(tiny: bool = False, **kw) -> GlmSpeculativeExact:
     spec = ExactVLMSpec("glmocr", text, "glm", "model.visual",
                         "model.language_model", "lm_head")
     return GlmSpeculativeExact(spec, vision, **kw)
+
+
+class HpdForkExact(ExactVLM):
+    """HPD-Parsing fork decoding on the exact stack (InternViT tiles +
+    SDAR decoder): the parent pass emits fork markers; children continue
+    from the SHARED prompt-prefix KV via KVCache.keep_indices row
+    replication and advance as one continuous batch
+    (hpd_parsing/model.rs:17-41)."""
+
+    FORK_TOKEN = "<FORK>"
+
+    def parse_with_forks(self, image: np.ndarray, *,
+                         instruction: str = "Parse:",
+                         max_new_tokens: int = 48,
+                         max_children: int = 8):
+        import functools
+
+        from .families import _tokens_after_subsequence
+
+        c = self.spec.text_cfg
+        prefill = jax.jit(functools.partial(
+            self.module.apply, method=ExactVLMModule.prefill))
+        embeds, pids, t = self._prepare_prompt(image, instruction)
+        capacity = decoder_cache_capacity(t, max_new_tokens + 1)
+        cache = KVCache.create(c.layers, 1, c.kv_heads, capacity,
+                               c.head_dim, dtype=embeds.dtype)
+        mask = jnp.broadcast_to(create_causal_mask(t), (1, 1, t, t))
+        mask = jnp.concatenate(
+            [mask, jnp.zeros((1, 1, t, capacity - t), bool)], -1)
+        ds, cv = self._empty_states(self.params, 1)
+        logits, cache, ds, cv = prefill(self.params, embeds,
+                                        jnp.asarray(pids), cache, mask,
+                                        ds, cv)
+        prefix_cache = cache.advance(t)
+        first = jnp.argmax(logits, -1).astype(jnp.int32)
+
+        parent_ids = self._decode_from_cache(first, prefix_cache, t,
+                                             max_new_tokens)
+        parent_row = parent_ids[0].tolist()
+        parent = self.tokenizer.decode(
+            [i for i in parent_row if i != c.eos_id])
+
+        fork_ids = self.tokenizer.encode(self.FORK_TOKEN)
+        seeds = _tokens_after_subsequence(parent_row, fork_ids)
+        seeds = seeds[:max_children]
+        children: List[str] = []
+        if seeds:
+            n = len(seeds)
+            child_cache = prefix_cache.keep_indices(
+                jnp.zeros((n,), jnp.int32))
+            child_ids = self._decode_from_cache(
+                jnp.asarray(seeds, jnp.int32), child_cache, t,
+                max_new_tokens)
+            children = [self.tokenizer.decode(
+                [i for i in row.tolist() if i != c.eos_id])
+                for row in child_ids]
+        return {"parent": parent, "children": children}
+
+    def _decode_from_cache(self, first_tok, cache, wpos, max_new):
+        import functools
+
+        c = self.spec.text_cfg
+
+        def run(params, first, cache, *, max_new):
+            b = first.shape[0]
+            ds, cv = self._empty_states(params, b)
+
+            def step(carry, i):
+                tok, cache, done, ds, cv = carry
+                pids = (wpos + i)[None] * jnp.ones((b, 1), jnp.int32)
+                logits, cache, ds, cv = self.module.apply(
+                    params, tok, pids, cache, wpos + i, ds, cv,
+                    method=ExactVLMModule.decode_step)
+                nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+                nxt = jnp.where(done, c.eos_id, nxt)
+                return (nxt, cache, done | (nxt == c.eos_id), ds, cv), tok
+
+            (_, _, _, _, _), ids = jax.lax.scan(
+                step, (first, cache, first == c.eos_id, ds, cv),
+                jnp.arange(max_new), length=max_new)
+            return jnp.transpose(ids, (1, 0))
+
+        key = ("dfc", int(first_tok.shape[0]), max_new)
+        if not hasattr(self, "_dfc_jits"):
+            self._dfc_jits = {}
+        fn = self._dfc_jits.get(key)
+        if fn is None:
+            fn = jax.jit(functools.partial(run, max_new=max_new))
+            self._dfc_jits[key] = fn
+        return np.asarray(fn(self.params, first_tok, cache))
+
+
+def hpd_fork_exact(tiny: bool = False, **kw) -> HpdForkExact:
+    text = _tiny_text(SDAR_TEXT) if tiny else SDAR_TEXT
+    vision = HpdVisionConfig().tiny() if tiny else HpdVisionConfig()
+    spec = ExactVLMSpec("hpd_parsing", text, "internvit", "hpd_vision",
+                        "language_model.model", "language_model.lm_head")
+    return HpdForkExact(spec, vision, **kw)

