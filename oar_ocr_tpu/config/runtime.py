@@ -66,7 +66,9 @@ def pow2_buckets(lo: int, hi: int) -> BucketTable:
 # Detector input sides: multiples of 32 spanning the default det presets
 # (limit_side_len 960 / max_side 4000 — core/constants.rs:15,11). Coarse
 # 320-px steps trade a little padding for few compiles.
-DET_SIDE_BUCKETS = BucketTable((320, 640, 960, 1280, 1600, 1920, 2560, 3200, 4000))
+# 704 catches the 4:3-page det target (1280x960 -> 960x704 after /32
+# rounding) - without it DBNet pads to 960x960, +26% conv + transfer
+DET_SIDE_BUCKETS = BucketTable((320, 640, 704, 960, 1280, 1600, 1920, 2560, 3200, 4000))
 # Recognizer widths at h=48 (rec shape [3,48,320] constants.rs:21, cap 3200
 # constants.rs:8). Derived from the reference bucketing defaults
 # (aspect_ratio_bucketing.rs:40-77) extended to the 3200 cap.
@@ -77,7 +79,7 @@ REC_BATCH_BUCKETS = BucketTable((8, 16, 32, 64, 128))
 DET_BATCH_BUCKETS = BucketTable((1, 2, 4, 8, 16))
 # Native-resolution crop sampling tiles (two-stage rec preprocess).
 REC_NATIVE_H_BUCKETS = BucketTable((32, 48, 96, 192))
-REC_NATIVE_W_BUCKETS = BucketTable((160, 320, 640, 960, 1280, 1920))
+REC_NATIVE_W_BUCKETS = BucketTable((160, 320, 640, 768, 960, 1280, 1920))
 
 
 @dataclass(frozen=True)
