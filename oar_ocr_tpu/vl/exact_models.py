@@ -34,7 +34,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .attention import create_causal_mask, create_generation_mask
+from .attention import (combine_masks, create_causal_mask,
+                        create_generation_mask,
+                        create_left_padding_mask)
 from .kv_cache import KVCache, decoder_cache_capacity
 from .llm_decoders import (GLM_TEXT, MINERU_TEXT, OVIS_TEXT, SDAR_TEXT,
                            UnifiedDecoder, UnifiedLMConfig)
@@ -292,13 +294,16 @@ class ExactVLM:
                                 method=ExactVLMModule.init_all)
 
     def _prefill_decode(self, params, embeds, position_ids,
-                        *, max_new: int, capacity: int):
+                        valid_lengths, *, max_new: int, capacity: int):
         s = self.spec
         c = s.text_cfg
         b, t, _ = embeds.shape
         cache = KVCache.create(c.layers, b, c.kv_heads, capacity,
                                c.head_dim, dtype=embeds.dtype)
-        mask = jnp.broadcast_to(create_causal_mask(t), (b, 1, t, t))
+        cache = cache.with_pad(t - valid_lengths)
+        mask = combine_masks(create_causal_mask(t),
+                             create_left_padding_mask(valid_lengths, t))
+        mask = jnp.broadcast_to(mask, (b, 1, t, t))
         mask = jnp.concatenate(
             [mask, jnp.zeros((b, 1, t, capacity - t), bool)], -1)
         logits, cache, dstate, conv = self.module.apply(
@@ -370,16 +375,42 @@ class ExactVLM:
     def generate(self, images: Sequence[np.ndarray],
                  instruction: str = "OCR:", *,
                  max_new_tokens: int = 64) -> List[str]:
+        """Batched greedy generation: prompts are LEFT-padded to the batch
+        max (the reference's batched-prefill convention; pad rows masked
+        via KVCache.pad so unequal prompt lengths never attend padding —
+        attention.rs:660-692)."""
         s = self.spec
         c = s.text_cfg
+        if not images:
+            return []
+        prepared = [self._prepare_prompt(img, instruction)
+                    for img in images]
+        b = len(prepared)
+        max_len = max(t for _, _, t in prepared)
+        naxes = prepared[0][1].shape[0] if prepared[0][1].ndim == 3 else 0
+        emb_dim = prepared[0][0].shape[-1]
+        embeds = np.zeros((b, max_len, emb_dim), np.float32)
+        if naxes:
+            pids = np.zeros((naxes, b, max_len), np.int32)
+        else:
+            pids = np.zeros((b, max_len), np.int32)
+        valid = np.zeros((b,), np.int32)
+        for i, (e, p, t) in enumerate(prepared):
+            off = max_len - t
+            embeds[i, off:] = np.asarray(e[0], np.float32)
+            if naxes:
+                pids[:, i, off:] = p[:, 0]
+            else:
+                pids[i, off:] = p[0]
+            valid[i] = t
+        capacity = decoder_cache_capacity(max_len, max_new_tokens)
+        toks = self._gen(self.params, jnp.asarray(embeds),
+                         jnp.asarray(pids), jnp.asarray(valid),
+                         max_new=max_new_tokens, capacity=capacity)
         out = []
-        for image in images:
-            embeds, pids, t = self._prepare_prompt(image, instruction)
-            capacity = decoder_cache_capacity(t, max_new_tokens)
-            toks = self._gen(self.params, embeds, jnp.asarray(pids),
-                             max_new=max_new_tokens, capacity=capacity)
+        for row in np.asarray(toks):
             ids_out = []
-            for v_ in np.asarray(toks)[0].tolist():
+            for v_ in row.tolist():
                 if v_ == c.eos_id:
                     break
                 ids_out.append(int(v_))

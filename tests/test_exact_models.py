@@ -147,3 +147,18 @@ def test_hpd_fork_exact():
     seeds = _tokens_after_subsequence(
         fork_ids + [7] + fork_ids + [9], fork_ids)
     assert seeds == [7, 9]
+
+
+def test_batched_generate_matches_singles():
+    """Left-padded batch-N decode is bit-identical to per-image decode
+    (pad rows masked via KVCache.pad — the attention.rs:660-692 rule)."""
+    from oar_ocr_tpu.vl.exact_models import hpd_exact, mineru_exact
+
+    for fac in (mineru_exact, hpd_exact):
+        m = fac(tiny=True, seed=2)
+        imgs = [np.random.default_rng(i).integers(
+            0, 255, (24 + 8 * i, 40, 3), dtype=np.uint8)
+            for i in range(3)]
+        batch = m.generate(imgs, max_new_tokens=6)
+        singles = [m.generate([im], max_new_tokens=6)[0] for im in imgs]
+        assert batch == singles, (fac.__name__, batch, singles)
