@@ -140,3 +140,31 @@ class TestDFlash:
             ctx.length[0], method=FamilyModule.dflash_proposals)
         assert props.shape == (b, d.block_size - 1)
         assert props.dtype == jnp.int32
+
+
+def test_paged_growth_across_buckets():
+    """DFlash context growth across page-bucket boundaries: rounds keep
+    working as the bucket steps 1 → 2 → 4 pages (one compiled round per
+    bucket — the paged-KV property under jit)."""
+    from oar_ocr_tpu.vl.paged_kv import PagedKVCache, page_bucket
+
+    ps = 8
+    cache = PagedKVCache.create(1, 1, 2, num_pages=8, page_size=ps,
+                                head_dim=4, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    flat_k = np.zeros((1, 2, 64, 4), np.float32)
+    pos = 0
+    seen_buckets = set()
+    for step, t in enumerate((5, 6, 9, 14, 17)):
+        k = rng.normal(size=(1, 2, t, 4)).astype(np.float32)
+        cache = cache.append(0, jnp.asarray(k), jnp.asarray(k), pos)
+        flat_k[:, :, pos:pos + t] = k
+        cache = cache.advance(t)
+        pos += t
+        b = page_bucket(pos, ps, 8)
+        seen_buckets.add(b)
+        ck, _ = cache.view(b, 0)
+        assert ck.shape[2] == b * ps and b * ps >= pos
+        np.testing.assert_array_equal(np.asarray(ck)[:, :, :pos],
+                                      flat_k[:, :, :pos])
+    assert {1, 2, 4, 8} >= seen_buckets and len(seen_buckets) >= 3
