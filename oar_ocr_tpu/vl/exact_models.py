@@ -777,7 +777,15 @@ class HpdForkExact(ExactVLM):
             children = [self.tokenizer.decode(
                 [i for i in row.tolist() if i != c.eos_id])
                 for row in child_ids]
-        return {"parent": parent, "children": children}
+        # runtime stats mirror HpdRuntimeStats (hpd_parsing/model.rs:71)
+        return {"parent": parent, "children": children,
+                "stats": {"prefix_len": t,
+                          "parent_tokens": sum(
+                              1 for i in parent_row if i != c.eos_id),
+                          "num_children": len(children),
+                          "child_tokens": sum(
+                              sum(1 for i in row.tolist() if i != c.eos_id)
+                              for row in child_ids) if seeds else 0}}
 
     def _decode_from_cache(self, first_tok, cache, wpos, max_new):
         import functools

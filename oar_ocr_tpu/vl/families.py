@@ -875,7 +875,16 @@ class HPDParsing(VLMFamily):
                 jnp.asarray(seeds, jnp.int32), child_cache,
                 npos, t, max_new_tokens)
             children = [self._detok(row.tolist()) for row in child_ids]
-        return {"parent": parent, "children": children}
+        # runtime stats mirror HpdRuntimeStats (hpd_parsing/model.rs:71)
+        return {"parent": parent, "children": children,
+                "stats": {"prefix_len": int(t),
+                          "parent_tokens": sum(
+                              1 for i in parent_ids[0].tolist()
+                              if i != c.eos_id),
+                          "num_children": len(children),
+                          "child_tokens": sum(
+                              sum(1 for i in row.tolist() if i != c.eos_id)
+                              for row in child_ids) if seeds else 0}}
 
     def _decode_from_cache(self, first_tok, cache, npos, wpos, max_new):
         """Greedy scan decode continuing from an existing cache (B rows)."""

@@ -137,8 +137,12 @@ def test_hpd_fork_exact():
     img = np.random.default_rng(0).integers(0, 255, (24, 40, 3),
                                             dtype=np.uint8)
     out = m.parse_with_forks(img, max_new_tokens=8)
-    assert set(out) == {"parent", "children"}
+    assert set(out) == {"parent", "children", "stats"}
     assert isinstance(out["parent"], str)
+    st = out["stats"]       # HpdRuntimeStats (hpd_parsing/model.rs:71)
+    assert st["prefix_len"] > 0
+    assert st["num_children"] == len(out["children"])
+    assert st["parent_tokens"] >= 0 and st["child_tokens"] >= 0
     # force a fork: seed the parent row with the fork marker and verify
     # children decode as one continuous batch from the shared prefix
     fork_ids = m.tokenizer.encode(m.FORK_TOKEN)
