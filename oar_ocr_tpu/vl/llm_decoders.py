@@ -194,7 +194,12 @@ class GatedDeltaNetLayer(nn.Module):
     per-head gates: β = σ(in_proj_b), decay α = exp(−exp(A_log)·
     softplus(in_proj_a + dt_bias)); output gate z via an RMSNorm-then-
     gate (norm · silu(z)) before out_proj (ovisocr2/text.rs:160-330,
-    Qwen3-Next GatedDeltaNet)."""
+    Qwen3-Next GatedDeltaNet).
+
+    Not speculative-rollback-capable: the recurrent (dstate, conv_state)
+    folds tokens in irreversibly, unlike a KV cache whose length can be
+    trimmed (vl/speculative.py module docstring). The reference likewise
+    never combines delta layers with speculation."""
 
     cfg: UnifiedLMConfig
 

@@ -14,6 +14,16 @@ accepts the longest agreeing prefix (+1 corrected token), and the KV cache
 rolls back via a length reset (vl/kv_cache.KVCache.trim_to) — the
 speculative-rollback design the reference builds its ``TrimmableKvCache``
 around. Family-specific draft networks plug in as callables.
+
+Speculation ∧ linear-attention incompatibility: rollback here is a KV
+*length* reset, which full-attention caches support for free. A
+GatedDeltaNet layer (llm_decoders.GatedDeltaNetLayer — OvisOCR2's hybrid)
+instead folds every token into a recurrent (dstate, conv_state) that a
+length reset cannot undo; supporting it would need per-round state
+snapshots. The reference AVOIDS rather than solves this — none of its
+speculative families (GLM MTP, Hunyuan DFlash) contain delta layers, and
+Ovis decodes greedily — so this module requires pure-attention stacks and
+delta-layer models must not be routed through it.
 """
 
 from __future__ import annotations
