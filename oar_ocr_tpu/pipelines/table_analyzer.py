@@ -47,12 +47,20 @@ class TableAnalyzer:
     def __init__(self, *,
                  classifier: Optional[ImageClassifier] = None,
                  structure: Optional[SLANetModel] = None,
+                 structure_model_type: str = "slanet",
                  cell_detector: Optional[LayoutDetector] = None,
                  use_cell_detection: bool = True,
                  runtime: Optional[Runtime] = None):
         self.runtime = runtime or Runtime.default()
         self.classifier = classifier or table_classifier(runtime=self.runtime)
-        self.structure = structure or SLANetModel(runtime=self.runtime)
+        if structure is None:
+            if structure_model_type == "slanet-exact":
+                # checkpoint-convertible topology (slanet_exact.py)
+                from ..models.recognition.slanet_exact import SLANetExactModel
+                structure = SLANetExactModel(runtime=self.runtime)
+            else:
+                structure = SLANetModel(runtime=self.runtime)
+        self.structure = structure
         self.cell_detector = cell_detector if cell_detector is not None else (
             LayoutDetector("rt-detr-l_wired_table_cell_det",
                            score_thresh=0.3, runtime=self.runtime)
