@@ -97,11 +97,21 @@ class ImageClassifier:
 
     def __init__(self, params=None, *, num_classes: int, scale: float = 1.0,
                  preprocess=ClassifierPreprocess(),
-                 runtime: Optional[Runtime] = None, name: str = "cls"):
+                 runtime: Optional[Runtime] = None, name: str = "cls",
+                 model_type: str = "pplcnet-v1"):
         self.runtime = runtime or Runtime.default()
         self.preprocess = preprocess
         self.name = name
-        self.model = PPLCNetClassifier(num_classes=num_classes, scale=scale)
+        if model_type == "pplcnet-v1":
+            # checkpoint-true PULC topology (pp_lcnet_exact.py); softmax
+            # applied in _step_impl over its logits
+            from .pp_lcnet_exact import PPLCNetV1Cls
+            self.model = PPLCNetV1Cls(class_num=num_classes, scale=scale)
+            self._returns_logits = True
+        else:
+            self.model = PPLCNetClassifier(num_classes=num_classes,
+                                           scale=scale)
+            self._returns_logits = False
         if params is None:
             params = init_params(
                 self.model, (1, preprocess.crop_h, preprocess.crop_w, 3))
@@ -117,6 +127,8 @@ class ImageClassifier:
             norm=NormSpec.imagenet_rgb(),
             out_dtype=self.runtime.compute_dtype)
         probs = self.model.apply(params, x)          # (N, classes)
+        if self._returns_logits:
+            probs = jax.nn.softmax(probs.astype(jnp.float32), axis=-1)
         cls = jnp.argmax(probs, axis=-1).astype(jnp.int32)
         score = jnp.max(probs, axis=-1)
         return cls, score

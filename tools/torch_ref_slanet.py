@@ -267,3 +267,29 @@ class SLANet(nn.Module):
 
 def export(model: nn.Module) -> Dict[str, np.ndarray]:
     return paddle_state_dict(model)
+
+
+class PPLCNetCls(nn.Module):
+    """PaddleClas PULC classifier head on the v1 trunk (doc/textline
+    orientation, table cls — pp_lcnet.rs's consumed checkpoints)."""
+
+    def __init__(self, class_num, scale=1.0, class_expand=1280):
+        super().__init__()
+        ch = lambda c: make_divisible(c * scale)
+        self.conv1 = ConvBNHS(3, ch(16), 3, 2)
+        for stage, cfg in PPLCNET_V1_CONFIG.items():
+            setattr(self, stage, nn.ModuleList([
+                DepthwiseSeparable(ch(i), ch(o), k, s, se)
+                for (k, i, o, s, se) in cfg]))
+        self.last_conv = nn.Conv2d(ch(512), class_expand, 1, bias=False)
+        self.fc = nn.Linear(class_expand, class_num)
+
+    def forward(self, x):
+        x = self.conv1(x)
+        for stage in ("blocks2", "blocks3", "blocks4", "blocks5",
+                      "blocks6"):
+            for blk in getattr(self, stage):
+                x = blk(x)
+        x = x.mean((2, 3), keepdim=True)
+        x = F.hardswish(self.last_conv(x))
+        return self.fc(x.flatten(1))
