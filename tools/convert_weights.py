@@ -96,6 +96,15 @@ def _build_cls(variant: str):
     return doc_orientation_classifier().params
 
 
+def _build_table_structure(variant: str):
+    from oar_ocr_tpu.models.recognition.slanet_exact import SLANetExactModel
+
+    # SLANet / SLANet_plus official topology (slanet_exact.py); plus uses
+    # 8-dof cell boxes, en 4-dof
+    loc = 4 if variant == "slanet" else 8
+    return SLANetExactModel(loc_reg_num=loc).params
+
+
 MODEL_BUILDERS = {
     "text_detection": _build_db,
     "seal_text_detection": _build_db,
@@ -103,6 +112,15 @@ MODEL_BUILDERS = {
     "document_orientation": _build_cls,
     "textline_orientation": _build_cls,
     "table_classification": _build_cls,
+    "table_structure_recognition": _build_table_structure,
+}
+
+# tasks whose flax trees carry the official PaddleOCR/PaddleClas deploy
+# names (walker-generated maps, golden-validated in tests/)
+_OFFICIAL_NAME_TASKS = {
+    "text_detection", "seal_text_detection", "text_recognition",
+    "document_orientation", "textline_orientation", "table_classification",
+    "table_structure_recognition",
 }
 
 
@@ -156,10 +174,9 @@ def main(argv=None) -> int:
         return 2
 
     params = builder(args.model)
-    if entry.task in ("text_detection", "seal_text_detection",
-                      "text_recognition"):
-        # official PaddleOCR deploy tensor names (runtime/ppocr_maps.py),
-        # golden-validated in tests/test_golden_parity.py
+    if entry.task in _OFFICIAL_NAME_TASKS:
+        # official PaddleOCR/PaddleClas deploy tensor names
+        # (runtime/ppocr_maps.py), golden-validated in tests/
         from oar_ocr_tpu.runtime.ppocr_maps import build_ppocr_map
 
         cm = build_ppocr_map(params, name=args.model)
