@@ -53,3 +53,53 @@ class TestDataParallel:
         assert prob.shape == (n, 64, 64)
         assert len(prob.sharding.device_set) == 8   # output stays sharded
         assert idx.shape[0] == m
+
+    def test_dp_matches_single_device(self):
+        """8-way DP produces the same numbers as a plain single-device
+        forward on identical inputs — batch sharding must not change
+        per-example math (SURVEY §2.7: DP over pages is the v5e-8
+        strategy; correctness means shard-count invariance)."""
+        from oar_ocr_tpu.models.detection.db import DBNet
+        from oar_ocr_tpu.models.recognition.svtr import SVTRRecognizer
+        from oar_ocr_tpu.parallel.dp import make_dp_ocr_step
+        from oar_ocr_tpu.runtime.runtime import init_params
+
+        mesh = build_mesh(n_data=8)
+        det = DBNet(backbone_scale=0.5)
+        rec = SVTRRecognizer(vocab_size=32, backbone_scale=0.5,
+                             svtr_depth=1)
+        det_p0 = init_params(det, (1, 64, 64, 3))
+        rec_p0 = init_params(rec, (1, 48, 64, 3))
+
+        rng = np.random.default_rng(7)
+        n, m = 8, 16
+        pages_np = rng.integers(0, 255, (n, 64, 64, 3), dtype=np.uint8)
+        eye_n = np.tile(np.eye(3, dtype=np.float32)[None], (n, 1, 1))
+        eye_m = np.tile(np.eye(3, dtype=np.float32)[None], (m, 1, 1))
+        full_n = np.full((n,), 64, np.int32)
+        rec_idx = np.repeat(np.arange(n, dtype=np.int32), 2)
+        rec_w = np.full((m,), 64, np.int32)
+
+        def run(mesh_):
+            step = make_dp_ocr_step(det, rec, mesh_, det_hw=(64, 64),
+                                    rec_w=64)
+            return step(
+                replicate(mesh_, det_p0), replicate(mesh_, rec_p0),
+                shard_batch(mesh_, pages_np), shard_batch(mesh_, eye_n),
+                shard_batch(mesh_, full_n), shard_batch(mesh_, full_n),
+                shard_batch(mesh_, eye_m), shard_batch(mesh_, rec_idx),
+                shard_batch(mesh_, rec_w))
+
+        prob_dp, idx_dp, p_dp, keep_dp = run(mesh)
+        prob_1, idx_1, p_1, keep_1 = run(build_mesh(n_data=1))
+
+        np.testing.assert_allclose(np.asarray(prob_dp),
+                                   np.asarray(prob_1), atol=1e-6,
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(idx_dp),
+                                      np.asarray(idx_1))
+        np.testing.assert_array_equal(np.asarray(keep_dp),
+                                      np.asarray(keep_1))
+        np.testing.assert_allclose(np.asarray(p_dp), np.asarray(p_1),
+                                   atol=1e-6, rtol=1e-6)
+        assert idx_dp.shape[0] == m
