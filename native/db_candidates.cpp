@@ -165,21 +165,36 @@ static PyObject* db_candidates(PyObject*, PyObject* args) {
 
   // Mark the EXTERIOR background (4-connected flood from the padded
   // border, value 3) so enclosed holes remain 0 and can be found later.
-  stack.push_back(0);
-  mask[0] = 3;
-  while (!stack.empty()) {
-    int cur = stack.back();
-    stack.pop_back();
-    int cy = cur / W, cx = cur % W;
-    const int dx[4] = {-1, 1, 0, 0}, dy[4] = {0, 0, -1, 1};
-    for (int d = 0; d < 4; ++d) {
-      int nx = cx + dx[d], ny = cy + dy[d];
-      if (nx < 0 || nx >= W || ny < 0 || ny >= H) continue;
-      int nb = ny * W + nx;
-      if (mask[nb] == 0) {
-        mask[nb] = 3;
-        stack.push_back(nb);
+  // Scanline span fill: background dominates a typical page, so span
+  // runs beat a per-pixel stack by ~an order of magnitude.
+  {
+    struct Span {
+      int y, x0, x1;
+    };
+    std::vector<Span> spans;
+    auto fill_row = [&](int y, int x0, int x1) {
+      uint8_t* row = &mask[(size_t)y * W];
+      int x = x0;
+      while (x <= x1) {
+        if (row[x] != 0) {
+          ++x;
+          continue;
+        }
+        int s = x;
+        while (s > 0 && row[s - 1] == 0) --s;
+        int e = x;
+        while (e + 1 < W && row[e + 1] == 0) ++e;
+        std::memset(row + s, 3, (size_t)(e - s + 1));
+        if (y > 0) spans.push_back({y - 1, s, e});
+        if (y + 1 < H) spans.push_back({y + 1, s, e});
+        x = e + 1;
       }
+    };
+    fill_row(0, 0, W - 1);
+    while (!spans.empty()) {
+      Span sp = spans.back();
+      spans.pop_back();
+      fill_row(sp.y, sp.x0, sp.x1);
     }
   }
 
@@ -195,10 +210,15 @@ static PyObject* db_candidates(PyObject*, PyObject* args) {
   };
 
   // Pass 1: foreground components (8-connectivity), outer boundaries.
+  // memchr row scans skip the (mostly non-1) background fast.
   for (int y = 1; y <= height; ++y) {
-    for (int x = 1; x <= width; ++x) {
+    uint8_t* row = &mask[(size_t)y * W];
+    int x = 1;
+    while (x <= width) {
+      const void* hit = std::memchr(row + x, 1, (size_t)(width - x + 1));
+      if (!hit) break;
+      x = (int)((const uint8_t*)hit - row);
       int idx = y * W + x;
-      if (mask[idx] != 1) continue;
       boundary.clear();
       stack.clear();
       stack.push_back(idx);
@@ -224,15 +244,20 @@ static PyObject* db_candidates(PyObject*, PyObject* args) {
         }
       }
       emit(idx);
+      ++x;
     }
   }
 
   // Pass 2: enclosed holes (still 0 — 4-connected zero regions not
   // reachable from the border). RETR_LIST emits these as contours too.
   for (int y = 1; y <= height; ++y) {
-    for (int x = 1; x <= width; ++x) {
+    uint8_t* row = &mask[(size_t)y * W];
+    int x = 1;
+    while (x <= width) {
+      const void* hit = std::memchr(row + x, 0, (size_t)(width - x + 1));
+      if (!hit) break;
+      x = (int)((const uint8_t*)hit - row);
       int idx = y * W + x;
-      if (mask[idx] != 0) continue;
       boundary.clear();
       stack.clear();
       stack.push_back(idx);
@@ -260,6 +285,7 @@ static PyObject* db_candidates(PyObject*, PyObject* args) {
         }
       }
       emit(idx);
+      ++x;
     }
   }
 
