@@ -61,11 +61,12 @@ def main():
     from oar_ocr_tpu.runtime.runtime import stack_padded
 
     rng = np.random.default_rng(0)
-    # one det batch for all 16 pages: each device→host fetch pays ~40 ms
-    # of tunnel RTT regardless of size, so merging the two per-8 bitmap
-    # fetches into one per-16 fetch wins (measured 37.3 vs 34.5 pages/s
-    # under identical link conditions)
-    pipe = OAROCRBuilder("general").with_batch_sizes(image=16, region=64).build()
+    # two det batches of 8: batch 0's host candidate pass overlaps batch
+    # 1's bitmap fetch (each fetch pays ~40 ms tunnel RTT). A single
+    # batch of 16 only won while the candidate pass was slow (123 ms);
+    # after the native scanline speedup (~51 ms/16 pages) the two-batch
+    # overlap measures ahead again (40.8 vs 30.8 pages/s same-session).
+    pipe = OAROCRBuilder("general").with_batch_sizes(image=8, region=64).build()
     pages_np = _make_pages(rng)
     shapes = [p.shape[:2] for p in pages_np]
     cfg = pipe.runtime.cfg
