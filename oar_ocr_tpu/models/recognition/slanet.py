@@ -151,6 +151,40 @@ class SLANet(nn.Module):
         return SLAHead(self.vocab_size, max_steps=self.max_steps)(memory)
 
 
+def derot_dims(angle: int, w: int, h: int) -> Tuple[int, int]:
+    """(w', h') of a crop after de-rotating a k·90° table orientation."""
+    return (w, h) if angle % 180 == 0 else (h, w)
+
+
+def rotation_matrix(angle: int, w: int, h: int) -> np.ndarray:
+    """3×3 map from DE-ROTATED crop px → original crop px for a table
+    whose content appears rotated ``angle``° CCW (np.rot90(crop, k)
+    pixel correspondence; the reference rotates table crops upright
+    before structure recognition and maps cells back,
+    structure.rs:2688-2758)."""
+    if angle % 360 == 0:
+        return np.eye(3, dtype=np.float64)
+    k = (angle // 90) % 4
+    if k == 1:
+        return np.array([[0, -1, w - 1], [1, 0, 0], [0, 0, 1]], np.float64)
+    if k == 2:
+        return np.array([[-1, 0, w - 1], [0, -1, h - 1], [0, 0, 1]],
+                        np.float64)
+    return np.array([[0, 1, 0], [-1, 0, h - 1], [0, 0, 1]], np.float64)
+
+
+def rotate_boxes_back(boxes: np.ndarray, angle: int, w: int, h: int
+                      ) -> np.ndarray:
+    """Map (N, 2k) point lists from the de-rotated frame back to the
+    original crop frame."""
+    if boxes.size == 0 or angle % 360 == 0:
+        return boxes
+    R = rotation_matrix(angle, w, h)
+    pts = boxes.reshape(len(boxes), -1, 2)
+    out = pts @ R[:2, :2].T + R[:2, 2]
+    return out.reshape(boxes.shape).astype(np.float32)
+
+
 @dataclass
 class TableStructure:
     """Decoded structure for one table crop."""
@@ -196,16 +230,24 @@ class SLANetModel:
         conf = jnp.max(probs, -1)
         return ids, conf, locs
 
-    def recognize(self, pages_u8, regions: Sequence[Tuple[int, Tuple[int, int, int, int]]]
+    def recognize(self, pages_u8, regions: Sequence[Tuple[int, Tuple[int, int, int, int]]],
+                  angles: Optional[Sequence[int]] = None
                   ) -> List[TableStructure]:
-        """regions: (page_index, (x0, y0, x1, y1)) table crops."""
+        """regions: (page_index, (x0, y0, x1, y1)) table crops; ``angles``
+        (optional, k·90°) de-rotates each table's content before the
+        decode and maps the cell boxes back (table-orientation support,
+        structure.rs:2688-2758) — the rotation rides the same sampling
+        matrix, no extra pass."""
         if not regions:
             return []
         mats, idxs, sizes = [], [], []
         ih, iw = self.INPUT_HW
-        for page_i, (x0, y0, x1, y1) in regions:
+        angles = list(angles) if angles is not None else [0] * len(regions)
+        for (page_i, (x0, y0, x1, y1)), ang in zip(regions, angles):
             w, h = max(x1 - x0, 1), max(y1 - y0, 1)
-            m = resize_matrix(h, w, ih, iw).astype(np.float64)
+            dw, dh = derot_dims(ang, w, h)
+            m = (rotation_matrix(ang, w, h)
+                 @ resize_matrix(dh, dw, ih, iw).astype(np.float64))
             shift = np.array([[1, 0, x0], [0, 1, y0], [0, 0, 1]], np.float64)
             mats.append((shift @ m).astype(np.float32))
             idxs.append(page_i)
@@ -219,7 +261,9 @@ class SLANetModel:
         out = []
         for i, (w, h) in enumerate(sizes):
             tokens, boxes, scores = decode_structure(ids[i], conf[i], locs[i])
-            boxes = boxes * np.array([w, h] * 4, np.float32)
+            dw, dh = derot_dims(angles[i], w, h)
+            boxes = boxes * np.array([dw, dh] * 4, np.float32)
+            boxes = rotate_boxes_back(boxes, angles[i], w, h)
             out.append(TableStructure(
                 tokens=tokens, cell_boxes=boxes,
                 score=float(np.mean(scores)) if scores else 0.0))

@@ -408,7 +408,8 @@ class SLANetExactModel:
         self._fwd = jax.jit(self.model.apply)
 
     def recognize(self, pages_u8,
-                  regions: Sequence[Tuple[int, Tuple[int, int, int, int]]]
+                  regions: Sequence[Tuple[int, Tuple[int, int, int, int]]],
+                  angles: Optional[Sequence[int]] = None
                   ) -> List[TableStructure]:
         """Device path (drop-in for pipelines/table_analyzer.py): sample
         each table crop keep-ratio into the 488 canvas straight from the
@@ -419,20 +420,25 @@ class SLANetExactModel:
 
         if not regions:
             return []
+        from .slanet import derot_dims, rotation_matrix
+
         n = self.INPUT
+        angles = list(angles) if angles is not None else [0] * len(regions)
         mats, idxs, vw, vh, scales = [], [], [], [], []
-        for page_i, (x0, y0, x1, y1) in regions:
+        for (page_i, (x0, y0, x1, y1)), ang in zip(regions, angles):
             w, h = max(x1 - x0, 1), max(y1 - y0, 1)
-            s = min(n / h, n / w)
-            nh, nw = max(int(round(h * s)), 1), max(int(round(w * s)), 1)
-            m = resize_matrix(h, w, nh, nw).astype(np.float64)
+            dw, dh = derot_dims(ang, w, h)
+            s = min(n / dh, n / dw)
+            nh, nw = max(int(round(dh * s)), 1), max(int(round(dw * s)), 1)
+            m = (rotation_matrix(ang, w, h)
+                 @ resize_matrix(dh, dw, nh, nw).astype(np.float64))
             shift = np.array([[1, 0, x0], [0, 1, y0], [0, 0, 1]],
                              np.float64)
             mats.append((shift @ m).astype(np.float32))
             idxs.append(page_i)
             vw.append(nw)
             vh.append(nh)
-            scales.append((s, w, h))
+            scales.append((s, w, h, ang))
         base = NormSpec.imagenet_rgb()
         norm = NormSpec(base.alpha, base.beta, swap_rb=True)  # BGR
         if not hasattr(self, "_warp_fwd"):
@@ -455,12 +461,18 @@ class SLANetExactModel:
         return self._decode_batch(ids, conf, locs, scales)
 
     def _decode_batch(self, ids, conf, locs, scales) -> List[TableStructure]:
+        from .slanet import rotate_boxes_back
+
         out = []
-        for i, (s, w, h) in enumerate(scales):
+        for i, entry in enumerate(scales):
+            s, w, h = entry[:3]
+            ang = entry[3] if len(entry) > 3 else 0
             tokens, boxes, sc = decode_structure(ids[i], conf[i], locs[i])
             boxes = boxes * (self.INPUT / s)
-            boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, w)
-            boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, h)
+            if boxes.size:
+                boxes = rotate_boxes_back(boxes, ang, w, h)
+                boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, w)
+                boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, h)
             out.append(TableStructure(tokens=tokens, cell_boxes=boxes,
                                       score=float(np.mean(sc)) if sc
                                       else 0.0))

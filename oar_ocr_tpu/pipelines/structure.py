@@ -45,6 +45,10 @@ class OARStructureConfig:
     use_seals: bool = True
     use_overall_ocr: bool = True
     use_region_blocks: bool = False     # PP-DocBlockLayout coarse regions
+    use_doc_orientation: bool = False   # with_document_orientation
+    use_doc_rectification: bool = False  # with_document_rectification
+    use_textline_orientation: bool = False  # with_text_line_orientation
+    use_table_orientation: bool = False  # with_table_orientation
 
 
 class OARStructure:
@@ -53,6 +57,7 @@ class OARStructure:
                  formulas=None, seal_ocr: Optional[OAROCR] = None,
                  region_detector: Optional[LayoutDetector] = None,
                  stitcher: Optional[ResultStitcher] = None,
+                 preprocessor=None,
                  cfg: OARStructureConfig = OARStructureConfig(),
                  runtime: Optional[Runtime] = None):
         self.layout = layout
@@ -62,6 +67,7 @@ class OARStructure:
         self.seal_ocr = seal_ocr
         self.region_detector = region_detector
         self.stitcher = stitcher or ResultStitcher()
+        self.preprocessor = preprocessor
         self.cfg = cfg
         self.runtime = runtime or Runtime.default()
 
@@ -76,6 +82,15 @@ class OARStructure:
             if im.ndim != 3 or im.shape[2] != 3 or im.dtype != np.uint8:
                 raise InvalidInputError("images must be HWC uint8 RGB",
                                         shape=getattr(im, "shape", None))
+
+        # --- optional document preprocessing: orientation upright +
+        # rectification BEFORE everything else; downstream geometry is in
+        # the preprocessed frame, never mapped back after rectification
+        # (the preprocess.rs:10-12 invariant) ---
+        if self.preprocessor is not None:
+            with stage_timer("structure.preprocess", batch=len(images)):
+                prepped = self.preprocessor.preprocess(list(images))
+            images = [p.image for p in prepped]
 
         shapes = [im.shape[:2] for im in images]
         cfg = self.runtime.cfg
@@ -253,6 +268,30 @@ class OARStructureBuilder:
         self._cfg.use_region_blocks = enable
         return self
 
+    def with_doc_orientation(self, enable: bool = True) -> "OARStructureBuilder":
+        """Upright pages before analysis (structure.rs
+        with_document_orientation)."""
+        self._cfg.use_doc_orientation = enable
+        return self
+
+    def with_doc_rectification(self, enable: bool = True) -> "OARStructureBuilder":
+        """UVDoc unwarp before analysis (with_document_rectification);
+        results stay in the rectified frame."""
+        self._cfg.use_doc_rectification = enable
+        return self
+
+    def with_textline_orientation(self, enable: bool = True) -> "OARStructureBuilder":
+        """180° text-line correction inside the overall OCR
+        (with_text_line_orientation)."""
+        self._cfg.use_textline_orientation = enable
+        return self
+
+    def with_table_orientation(self, enable: bool = True) -> "OARStructureBuilder":
+        """Classify+de-rotate table crops before structure recognition
+        (with_table_orientation)."""
+        self._cfg.use_table_orientation = enable
+        return self
+
     def build(self) -> OARStructure:
         runtime = self._runtime or Runtime.default()
         layout = LayoutDetector(
@@ -261,9 +300,27 @@ class OARStructureBuilder:
         region_detector = (LayoutDetector("pp-docblocklayout",
                                           score_thresh=0.4, runtime=runtime)
                            if self._cfg.use_region_blocks else None)
-        ocr = (OAROCRBuilder("general").with_runtime(runtime).build()
-               if self._cfg.use_overall_ocr else None)
-        tables = (TableAnalyzer(runtime=runtime)
+        ocr = None
+        if self._cfg.use_overall_ocr:
+            ob = OAROCRBuilder("general").with_runtime(runtime)
+            if self._cfg.use_textline_orientation:
+                ob = ob.with_textline_orientation()
+            ocr = ob.build()
+        preprocessor = None
+        if self._cfg.use_doc_orientation or self._cfg.use_doc_rectification:
+            from .preprocess import DocumentPreprocessor
+
+            preprocessor = DocumentPreprocessor(
+                use_orientation=self._cfg.use_doc_orientation,
+                use_rectification=self._cfg.use_doc_rectification,
+                runtime=runtime)
+        table_ori = None
+        if self._cfg.use_table_orientation:
+            from ..models.classification.pp_lcnet import \
+                doc_orientation_classifier
+
+            table_ori = doc_orientation_classifier(runtime=runtime)
+        tables = (TableAnalyzer(runtime=runtime, orientation=table_ori)
                   if self._cfg.use_tables else None)
         formulas = None
         if self._cfg.use_formulas:
@@ -275,4 +332,5 @@ class OARStructureBuilder:
         return OARStructure(layout=layout, ocr=ocr, tables=tables,
                             formulas=formulas, seal_ocr=seal_ocr,
                             region_detector=region_detector,
+                            preprocessor=preprocessor,
                             cfg=self._cfg, runtime=runtime)

@@ -50,9 +50,15 @@ class TableAnalyzer:
                  structure_model_type: str = "slanet",
                  cell_detector: Optional[LayoutDetector] = None,
                  use_cell_detection: bool = True,
+                 orientation: Optional[ImageClassifier] = None,
                  runtime: Optional[Runtime] = None):
         self.runtime = runtime or Runtime.default()
         self.classifier = classifier or table_classifier(runtime=self.runtime)
+        # optional table-orientation stage (structure.rs
+        # with_table_orientation): a 4-class doc-orientation classifier
+        # applied to the table crop; the structure decode then de-rotates
+        # via its sampling matrix and maps cells back
+        self.orientation = orientation
         if structure is None:
             if structure_model_type == "slanet-exact":
                 # checkpoint-convertible topology (slanet_exact.py)
@@ -84,11 +90,22 @@ class TableAnalyzer:
         with stage_timer("table.classify", batch=len(tables)):
             cls = self.classifier.classify_quads(pages_u8, quads)
 
+        # stage 1.5: optional table orientation (0/90/180/270)
+        angles = None
+        if self.orientation is not None:
+            with stage_timer("table.orientation", batch=len(tables)):
+                ori = self.orientation.classify_quads(pages_u8, quads)
+            # class k means the crop is rotated k·90°; upright by
+            # rotating (360 − k·90)° CCW — same convention as
+            # pipelines/preprocess.py (preprocess.rs:111-149)
+            angles = [(360 - int(c) * 90) % 360 for c, _s in ori]
+
         # stage 2: SLANet structure for every table
         regions = [(t.page_index,
                     (int(t.box[0]), int(t.box[1]),
                      int(t.box[2]), int(t.box[3]))) for t in tables]
-        structures = self.structure.recognize(pages_u8, regions)
+        structures = self.structure.recognize(pages_u8, regions,
+                                              angles=angles)
 
         # stage 3: wired tables also get cell detection (sharper cells)
         wired_idx = [i for i, (c, _s) in enumerate(cls) if c == 0]

@@ -53,3 +53,29 @@ def test_table_analyzer_plumbing(rng):
     assert tr.html.startswith("<html><body><table>")
     assert tr.is_wired in (True, False)
     assert analyzer.analyze_tables(pages, []) == []
+
+
+def test_builder_preprocess_flags():
+    """The reference's full builder surface: doc orientation/rectification,
+    textline orientation, table orientation (structure.rs:1336 builder
+    methods) route into the pipeline."""
+    from oar_ocr_tpu.pipelines.structure import OARStructureBuilder
+
+    b = (OARStructureBuilder()
+         .with_layout_variant("picodet-s_layout_3cls")
+         .with_tables(True).with_formulas(False).with_seals(False)
+         .with_doc_orientation().with_textline_orientation()
+         .with_table_orientation())
+    pipe = b.build()
+    assert pipe.preprocessor is not None
+    assert pipe.preprocessor.orientation is not None
+    assert pipe.preprocessor.rectifier is None
+    assert pipe.tables.orientation is not None
+    assert pipe.ocr.line_orienter is not None
+
+    import numpy as np
+
+    img = np.full((220, 300, 3), 250, np.uint8)
+    img[40:70, 30:260] = 20
+    res = pipe.predict([img])
+    assert len(res) == 1 and res[0].width == 300

@@ -72,3 +72,68 @@ def test_split_ocr_boxes_by_cells():
     assert spans[0][:, 0].max() <= 50.01
     ins = [q for i, q in out if i == 1]
     assert len(ins) == 1
+
+
+class TestTableOrientation:
+    def test_rotation_matrix_roundtrip(self):
+        """rotation_matrix maps de-rotated px to crop px exactly as
+        np.rot90 moves pixels, for every k."""
+        import numpy as np
+
+        from oar_ocr_tpu.models.recognition.slanet import (derot_dims,
+                                                           rotation_matrix)
+
+        rng = np.random.default_rng(0)
+        crop = rng.integers(0, 255, (5, 7), dtype=np.uint8)
+        h, w = crop.shape
+        for ang in (0, 90, 180, 270):
+            derot = np.rot90(crop, ang // 90)
+            dw, dh = derot_dims(ang, w, h)
+            assert derot.shape == (dh, dw)
+            R = rotation_matrix(ang, w, h)
+            for y_d in range(dh):
+                for x_d in range(dw):
+                    x_c, y_c, _ = R @ np.array([x_d, y_d, 1.0])
+                    assert derot[y_d, x_d] == crop[int(round(y_c)),
+                                                   int(round(x_c))], ang
+
+    def test_rotate_boxes_back_inverse(self):
+        import numpy as np
+
+        from oar_ocr_tpu.models.recognition.slanet import (rotate_boxes_back,
+                                                           rotation_matrix)
+
+        w, h = 30, 20
+        boxes = np.array([[1.0, 2.0, 10.0, 2.0, 10.0, 8.0, 1.0, 8.0]],
+                         np.float32)
+        for ang in (90, 180, 270):
+            back = rotate_boxes_back(boxes, ang, w, h)
+            # applying the matrix to the points directly must agree
+            R = rotation_matrix(ang, w, h)
+            pts = boxes.reshape(-1, 2)
+            exp = (pts @ R[:2, :2].T + R[:2, 2]).reshape(1, 8)
+            np.testing.assert_allclose(back, exp, atol=1e-5)
+
+    def test_slanet_derotated_sampling(self):
+        """A 90°-rotated table fed through recognize(angles=[90]) samples
+        the same upright pixels as the unrotated crop through
+        recognize(angles=[0]) — verified by comparing decoded structures
+        on a deterministic model."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from oar_ocr_tpu.models.recognition.slanet import SLANetModel
+
+        m = SLANetModel(max_steps=4)
+        rng = np.random.default_rng(3)
+        crop = rng.integers(0, 255, (60, 90, 3), dtype=np.uint8)
+        page_a = np.zeros((1, 128, 128, 3), np.uint8)
+        page_a[0, 10:70, 5:95] = crop
+        rot = np.rot90(crop, 3)          # content appears rotated 90°
+        page_b = np.zeros((1, 128, 128, 3), np.uint8)
+        page_b[0, 5:95, 10:70] = rot
+        out_a = m.recognize(jnp.asarray(page_a), [(0, (5, 10, 95, 70))],
+                            angles=[0])
+        out_b = m.recognize(jnp.asarray(page_b), [(0, (10, 5, 70, 95))],
+                            angles=[90])
+        assert out_a[0].tokens == out_b[0].tokens
