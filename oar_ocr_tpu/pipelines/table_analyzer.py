@@ -51,6 +51,9 @@ class TableAnalyzer:
                  cell_detector: Optional[LayoutDetector] = None,
                  use_cell_detection: bool = True,
                  orientation: Optional[ImageClassifier] = None,
+                 wired_structure: Optional[SLANetModel] = None,
+                 wireless_structure: Optional[SLANetModel] = None,
+                 wireless_cell_detector: Optional[LayoutDetector] = None,
                  runtime: Optional[Runtime] = None):
         self.runtime = runtime or Runtime.default()
         self.classifier = classifier or table_classifier(runtime=self.runtime)
@@ -67,10 +70,18 @@ class TableAnalyzer:
             else:
                 structure = SLANetModel(runtime=self.runtime)
         self.structure = structure
+        # per-kind structure overrides (with_wired_table_structure /
+        # with_wireless_table_structure — SLANeXt_wired/_wireless slots);
+        # default: the shared model serves both kinds
+        self.wired_structure = wired_structure or structure
+        self.wireless_structure = wireless_structure or structure
         self.cell_detector = cell_detector if cell_detector is not None else (
             LayoutDetector("rt-detr-l_wired_table_cell_det",
                            score_thresh=0.3, runtime=self.runtime)
             if use_cell_detection else None)
+        # wireless tables may get their own cell detector
+        # (with_wireless_table_cell_detection); None = wired-only cells
+        self.wireless_cell_detector = wireless_cell_detector
 
     def analyze_tables(self, pages_u8, tables: Sequence[TableRegionInput]
                        ) -> List[TableResult]:
@@ -100,16 +111,37 @@ class TableAnalyzer:
             # pipelines/preprocess.py (preprocess.rs:111-149)
             angles = [(360 - int(c) * 90) % 360 for c, _s in ori]
 
-        # stage 2: SLANet structure for every table
+        # stage 2: SLANet structure for every table, routed per table
+        # kind when distinct wired/wireless models are configured
         regions = [(t.page_index,
                     (int(t.box[0]), int(t.box[1]),
                      int(t.box[2]), int(t.box[3]))) for t in tables]
-        structures = self.structure.recognize(pages_u8, regions,
-                                              angles=angles)
+        if self.wired_structure is self.wireless_structure:
+            structures = self.wired_structure.recognize(
+                pages_u8, regions, angles=angles)
+        else:
+            structures: List = [None] * len(tables)
+            for model, kind in ((self.wired_structure, 0),
+                                (self.wireless_structure, 1)):
+                sel = [i for i, (c, _s) in enumerate(cls) if c == kind]
+                if not sel:
+                    continue
+                got = model.recognize(
+                    pages_u8, [regions[i] for i in sel],
+                    angles=[angles[i] for i in sel] if angles else None)
+                for i, st in zip(sel, got):
+                    structures[i] = st
 
         # stage 3: wired tables also get cell detection (sharper cells)
         wired_idx = [i for i, (c, _s) in enumerate(cls) if c == 0]
+        wireless_idx = [i for i, (c, _s) in enumerate(cls) if c == 1]
         cell_boxes_by_table: dict = {}
+        if self.wireless_cell_detector is not None and wireless_idx:
+            dets = self._detect_cells(pages_u8, tables, wireless_idx,
+                                      detector=self.wireless_cell_detector)
+            for i, boxes in zip(wireless_idx, dets):
+                if len(boxes):
+                    cell_boxes_by_table[i] = boxes
         if self.cell_detector is not None and wired_idx:
             shapes = []
             page_idx = []
@@ -197,14 +229,16 @@ class TableAnalyzer:
                 raise OCRError("table analysis failed", table_index=i) from e
         return [r for r in results if r is not None]
 
-    def _detect_cells(self, pages_u8, tables, wired_idx) -> List[np.ndarray]:
-        """Run the RT-DETR cell detector on each wired table region; boxes
-        returned in page coordinates."""
+    def _detect_cells(self, pages_u8, tables, wired_idx,
+                      detector: Optional[LayoutDetector] = None
+                      ) -> List[np.ndarray]:
+        """Run the RT-DETR cell detector on each table region in
+        ``wired_idx``; boxes returned in page coordinates."""
         from ..ops.warp import resize_matrix
 
         import jax.numpy as jnp
 
-        det = self.cell_detector
+        det = detector if detector is not None else self.cell_detector
         ih, iw = det.variant.input_hw
         mats, idxs, offsets, sizes = [], [], [], []
         for i in wired_idx:

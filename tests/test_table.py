@@ -137,3 +137,43 @@ class TestTableOrientation:
         out_b = m.recognize(jnp.asarray(page_b), [(0, (10, 5, 70, 95))],
                             angles=[90])
         assert out_a[0].tokens == out_b[0].tokens
+
+
+def test_wired_wireless_structure_routing():
+    """Distinct wired/wireless structure models receive exactly their
+    kind's tables (with_wired/wireless_table_structure slots)."""
+    import numpy as np
+
+    from oar_ocr_tpu.models.recognition.slanet import TableStructure
+    from oar_ocr_tpu.pipelines.table_analyzer import (TableAnalyzer,
+                                                      TableRegionInput)
+
+    calls = {}
+
+    class StubStructure:
+        def __init__(self, name):
+            self.name = name
+
+        def recognize(self, pages, regions, angles=None):
+            calls[self.name] = list(regions)
+            return [TableStructure(tokens=["<tr>", "</tr>"],
+                                   cell_boxes=np.zeros((0, 8), np.float32),
+                                   score=1.0) for _ in regions]
+
+    class StubClassifier:
+        def classify_quads(self, pages, quads):
+            return [(i % 2, 0.9) for i in range(len(quads))]
+
+    wired, wireless = StubStructure("wired"), StubStructure("wireless")
+    ta = TableAnalyzer(classifier=StubClassifier(),
+                       structure=StubStructure("shared"),
+                       wired_structure=wired,
+                       wireless_structure=wireless,
+                       use_cell_detection=False)
+    tables = [TableRegionInput(page_index=0, box=(0, 0, 40 + i, 30))
+              for i in range(4)]
+    out = ta.analyze_tables(np.zeros((1, 64, 64, 3), np.uint8), tables)
+    assert len(out) == 4
+    assert [r[1][2] for r in calls["wired"]] == [40, 42]      # tables 0, 2
+    assert [r[1][2] for r in calls["wireless"]] == [41, 43]   # tables 1, 3
+    assert [t.is_wired for t in out] == [True, False, True, False]
