@@ -239,6 +239,7 @@ class OARStructureBuilder:
         self._cfg = OARStructureConfig()
         self._runtime: Optional[Runtime] = None
         self._layout_params = None
+        self._table_kw: dict = {}       # per-kind TableAnalyzer overrides
 
     def with_layout_variant(self, name: str) -> "OARStructureBuilder":
         self._cfg.layout_variant = name
@@ -292,6 +293,37 @@ class OARStructureBuilder:
         self._cfg.use_table_orientation = enable
         return self
 
+    def with_wired_table_structure(self, model) -> "OARStructureBuilder":
+        """Structure model used only for wired tables
+        (with_wired_table_structure — SLANeXt_wired slot)."""
+        self._table_kw["wired_structure"] = model
+        return self
+
+    def with_wireless_table_structure(self, model) -> "OARStructureBuilder":
+        """Structure model used only for wireless tables
+        (with_wireless_table_structure)."""
+        self._table_kw["wireless_structure"] = model
+        return self
+
+    def with_wired_table_cell_detection(self, detector) -> "OARStructureBuilder":
+        """Cell detector for wired tables
+        (with_wired_table_cell_detection)."""
+        self._table_kw["cell_detector"] = detector
+        return self
+
+    def with_wireless_table_cell_detection(self, detector) -> "OARStructureBuilder":
+        """Cell detector for wireless tables
+        (with_wireless_table_cell_detection)."""
+        self._table_kw["wireless_cell_detector"] = detector
+        return self
+
+    def with_table_structure_model_type(self, model_type: str
+                                        ) -> "OARStructureBuilder":
+        """"slanet" (default) or "slanet-exact" (checkpoint-convertible
+        topology, models/recognition/slanet_exact.py)."""
+        self._table_kw["structure_model_type"] = model_type
+        return self
+
     def build(self) -> OARStructure:
         runtime = self._runtime or Runtime.default()
         layout = LayoutDetector(
@@ -320,7 +352,8 @@ class OARStructureBuilder:
                 doc_orientation_classifier
 
             table_ori = doc_orientation_classifier(runtime=runtime)
-        tables = (TableAnalyzer(runtime=runtime, orientation=table_ori)
+        tables = (TableAnalyzer(runtime=runtime, orientation=table_ori,
+                                **self._table_kw)
                   if self._cfg.use_tables else None)
         formulas = None
         if self._cfg.use_formulas:

@@ -79,3 +79,28 @@ def test_builder_preprocess_flags():
     img[40:70, 30:260] = 20
     res = pipe.predict([img])
     assert len(res) == 1 and res[0].width == 300
+
+
+def test_builder_table_overrides():
+    """Per-kind table slots thread through the builder (structure.rs:1336
+    with_wired/wireless_table_* methods)."""
+    import numpy as np
+
+    from oar_ocr_tpu.models.recognition.slanet import TableStructure
+    from oar_ocr_tpu.pipelines.structure import OARStructureBuilder
+
+    class Stub:
+        def recognize(self, pages, regions, angles=None):
+            return [TableStructure(tokens=[], cell_boxes=np.zeros(
+                (0, 8), np.float32), score=0.0) for _ in regions]
+
+    wired, wireless = Stub(), Stub()
+    pipe = (OARStructureBuilder()
+            .with_layout_variant("picodet-s_layout_3cls")
+            .with_formulas(False).with_seals(False)
+            .with_overall_ocr(False)
+            .with_wired_table_structure(wired)
+            .with_wireless_table_structure(wireless)
+            .build())
+    assert pipe.tables.wired_structure is wired
+    assert pipe.tables.wireless_structure is wireless
