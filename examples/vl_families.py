@@ -1,6 +1,7 @@
-"""VLM family lineup example (oar-ocr-vl/examples/{glmocr,mineru,
-mineru_diffusion,hpd_parsing,ovisocr2,monkeyocrv2}.rs in one script):
-each family's distinctive decode mechanism on its tiny config."""
+"""VLM family lineup in one script: each family's distinctive decode
+mechanism on its tiny config (per-family analogs of the reference's
+oar-ocr-vl example binaries live in glmocr.py, mineru.py,
+mineru_diffusion.py, hpd_parsing.py, ovisocr2.py, monkeyocrv2.py)."""
 
 from _common import load_image, parse_args
 
