@@ -116,6 +116,12 @@ class RuntimeConfig:
     rec_native_h_buckets: BucketTable = REC_NATIVE_H_BUCKETS
     rec_native_w_buckets: BucketTable = REC_NATIVE_W_BUCKETS
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    # Mesh policy: None → build a data-parallel mesh automatically when
+    # more than one device is visible; True/False force it. With a mesh,
+    # the pipelines shard every batch axis over ``data`` (params and page
+    # batches replicated) — SURVEY §2.7's primary v5e-8 strategy, wired
+    # into the production dispatch/collect paths.
+    use_mesh: Optional[bool] = None
     # Kill switches (reference keeps per-feature env kill switches,
     # docs/environment-variables.md:5-30; here they are config fields with
     # env overrides applied by `from_env`).
@@ -141,6 +147,8 @@ class RuntimeConfig:
             updates["enable_pallas_kernels"] = False
         if os.environ.get("OAR_TPU_DTYPE"):
             updates["compute_dtype"] = os.environ["OAR_TPU_DTYPE"]
+        if os.environ.get("OAR_TPU_MESH") is not None:
+            updates["use_mesh"] = os.environ["OAR_TPU_MESH"] not in ("0", "")
         return dataclasses.replace(cfg, **updates) if updates else cfg
 
 

@@ -76,10 +76,17 @@ class DBDetector:
         self.model = DBNet(backbone_scale=backbone_scale, backbone=backbone)
         if params is None:
             params = init_params(self.model, (1, 64, 64, 3))
-        self.params = jax.device_put(params, self.runtime.device)
-        self._step = jax.jit(
-            self._step_impl,
-            static_argnames=("out_h", "out_w", "dilate"))
+        self.params = self.runtime.put_params(params)
+        # Mesh mode (SURVEY §2.7): page batch + per-image plan arrays
+        # shard over ``data``; params/threshold replicate. The prob map
+        # comes back REPLICATED (one all-gather inside the program) so
+        # the candidate-scoring call — a fori_loop over candidate
+        # chunks, partition-hostile — stays a replicated computation;
+        # the bit-packed bitmap stays sharded. (Plain jit off-mesh.)
+        self._step = self.runtime.shard_jit(
+            self._step_impl, batch_argnums=(1, 2, 3, 4, 5),
+            static_argnames=("out_h", "out_w", "dilate"),
+            out_spec=("replicated", "data"))
         self._scores = jax.jit(
             functools.partial(quad_scores, chunk=_SCORE_CHUNK))
 
@@ -127,7 +134,7 @@ class DBDetector:
         n = len(plans)
         out_h = cfg.det_side_buckets.bucket(max(p.dst_h for p in plans))
         out_w = cfg.det_side_buckets.bucket(max(p.dst_w for p in plans))
-        nb = cfg.det_batch_buckets.bucket(n)
+        nb = self.runtime.round_batch(cfg.det_batch_buckets.bucket(n))
 
         # gather the requested pages into a contiguous device batch of the
         # bucketed size (cheap on-device copy; pads repeat page 0)
@@ -137,6 +144,11 @@ class DBDetector:
             batch = pages_u8
         else:
             batch = pages_u8[jnp.asarray(idx, jnp.int32)]
+        if self.runtime.mesh is not None:
+            # page store is replicated; the det batch computes sharded —
+            # explicit reshard (a local slice per device) since committed
+            # arrays don't auto-reshard at the jit boundary
+            batch = jax.device_put(batch, self.runtime.data_sharding())
 
         src_h = np.array([p.src_h for p in plans] + [1] * (nb - n), np.int32)
         src_w = np.array([p.src_w for p in plans] + [1] * (nb - n), np.int32)

@@ -114,11 +114,17 @@ class CTCRecognizer:
                                     backbone=backbone)
         if params is None:
             params = init_params(self.model, (1, REC_H, 64, 3))
-        self.params = jax.device_put(params, self.runtime.device)
-        self._step = jax.jit(self._step_impl,
-                             static_argnames=("out_w", "nat_h", "nat_w"))
-        self._step_tiles = jax.jit(self._step_tiles_impl,
-                                   static_argnames=("out_w",))
+        self.params = self.runtime.put_params(params)
+        # Mesh mode: crop-batch arrays shard over ``data``; params and the
+        # (replicated) page store stay replicated, so every per-crop page
+        # gather is shard-local (Runtime.shard_jit is a plain jit when no
+        # mesh is active).
+        self._step = self.runtime.shard_jit(
+            self._step_impl, batch_argnums=(2, 3, 4, 5, 6),
+            static_argnames=("out_w", "nat_h", "nat_w"))
+        self._step_tiles = self.runtime.shard_jit(
+            self._step_tiles_impl, batch_argnums=(1, 2, 3, 4),
+            static_argnames=("out_w",))
         # Host-warp mode (OAR_TPU_HOST_WARP=1): run the perspective crop
         # as native cv2 WARP_INVERSE_MAP calls on the host and ship tiles
         # — only dense math on the TPU. Measured: the cv2 warps themselves
@@ -134,9 +140,9 @@ class CTCRecognizer:
         # (ops/warp.warp_rec_tiles_separable) — the round-2 fix for the
         # stage-1 HBM gather bottleneck. Kill switch per repo convention.
         self.separable_warp = not os.environ.get("OAR_TPU_NO_SEP_WARP")
-        self._step_sep = jax.jit(
-            self._step_sep_impl, static_argnames=("out_w", "nat_hb",
-                                                  "nat_wb", "band_h"))
+        self._step_sep = self.runtime.shard_jit(
+            self._step_sep_impl, batch_argnums=(2, 3, 4, 5, 6, 7, 8),
+            static_argnames=("out_w", "nat_hb", "nat_wb", "band_h"))
         self._pages_t = None
 
     def _step_impl(self, params, pages_u8, mats, img_idx, valid_w,
@@ -213,7 +219,7 @@ class CTCRecognizer:
                else pages_u8)
         src_h = src.shape[1]
         n = len(plans)
-        nb = cfg.rec_batch_buckets.bucket(n)
+        nb = self.runtime.round_batch(cfg.rec_batch_buckets.bucket(n))
         out_w = cfg.rec_width_buckets.bucket(max(p.width for p in plans))
         nat_hb = cfg.rec_native_h_buckets.bucket(
             max(p.native_h for p in plans))
@@ -259,7 +265,7 @@ class CTCRecognizer:
 
         cfg = self.runtime.cfg
         n = len(plans)
-        nb = cfg.rec_batch_buckets.bucket(n)
+        nb = self.runtime.round_batch(cfg.rec_batch_buckets.bucket(n))
         out_w = cfg.rec_width_buckets.bucket(max(p.width for p in plans))
         nat_h = cfg.rec_native_h_buckets.bucket(max(p.native_h for p in plans))
         nat_w = cfg.rec_native_w_buckets.bucket(max(p.native_w for p in plans))
@@ -295,19 +301,23 @@ class CTCRecognizer:
 
     def dispatch_chunk(self, pages_u8: jax.Array,
                        plans: Sequence[CropPlan],
-                       host_images=None):
+                       host_images=None, start_copy: bool = True):
         """Launch one ratio-sorted chunk. Returns a composite handle:
         a list of (positions-within-chunk, device handle) sub-batches —
         separable crops ride the matmul-only warp, slanted crops the
-        gather warp."""
+        gather warp. ``start_copy=False`` defers the d2h copies so the
+        caller can merge several chunks into one fetch
+        (:meth:`merge_dispatched`)."""
 
         if host_images is not None and self.host_warp:
             h = self._dispatch_host_warp(host_images, plans)
-            _copy_async(h)
+            if start_copy:
+                _copy_async(h)
             return [(list(range(len(plans))), h)]
         if not self.separable_warp:
             h = self._dispatch_device_warp(pages_u8, plans)
-            _copy_async(h)
+            if start_copy:
+                _copy_async(h)
             return [(list(range(len(plans))), h)]
         max_band = self.runtime.cfg.rec_native_h_buckets.sizes[-1]
         groups = {"direct": ([], [], []), "swapped": ([], [], [])}
@@ -336,8 +346,72 @@ class CTCRecognizer:
                 pages_u8, gat_plans)))
         # start the d2h copies now so the (slow-RTT) transfers overlap the
         # device compute of later chunks instead of serializing in collect
-        for _, packed in out:
-            _copy_async(packed)
+        if start_copy:
+            for _, packed in out:
+                _copy_async(packed)
+        return out
+
+    # ------------------------------------------------------------------
+    def merge_dispatched(self, pending):
+        """Fold every sub-batch of several dispatched chunks into ONE
+        device array and start its single d2h copy.
+
+        ``pending`` is a list of ``(tag, plans, handle)`` where ``handle``
+        came from :meth:`dispatch_chunk` (with ``start_copy=False``).
+        The axon tunnel charges a fixed ~30-50 ms RTT per fetch
+        (docs/environment-variables.md), so one predict-batch's rec
+        results must cross the link as one transfer: sub-batches are
+        sliced to their live rows, right-padded to the widest timestep
+        count (pad idx = −1 ⇒ keep=False) and concatenated on device.
+        Returns an opaque handle for :meth:`collect_merged`."""
+
+        parts = []
+        arrs = []
+        row = 0
+        tmax = 0
+        for _tag, _plans, handle in pending:
+            for _pos, packed in handle:
+                tmax = max(tmax, packed.shape[1])
+        for tag, plans, handle in pending:
+            subs = []
+            for positions, packed in handle:
+                n = len(positions)
+                a = packed[:n]
+                if a.shape[1] < tmax:
+                    a = jnp.pad(
+                        a, ((0, 0), (0, tmax - a.shape[1]), (0, 0)),
+                        constant_values=-1.0)
+                arrs.append(a)
+                subs.append((positions, row, n, packed.shape[1]))
+                row += n
+            parts.append((tag, plans, subs))
+        if not arrs:
+            return None, parts
+        merged = arrs[0] if len(arrs) == 1 else jnp.concatenate(arrs, 0)
+        _copy_async(merged)
+        return merged, parts
+
+    def collect_merged(self, merged_handle):
+        """Fetch one merged transfer and dictionary-decode every chunk in
+        it. Yields ``(tag, plans, decoded)`` with ``decoded`` aligned to
+        ``plans`` order."""
+
+        merged, parts = merged_handle
+        if merged is None:
+            return []
+        with stage_timer("rec.device", rows=int(merged.shape[0])):
+            packed_np = np.asarray(merged)
+        out = []
+        for tag, plans, subs in parts:
+            results: List = [None] * len(plans)
+            with stage_timer("rec.decode", batch=len(plans)):
+                for positions, row, n, t in subs:
+                    sub = packed_np[row : row + n, :t]
+                    decoded = self.decoder.decode_with_positions(
+                        unpack_ctc_raw(sub))
+                    for pos, d in zip(positions, decoded):
+                        results[pos] = d
+            out.append((tag, plans, results))
         return out
 
     def _dispatch_device_warp(self, pages_u8: jax.Array,
@@ -349,7 +423,7 @@ class CTCRecognizer:
 
         cfg = self.runtime.cfg
         n = len(plans)
-        nb = cfg.rec_batch_buckets.bucket(n)
+        nb = self.runtime.round_batch(cfg.rec_batch_buckets.bucket(n))
         out_w = cfg.rec_width_buckets.bucket(max(p.width for p in plans))
         nat_h = cfg.rec_native_h_buckets.bucket(max(p.native_h for p in plans))
         nat_w = cfg.rec_native_w_buckets.bucket(max(p.native_w for p in plans))

@@ -120,34 +120,41 @@ class OAROCR:
         cfg = self.runtime.cfg
         page_h = cfg.det_side_buckets.bucket(max(s[0] for s in shapes))
         page_w = cfg.det_side_buckets.bucket(max(s[1] for s in shapes))
-        with stage_timer("ocr.upload"):
-            pages = self.runtime.put(stack_padded(list(images), (page_h, page_w)))
 
-        # --- detection, in image_batch_size chunks (ocr.rs:561-592) ---
+        # --- detection, in image_batch_size chunks (ocr.rs:561-592).
+        # Pages are uploaded PER det batch, interleaved with the det
+        # dispatches: the device only waits for batch 0's upload; later
+        # uploads ride the h2d link behind earlier batches' conv work. ---
         results: List[OAROCRResult] = [
             OAROCRResult(width=s[1], height=s[0]) for s in unscaled_shapes
         ]
         per_page_boxes: List[List[np.ndarray]] = [[] for _ in images]
         per_page_scores: List[List[float]] = [[] for _ in images]
         bs = self.cfg.image_batch_size
-        det_pending = []
+        det_pending = []   # (chunk page ids, pages_dev, det handle)
         for start in range(0, len(images), bs):
             chunk = list(range(start, min(start + bs, len(images))))
-            det_pending.append((chunk, self.detector.dispatch(
-                pages, [shapes[i] for i in chunk], page_indices=chunk)))
+            with stage_timer("ocr.upload", pages=len(chunk)):
+                pages_dev = self.runtime.put(stack_padded(
+                    [images[i] for i in chunk], (page_h, page_w)))
+            det_pending.append((chunk, pages_dev, self.detector.dispatch(
+                pages_dev, [shapes[i] for i in chunk])))
         # Streaming det→rec overlap: as soon as one det batch is
         # postprocessed, its pages' crops are pooled, ratio-sorted and the
         # rec chunks DISPATCHED — so the host geometry of later det batches
         # hides behind rec device work (the MAX_POOLED_CROPS flush of
-        # ocr.rs:603 applied per det batch). All rec results are collected
-        # at the end.
-        rec_pending = []   # (chunk_ids→(page,region), plans, handle)
+        # ocr.rs:603 applied per det batch). Each det batch's rec
+        # sub-batches are merged into ONE device array whose single d2h
+        # copy starts immediately (one tunnel RTT per det batch); all
+        # merged transfers are collected at the end.
+        rec_merged = []
 
-        def _dispatch_pool(pool):
-            # textline orientation for this pool (ocr.rs:755-788)
+        def _dispatch_pool(pool, pages_dev, base, host_chunk):
+            # textline orientation for this pool (ocr.rs:755-788); crop
+            # plans are indexed LOCAL to the det batch's page upload
             if self.line_orienter is not None and pool:
                 quads = [(p.page_index, p.quad) for _, _, p in pool]
-                cls = self.line_orienter.classify_quads(pages, quads)
+                cls = self.line_orienter.classify_quads(pages_dev, quads)
                 for (page_i, region_i, plan), (c, _score) in zip(pool, cls):
                     if c == 1:
                         plan.matrix = _compose_rot180(
@@ -160,23 +167,28 @@ class OAROCR:
             order = sorted(range(len(pool)),
                            key=lambda i: pool[i][2].wh_ratio)
             rbs = self.cfg.region_batch_size
+            pending = []
             for cs in range(0, len(order), rbs):
                 chunk_ids = [pool[i] for i in order[cs : cs + rbs]]
                 plans = [entry[2] for entry in chunk_ids]
                 handle = self.recognizer.dispatch_chunk(
-                    pages, plans, host_images=images)
-                rec_pending.append((chunk_ids, plans, handle))
+                    pages_dev, plans, host_images=host_chunk,
+                    start_copy=False)
+                pending.append((chunk_ids, plans, handle))
+            if pending:
+                rec_merged.append(self.recognizer.merge_dispatched(pending))
 
         line_angles: dict = {}
-        pool: List[Tuple[int, int, CropPlan]] = []
         # two-phase det collect with one-step lookahead: batch i+1's host
         # contour pass runs while batch i's device scores ride the d2h
         # link, and batch i's rec chunks still dispatch before batch
         # i+2's work (streaming preserved)
         staged = [None]
 
-        def _consume(chunk, cand):
-            nonlocal pool
+        def _consume(chunk, pages_dev, cand):
+            base = chunk[0]
+            host_chunk = [images[i] for i in chunk]
+            pool: List[Tuple[int, int, CropPlan]] = []
             try:
                 if cand[0] == "error":
                     raise RuntimeError("det candidates failed")
@@ -190,7 +202,8 @@ class OAROCR:
                 for page_i in chunk:
                     try:
                         det_out.extend(self.detector.detect(
-                            pages, [shapes[page_i]], page_indices=[page_i]))
+                            pages_dev, [shapes[page_i]],
+                            page_indices=[page_i - base]))
                     except Exception as exc:
                         failures.append((page_i, batch_item_error(
                             "detection", page_i, len(chunk), exc)))
@@ -209,40 +222,41 @@ class OAROCR:
                     quad = (order_quad_points(box) if box.shape == (4, 2)
                             else order_quad_points(_poly_to_quad(box)))
                     pool.append((page_i, region_i,
-                                 CropPlan.from_quad(page_i, quad)))
-            while len(pool) >= MAX_POOLED_CROPS:
-                _dispatch_pool(pool[:MAX_POOLED_CROPS])
+                                 CropPlan.from_quad(local_i, quad)))
+            while len(pool) > MAX_POOLED_CROPS:
+                _dispatch_pool(pool[:MAX_POOLED_CROPS], pages_dev, base,
+                               host_chunk)
                 pool = pool[MAX_POOLED_CROPS:]
             if pool:
-                _dispatch_pool(pool)
-                pool = []
+                _dispatch_pool(pool, pages_dev, base, host_chunk)
 
-        for chunk, handle in det_pending:
+        for chunk, pages_dev, handle in det_pending:
             try:
                 cand = self.detector.collect_candidates(handle)
             except Exception:
                 cand = ("error", handle)
             if staged[0] is not None:
                 _consume(*staged[0])
-            staged[0] = (chunk, cand)
+            staged[0] = (chunk, pages_dev, cand)
         if staged[0] is not None:
             _consume(*staged[0])
 
         texts: dict = {}
         word_box_map: dict = {}
-        for chunk_ids, plans, handle in rec_pending:
-            decoded = self.recognizer.collect_chunk(handle, plans)
-            for (page_i, region_i, _), plan, (text, conf, cols) in zip(
-                    chunk_ids, plans, decoded):
-                texts[(page_i, region_i)] = (text, conf)
-                if self.cfg.return_word_boxes and text:
-                    from ..processors.word_boxes import word_boxes
+        for merged_handle in rec_merged:
+            for chunk_ids, plans, decoded in self.recognizer.collect_merged(
+                    merged_handle):
+                for (page_i, region_i, _), plan, (text, conf, cols) in zip(
+                        chunk_ids, plans, decoded):
+                    texts[(page_i, region_i)] = (text, conf)
+                    if self.cfg.return_word_boxes and text:
+                        from ..processors.word_boxes import word_boxes
 
-                    wb = word_boxes(
-                        plan.matrix, plan.native_w, plan.native_h,
-                        plan.width, max((plan.width + 7) // 8, 1),
-                        cols, text)
-                    word_box_map[(page_i, region_i)] = wb
+                        wb = word_boxes(
+                            plan.matrix, plan.native_w, plan.native_h,
+                            plan.width, max((plan.width + 7) // 8, 1),
+                            cols, text)
+                        word_box_map[(page_i, region_i)] = wb
 
         # --- assemble; map geometry back to the ORIGINAL frame when an
         # orientation correction was applied and no rectification broke the
@@ -338,6 +352,7 @@ class OAROCRBuilder:
         self._det_params = None
         self._rec_params = None
         self._runtime: Optional[Runtime] = None
+        self._use_mesh: Optional[bool] = None
 
     def with_det_config(self, **kwargs) -> "OAROCRBuilder":
         self._det_post = dataclasses.replace(self._det_post, **{
@@ -371,6 +386,15 @@ class OAROCRBuilder:
         self._runtime = runtime
         return self
 
+    def with_mesh(self, enable: bool = True) -> "OAROCRBuilder":
+        """Force the data-parallel device mesh on/off for this pipeline
+        (default: auto — on when >1 real accelerator chip is visible).
+        With the mesh active, every det/rec batch is sharded over the
+        ``data`` axis; params and page uploads are replicated
+        (SURVEY §2.7 — DP over ICI, the primary v5e-8 strategy)."""
+        self._use_mesh = enable
+        return self
+
     def with_batch_sizes(self, image: Optional[int] = None,
                          region: Optional[int] = None) -> "OAROCRBuilder":
         if image is not None:
@@ -396,7 +420,14 @@ class OAROCRBuilder:
         return self
 
     def build(self) -> OAROCR:
-        runtime = self._runtime or Runtime.default()
+        runtime = self._runtime
+        if runtime is None:
+            if self._use_mesh is not None:
+                from ..config.runtime import RuntimeConfig
+
+                runtime = Runtime(RuntimeConfig(use_mesh=self._use_mesh))
+            else:
+                runtime = Runtime.default()
         detector = DBDetector(
             self._det_params, resize_cfg=self._det_resize,
             post_cfg=self._det_post, runtime=runtime)

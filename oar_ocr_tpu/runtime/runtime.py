@@ -69,6 +69,18 @@ class Runtime:
         self.cfg.validate()
         self.devices = jax.devices()
         self.device = self.devices[0]
+        # Data-parallel mesh (SURVEY §2.7): built automatically when more
+        # than one device is visible (or forced via use_mesh/OAR_TPU_MESH).
+        # Pipelines shard batch axes over ``data``; params and page
+        # uploads are replicated, so per-sample math is shard-invariant.
+        want = self.cfg.use_mesh
+        if want is None:
+            # auto-on for real multi-chip accelerators only; virtual CPU
+            # device counts (tests/dryrun) must opt in via use_mesh=True
+            want = (len(self.devices) > 1
+                    and self.device.platform in ("tpu", "axon"))
+        self.mesh = self.cfg.mesh.build() if want else None
+        self.n_data = int(self.mesh.shape["data"]) if self.mesh else 1
         # persistent cache only for real accelerators: XLA:CPU AOT results
         # are machine-feature-pinned and can SIGILL across detection drift
         if self.device.platform in ("tpu", "axon"):
@@ -86,8 +98,78 @@ class Runtime:
         return jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
 
     def put(self, array: np.ndarray) -> jax.Array:
-        """Upload a host array to the primary device."""
+        """Upload a host array: replicated across the mesh when one is
+        active (page batches are broadcast once; all per-crop gathers then
+        stay shard-local), else to the primary device."""
+        if self.mesh is not None:
+            return jax.device_put(array, self.replicated_sharding())
         return jax.device_put(array, self.device)
+
+    # --- mesh helpers (no-ops without a mesh) -------------------------
+    def data_sharding(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(self.mesh, P("data"))
+
+    def replicated_sharding(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(self.mesh, P())
+
+    def put_params(self, tree):
+        """Place a params pytree: replicated over the mesh if active."""
+        if self.mesh is not None:
+            sh = self.replicated_sharding()
+            return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+        return jax.device_put(tree, self.device)
+
+    def round_batch(self, nb: int) -> int:
+        """Round a batch bucket up to a multiple of the data-axis size so
+        the leading axis shards evenly."""
+        n = self.n_data
+        return nb if nb % n == 0 else ((nb + n - 1) // n) * n
+
+    def shard_jit(self, fn, batch_argnums, *, static_argnames=(),
+                  out_spec="data"):
+        """jit ``fn`` with the positional args in ``batch_argnums`` sharded
+        over ``data`` and the rest replicated; plain jit when no mesh is
+        active. Static args must be passed as KEYWORDS at the call site
+        (pjit forbids kwargs alongside in_shardings, so each distinct
+        static combination is bound into a cached partial).
+
+        ``out_spec``: "data" | "replicated" | a tuple of those matching the
+        output structure."""
+        if self.mesh is None:
+            return jax.jit(fn, static_argnames=static_argnames)
+        import functools as _ft
+        import inspect
+
+        data = self.data_sharding()
+        repl = self.replicated_sharding()
+        sig = inspect.signature(fn)
+        n_pos = sum(
+            1 for p in sig.parameters.values()
+            if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD))
+        in_sh = tuple(data if i in batch_argnums else repl
+                      for i in range(n_pos))
+
+        def resolve(s):
+            return data if s == "data" else repl
+
+        out_sh = (tuple(resolve(s) for s in out_spec)
+                  if isinstance(out_spec, tuple) else resolve(out_spec))
+        cache = {}
+
+        def call(*args, **statics):
+            key = tuple(sorted(statics.items()))
+            jitted = cache.get(key)
+            if jitted is None:
+                jitted = jax.jit(_ft.partial(fn, **statics),
+                                 in_shardings=in_sh, out_shardings=out_sh)
+                cache[key] = jitted
+            return jitted(*args)
+
+        return call
 
 
 class ModelRuntime:
@@ -98,7 +180,7 @@ class ModelRuntime:
         self.module = module
         self.runtime = runtime or Runtime.default()
         self.name = name
-        self.params = jax.device_put(params, self.runtime.device)
+        self.params = self.runtime.put_params(params)
         self._apply = jax.jit(self._apply_impl)
 
     def _apply_impl(self, params, x):
