@@ -111,6 +111,10 @@ class TableResult:
     cell_boxes: Optional[np.ndarray] = None       # (N, 4) xyxy page coords
     structure_score: float = 0.0
     is_wired: Optional[bool] = None
+    # True when cells come only from the E2E structure decode; False when
+    # a cell DETECTOR backed them (TableResult.is_e2e, structure.rs:2393;
+    # gates OCR-box splitting, :2674 has_detection_backed_table_cells)
+    is_e2e: bool = True
 
     def to_json(self) -> dict:
         return {
@@ -119,6 +123,7 @@ class TableResult:
             if self.cell_boxes is not None else None,
             "structure_score": self.structure_score,
             "is_wired": self.is_wired,
+            "is_e2e": self.is_e2e,
         }
 
 

@@ -210,12 +210,33 @@ class OARStructure:
                             page_index=page_i, box=(x0, y0, x1, y1),
                             ocr_boxes=[r.box for r in regs],
                             ocr_texts=[r.text or "" for r in regs]))
-                        owners.append(el)
+                        owners.append((page_i, el))
             if inputs:
                 with stage_timer("structure.tables", batch=len(inputs)):
-                    for el, tr in zip(owners,
-                                      self.tables.analyze_tables(pages, inputs)):
+                    for (_, el), tr in zip(owners,
+                                           self.tables.analyze_tables(
+                                               pages, inputs)):
                         el.table = tr
+
+            # --- 5b: split OCR boxes at table-cell boundaries and
+            # re-recognize the fragments (structure.rs:2666-2685 →
+            # split_ocr_bboxes_by_table_cells :1630-1846). Only when at
+            # least one table has detection-backed cells, matching
+            # has_detection_backed_table_cells (:2674). ---
+            if self.ocr is not None:
+                page_tables: List[List] = [[] for _ in images]
+                for page_i, el in owners:
+                    if el.table is not None:
+                        page_tables[page_i].append(el.table)
+                for page_i in range(len(images)):
+                    trs = [t for t in page_tables[page_i] if not t.is_e2e]
+                    if trs and ocr_regions[page_i]:
+                        with stage_timer("structure.table_ocr_split",
+                                         page=page_i):
+                            ocr_regions[page_i] = \
+                                self._split_regions_by_cells(
+                                    pages, page_i, shapes[page_i],
+                                    ocr_regions[page_i], trs)
 
         # --- stitch (sorts internally with stitched num_lines) per page
         # (structure.rs:2077, :2800) ---
@@ -230,6 +251,67 @@ class OARStructure:
     def predict_image(self, image: np.ndarray) -> StructureResult:
         """Single-page convenience (structure.rs:2808)."""
         return self.predict([image])[0]
+
+    # -------------------------------------------------------------
+    def _split_regions_by_cells(self, pages, page_i: int, page_shape,
+                                regions: List[TextRegion],
+                                tables) -> List[TextRegion]:
+        """Split cross-cell OCR boxes and re-recognize the fragments
+        (structure.rs:1630-1846). Fragment crops go back through the
+        pooled recognizer machinery — one batched chunk per page instead
+        of the reference's one adapter call per crop."""
+
+        import math
+
+        from ..models.recognition.recognizer import CropPlan
+        from ..processors.table import split_ocr_boxes_by_cells
+
+        cell_rows = [t.cell_boxes for t in tables
+                     if t.cell_boxes is not None and len(t.cell_boxes)]
+        if not cell_rows:
+            return regions
+        cells = np.concatenate([np.asarray(c, np.float32).reshape(-1, 4)
+                                for c in cell_rows], axis=0)
+        splits = split_ocr_boxes_by_cells(
+            [r.xyxy for r in regions], cells)
+
+        img_h, img_w = int(page_shape[0]), int(page_shape[1])
+        plans: List[CropPlan] = []
+        plan_boxes: List[np.ndarray] = []
+        slots: List[int] = []           # position in new_regions per plan
+        new_regions: List[Optional[TextRegion]] = []
+        for region, segs in zip(regions, splits):
+            if segs is None:
+                new_regions.append(region)
+                continue
+            for (fx1, fy1, fx2, fy2) in segs:
+                # integer crop coords, floor/ceil + clamp
+                # (structure.rs:1786-1800); degenerate fragments dropped
+                x1 = min(max(int(math.floor(fx1)), 0), max(img_w - 1, 0))
+                y1 = min(max(int(math.floor(fy1)), 0), max(img_h - 1, 0))
+                x2 = min(max(int(math.ceil(fx2)), 0), img_w)
+                y2 = min(max(int(math.ceil(fy2)), 0), img_h)
+                if x2 - x1 <= 1 or y2 - y1 <= 1:
+                    continue
+                quad = np.array([[x1, y1], [x2, y1], [x2, y2], [x1, y2]],
+                                np.float32)
+                plans.append(CropPlan.from_quad(page_i, quad))
+                # the emitted region keeps the FLOAT split coords
+                # (structure.rs:1826-1831 BoundingBox::from_coords)
+                plan_boxes.append(np.array(
+                    [[fx1, fy1], [fx2, fy1], [fx2, fy2], [fx1, fy2]],
+                    np.float32))
+                slots.append(len(new_regions))
+                new_regions.append(None)
+
+        if plans:
+            decoded = self.ocr.recognizer.recognize_chunk(pages, plans)
+            for slot, box, (text, conf, _cols) in zip(slots, plan_boxes,
+                                                      decoded):
+                if text:
+                    new_regions[slot] = TextRegion(
+                        box=box, text=text, confidence=conf)
+        return [r for r in new_regions if r is not None]
 
 
 class OARStructureBuilder:

@@ -138,22 +138,14 @@ class TableAnalyzer:
         cell_boxes_by_table: dict = {}
         if self.wireless_cell_detector is not None and wireless_idx:
             dets = self._detect_cells(pages_u8, tables, wireless_idx,
-                                      detector=self.wireless_cell_detector)
+                                      detector=self.wireless_cell_detector,
+                                      angles=angles)
             for i, boxes in zip(wireless_idx, dets):
                 if len(boxes):
                     cell_boxes_by_table[i] = boxes
         if self.cell_detector is not None and wired_idx:
-            shapes = []
-            page_idx = []
-            for i in wired_idx:
-                t = tables[i]
-                x0, y0, x1, y1 = t.box
-                shapes.append((max(int(y1 - y0), 1), max(int(x1 - x0), 1)))
-                page_idx.append(t.page_index)
-            # NOTE: cell det crops are sampled straight from the page via
-            # the detector's resize matrix offset — approximated here by
-            # detecting on the page region bounding box.
-            dets = self._detect_cells(pages_u8, tables, wired_idx)
+            dets = self._detect_cells(pages_u8, tables, wired_idx,
+                                      angles=angles)
             for i, boxes in zip(wired_idx, dets):
                 if len(boxes):
                     cell_boxes_by_table[i] = boxes
@@ -224,16 +216,27 @@ class TableAnalyzer:
                 results[i] = TableResult(
                     html=html, cell_boxes=cells_xyxy,
                     structure_score=st.score,
-                    is_wired=(cls[i][0] == 0))
+                    is_wired=(cls[i][0] == 0),
+                    is_e2e=not has_detected)
             except Exception as e:  # surface, don't stub (contract :8)
                 raise OCRError("table analysis failed", table_index=i) from e
         return [r for r in results if r is not None]
 
     def _detect_cells(self, pages_u8, tables, wired_idx,
-                      detector: Optional[LayoutDetector] = None
+                      detector: Optional[LayoutDetector] = None,
+                      angles: Optional[Sequence[int]] = None
                       ) -> List[np.ndarray]:
         """Run the RT-DETR cell detector on each table region in
-        ``wired_idx``; boxes returned in page coordinates."""
+        ``wired_idx``; boxes returned in page coordinates.
+
+        The detector samples the CROPPED table frame through its matrix
+        (table_analyzer.rs:311 crops first); a table-orientation angle
+        composes a k·90° de-rotation into the same matrix and the
+        detected boxes are rotated back (:354-383, :560-572) — so a
+        rotated table is detected upright, matching the reference."""
+        from ..models.recognition.slanet import (derot_dims,
+                                                 rotate_boxes_back,
+                                                 rotation_matrix)
         from ..ops.warp import resize_matrix
 
         import jax.numpy as jnp
@@ -241,16 +244,20 @@ class TableAnalyzer:
         det = detector if detector is not None else self.cell_detector
         ih, iw = det.variant.input_hw
         mats, idxs, offsets, sizes = [], [], [], []
-        for i in wired_idx:
+        angs = ([angles[i] for i in wired_idx] if angles is not None
+                else [0] * len(wired_idx))
+        for i, ang in zip(wired_idx, angs):
             t = tables[i]
             x0, y0, x1, y1 = t.box
             w, h = max(x1 - x0, 1.0), max(y1 - y0, 1.0)
-            m = resize_matrix(int(h), int(w), ih, iw).astype(np.float64)
+            dw, dh = derot_dims(ang, int(w), int(h))
+            m = (rotation_matrix(ang, int(w), int(h))
+                 @ resize_matrix(int(dh), int(dw), ih, iw).astype(np.float64))
             shift = np.array([[1, 0, x0], [0, 1, y0], [0, 0, 1]], np.float64)
             mats.append((shift @ m).astype(np.float32))
             idxs.append(t.page_index)
             offsets.append((x0, y0))
-            sizes.append((h, w))
+            sizes.append((dh, dw))
         with stage_timer("table.cells", batch=len(wired_idx)):
             b, s, l, v = det._step(
                 det.params, pages_u8, jnp.asarray(np.stack(mats)),
@@ -260,8 +267,19 @@ class TableAnalyzer:
         out = []
         for k, i in enumerate(wired_idx):
             ox, oy = offsets[k]
+            t = tables[i]
+            w = max(t.box[2] - t.box[0], 1.0)
+            h = max(t.box[3] - t.box[1], 1.0)
             boxes = b[k][v[k]]
+            boxes = rotate_boxes_back(boxes, angs[k], int(w), int(h))
             boxes = boxes + np.array([ox, oy, ox, oy], np.float32)
+            # rotation turns xyxy corners; re-normalize to min/max form
+            if len(boxes):
+                x_lo = np.minimum(boxes[:, 0], boxes[:, 2])
+                x_hi = np.maximum(boxes[:, 0], boxes[:, 2])
+                y_lo = np.minimum(boxes[:, 1], boxes[:, 3])
+                y_hi = np.maximum(boxes[:, 1], boxes[:, 3])
+                boxes = np.stack([x_lo, y_lo, x_hi, y_hi], axis=1)
             out.append(boxes)
         return out
 

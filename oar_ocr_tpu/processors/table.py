@@ -157,40 +157,73 @@ def match_ocr_to_cells(cell_boxes: np.ndarray,
 
 
 def split_ocr_boxes_by_cells(
-    ocr_boxes: Sequence[np.ndarray],
+    ocr_xyxy: Sequence[Sequence[float]],
     cell_xyxy: np.ndarray,
     *,
-    min_overlap_ratio: float = 0.1,
-) -> List[Tuple[int, np.ndarray]]:
-    """Split OCR boxes spanning multiple cells at cell x-boundaries.
+    overlap_threshold: float = 0.5,
+    min_cells: int = 2,
+) -> List[Optional[List[Tuple[float, float, float, float]]]]:
+    """Split OCR boxes spanning multiple table cells at cell x-boundaries.
 
-    Re-expresses processors/table_ocr_split.rs:1-813: an OCR line crossing
-    several cells in one row is cut at each cell boundary so each fragment
-    can be re-recognized per cell. Returns (source_index, sub_quad) pairs;
-    boxes inside a single cell pass through unchanged.
+    Exact port of the wired-in splitter
+    (oar-ocr/src/oarocr/structure.rs:1630-1846
+    ``split_ocr_bboxes_by_table_cells``, mirroring PaddleX's
+    ``split_ocr_bboxes_by_table_cells``):
+
+    - a cell "overlaps" an OCR box when intersection / CELL area >
+      ``overlap_threshold`` (0.5, CELL_OVERLAP_IOU_THRESHOLD,
+      structure.rs:40; note the denominator is the cell, not the box);
+    - overlapping cells are sorted left-to-right by cell x1
+      (structure.rs:1693-1698);
+    - a box overlapping < ``min_cells`` cells is kept as-is
+      (k_min_cells = 2, structure.rs:1758);
+    - the split emits: a leading segment before the first cell, one
+      segment clamped to each cell's x-range, a segment for each gap
+      between consecutive cells, and a trailing segment after the last
+      cell — all spanning the full OCR y-range — deduplicated exactly
+      (structure.rs:1700-1757).
+
+    Returns one entry per input box: ``None`` to keep the original, or
+    the list of (x1, y1, x2, y2) sub-boxes to re-recognize.
     """
 
-    out: List[Tuple[int, np.ndarray]] = []
-    for i, box in enumerate(ocr_boxes):
-        b = np.asarray(box, np.float32).reshape(-1, 2)
-        bx0, by0 = b.min(0)
-        bx1, by1 = b.max(0)
-        h = by1 - by0
-        # find cells overlapping vertically and horizontally
+    cells = [tuple(map(float, c)) for c in np.asarray(cell_xyxy).reshape(-1, 4)
+             if c[2] > c[0] and c[3] > c[1]]
+    out: List[Optional[List[Tuple[float, float, float, float]]]] = []
+    for box in ocr_xyxy:
+        bx0, by0, bx1, by1 = [float(v) for v in box]
         hits = []
-        for (x0, y0, x1, y1) in cell_xyxy:
-            if min(by1, y1) - max(by0, y0) > 0.5 * h:
-                ov = min(bx1, x1) - max(bx0, x0)
-                if ov > min_overlap_ratio * max(x1 - x0, 1e-6):
-                    hits.append((max(bx0, x0), min(bx1, x1)))
-        hits.sort()
-        if len(hits) <= 1:
-            out.append((i, b))
+        for ci, (x0, y0, x1, y1) in enumerate(cells):
+            ix0, iy0 = max(bx0, x0), max(by0, y0)
+            ix1, iy1 = min(bx1, x1), min(by1, y1)
+            if ix1 <= ix0 or iy1 <= iy0:
+                continue
+            cell_area = (x1 - x0) * (y1 - y0)
+            if cell_area <= 0:
+                continue
+            if (ix1 - ix0) * (iy1 - iy0) / cell_area > overlap_threshold:
+                hits.append(ci)
+        hits.sort(key=lambda ci: cells[ci][0])
+        if len(hits) < min_cells:
+            out.append(None)
             continue
-        for (sx0, sx1) in hits:
-            quad = np.array([[sx0, by0], [sx1, by0],
-                             [sx1, by1], [sx0, by1]], np.float32)
-            out.append((i, quad))
+        cs = [cells[ci] for ci in hits]
+        segs: List[Tuple[float, float, float, float]] = []
+        if bx0 < cs[0][0]:
+            segs.append((bx0, by0, cs[0][0], by1))
+        for k, c in enumerate(cs):
+            segs.append((max(bx0, c[0]), by0, min(bx1, c[2]), by1))
+            if k + 1 < len(cs) and c[2] < cs[k + 1][0]:
+                segs.append((c[2], by0, cs[k + 1][0], by1))
+        if cs[-1][2] < bx1:
+            segs.append((cs[-1][2], by0, bx1, by1))
+        seen = set()
+        uniq = []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                uniq.append(s)
+        out.append(uniq)
     return out
 
 

@@ -183,18 +183,32 @@ class PaddleOCRVL:
         return jnp.transpose(ids, (1, 0))     # (B, max_new)
 
     # ------------------------------------------------------------------
-    def _prepare_image(self, image: np.ndarray
+    def _prepare_image(self, image: np.ndarray,
+                       spotting: bool = False,
                        ) -> Tuple[np.ndarray, Tuple[int, int],
                                   np.ndarray, np.ndarray]:
         """smart_resize + patchify → ((T, patch²·3) float32, grid,
         h_ids, w_ids). Patches are emitted in 2×2-block order so the
         projector's static reshape merges spatial neighbors; h/w ids
         carry the ORIGINAL raster grid position per patch for the 2-D
-        vision rope and the interpolated position embedding."""
+        vision rope and the interpolated position embedding.
+
+        ``spotting`` (model.rs:255-295): small pages are 2×-pre-upscaled
+        with Lanczos and max_pixels is widened — see
+        processing.spotting_preprocess_plan."""
         import cv2
 
+        from .processing import spotting_preprocess_plan
+
+        vcfg = self.vcfg
         h, w = image.shape[:2]
-        th, tw = smart_resize(h, w, self.vcfg)
+        if spotting:
+            (uh, uw), vcfg = spotting_preprocess_plan(h, w, vcfg)
+            if (uh, uw) != (h, w):
+                image = cv2.resize(image, (uw, uh),
+                                   interpolation=cv2.INTER_LANCZOS4)
+                h, w = uh, uw
+        th, tw = smart_resize(h, w, vcfg)
         resized = cv2.resize(image, (tw, th), interpolation=cv2.INTER_LINEAR)
         x = resized.astype(np.float32) / 255.0
         x = (x - 0.5) / 0.5
@@ -244,8 +258,10 @@ class PaddleOCRVL:
                         *, max_new_tokens: int) -> List[GenerationResult]:
         c = self.cfg
 
-        # --- vision ---
-        prepared = [self._prepare_image(im) for im in images]
+        # --- vision; the spotting task 2×-pre-upscales small pages and
+        # widens max_pixels (model.rs:255-295) ---
+        prepared = [self._prepare_image(im, spotting=task == "spotting")
+                    for im in images]
         max_t = max(p.shape[0] for p, _, _, _ in prepared)
         m2 = c.v_merge ** 2
         max_t = ((max_t + m2 - 1) // m2) * m2

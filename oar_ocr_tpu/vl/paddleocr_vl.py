@@ -49,7 +49,7 @@ TASK_PROMPTS = {
     "table": "Table Recognition:",
     "formula": "Formula Recognition:",
     "chart": "Chart Recognition:",
-    "spotting": "Text Spotting:",
+    "spotting": "Spotting:",
     "seal": "Seal Recognition:",
 }
 

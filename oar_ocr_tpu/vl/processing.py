@@ -49,6 +49,35 @@ def smart_resize(h: int, w: int, cfg: VisionProcessorConfig
     return hb, wb
 
 
+# Spotting preprocess constants (paddleocr_vl/model.rs:55-56)
+SPOTTING_UPSCALE_THRESHOLD = 1500
+SPOTTING_MAX_LONG_SIDE = 2048
+
+
+def spotting_preprocess_plan(h: int, w: int, cfg: VisionProcessorConfig
+                             ) -> Tuple[Tuple[int, int],
+                                        VisionProcessorConfig]:
+    """The Spotting task's preprocess deltas (paddleocr_vl/model.rs:255-295):
+
+    - when BOTH sides are under SPOTTING_UPSCALE_THRESHOLD the image is
+      first upscaled 2× (Lanczos — the official spotting script hardcodes
+      it regardless of the processor resample, model.rs:258-262);
+    - max_pixels is raised to max(cfg.max_pixels,
+      SPOTTING_MAX_LONG_SIDE·factor²) (model.rs:285-292).
+
+    Returns ((pre-resize h, w), the widened config). The caller resizes
+    to the returned size, then runs the normal ``smart_resize`` chain.
+    """
+    import dataclasses
+
+    if h < SPOTTING_UPSCALE_THRESHOLD and w < SPOTTING_UPSCALE_THRESHOLD:
+        h, w = h * 2, w * 2
+    factor = cfg.factor
+    widened = dataclasses.replace(cfg, max_pixels=max(
+        cfg.max_pixels, SPOTTING_MAX_LONG_SIDE * factor * factor))
+    return (h, w), widened
+
+
 def grid_shape(h: int, w: int, cfg: VisionProcessorConfig) -> Tuple[int, int]:
     """Patch grid (gh, gw) at patch_size granularity."""
     return h // cfg.patch_size, w // cfg.patch_size

@@ -63,15 +63,28 @@ def test_match_ocr_to_cells():
 
 
 def test_split_ocr_boxes_by_cells():
-    cells = np.array([[0, 0, 50, 20], [50, 0, 100, 20]], np.float32)
-    spanning = np.array([[10, 5], [90, 5], [90, 15], [10, 15]], np.float32)
-    inside = np.array([[5, 5], [40, 5], [40, 15], [5, 15]], np.float32)
+    """Exact structure.rs:1630-1846 semantics: overlap = inter/CELL area
+    > 0.5, cells sorted by x1, per-cell + gap + edge segments."""
+    cells = np.array([[0, 0, 50, 20], [60, 0, 100, 20]], np.float32)
+    spanning = (5.0, 2.0, 95.0, 18.0)   # covers >50% of both cells
+    inside = (5.0, 2.0, 40.0, 18.0)     # 56% of cell 0 only
     out = split_ocr_boxes_by_cells([spanning, inside], cells)
-    spans = [q for i, q in out if i == 0]
-    assert len(spans) == 2
-    assert spans[0][:, 0].max() <= 50.01
-    ins = [q for i, q in out if i == 1]
-    assert len(ins) == 1
+    assert out[1] is None                        # < 2 cells → keep as-is
+    segs = out[0]
+    # leading none (5 > 0 ⇒ box starts inside cell 0 range? no leading
+    # since bx0 >= cell0.x0 is false here: 5 > 0), cell0 clamp, gap
+    # 50..60, cell1 clamp
+    assert segs == [(5.0, 2.0, 50.0, 18.0), (50.0, 2.0, 60.0, 18.0),
+                    (60.0, 2.0, 95.0, 18.0)]
+
+
+def test_split_ocr_boxes_leading_trailing():
+    cells = np.array([[20, 0, 50, 10], [50, 0, 80, 10]], np.float32)
+    box = (0.0, 1.0, 100.0, 9.0)
+    (segs,) = split_ocr_boxes_by_cells([box], cells)
+    assert segs[0] == (0.0, 1.0, 20.0, 9.0)      # leading
+    assert segs[-1] == (80.0, 1.0, 100.0, 9.0)   # trailing
+    assert (20.0, 1.0, 50.0, 9.0) in segs and (50.0, 1.0, 80.0, 9.0) in segs
 
 
 class TestTableOrientation:

@@ -309,3 +309,52 @@ def test_generate_with_hf_tokenizer():
     out = vlm.generate([img], "ocr", max_new_tokens=4)
     assert len(out) == 1
     assert isinstance(out[0].text, str)
+
+
+class TestSpottingPreprocess:
+    """Spotting preprocess mirrors paddleocr_vl/model.rs:255-295 exactly:
+    2× Lanczos pre-upscale when BOTH sides < 1500, max_pixels raised to
+    max(cfg, 2048·factor²)."""
+
+    def _cfg(self):
+        from oar_ocr_tpu.vl.processing import VisionProcessorConfig
+
+        return VisionProcessorConfig()
+
+    def test_small_page_upscaled_and_widened(self):
+        from oar_ocr_tpu.vl.processing import (smart_resize,
+                                               spotting_preprocess_plan)
+
+        cfg = self._cfg()
+        (h, w), wide = spotting_preprocess_plan(800, 600, cfg)
+        assert (h, w) == (1600, 1200)
+        assert wide.max_pixels == 2048 * 28 * 28  # 1_605_632 > default 1_003_520
+        # widened budget: shrink by sqrt(1600·1200/1605632), floor to 28
+        assert smart_resize(h, w, wide) == (1456, 1092)
+        # the default budget would shrink harder — the raise matters
+        th, tw = smart_resize(h, w, cfg)
+        assert th * tw <= cfg.max_pixels < 1456 * 1092
+
+    def test_large_page_not_upscaled(self):
+        from oar_ocr_tpu.vl.processing import spotting_preprocess_plan
+
+        cfg = self._cfg()
+        (h, w), wide = spotting_preprocess_plan(1600, 1200, cfg)
+        assert (h, w) == (1600, 1200)                     # no 2× step
+        assert wide.max_pixels == 2048 * 28 * 28          # 1_605_632
+
+    def test_threshold_is_strict(self):
+        from oar_ocr_tpu.vl.processing import spotting_preprocess_plan
+
+        cfg = self._cfg()
+        assert spotting_preprocess_plan(1499, 1499, cfg)[0] == (2998, 2998)
+        # one side at the threshold (not <) blocks the upscale
+        assert spotting_preprocess_plan(1500, 100, cfg)[0] == (1500, 100)
+        assert spotting_preprocess_plan(100, 1500, cfg)[0] == (100, 1500)
+
+    def test_task_prompt_matches_reference(self):
+        from oar_ocr_tpu.vl.paddleocr_vl import TASK_PROMPTS
+
+        # model.rs:30-38 prompt table
+        assert TASK_PROMPTS["spotting"] == "Spotting:"
+        assert TASK_PROMPTS["seal"] == "Seal Recognition:"
