@@ -138,7 +138,14 @@ class DeltaLayer(nn.Module):
         # persistent recurrent state: slice `layer_idx` of the carried
         # (L, B, H, Dk, Dv) delta-state tensor (the linear-attention
         # analog of the KV cache — O(1) per step)
-        o, s_final = gated_delta_rule(
+        import os as _os
+
+        from .gated_delta import gated_delta_rule_chunked
+
+        rule = (gated_delta_rule
+                if t <= 1 or _os.environ.get("OAR_TPU_NO_CHUNKED_DELTA")
+                else gated_delta_rule_chunked)
+        o, s_final = rule(
             heads(q), heads(k), heads(v),
             alpha.transpose(0, 2, 1), beta.transpose(0, 2, 1),
             initial_state=dstate[self.layer_idx], return_state=True)

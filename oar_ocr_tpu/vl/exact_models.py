@@ -93,6 +93,11 @@ class ExactVLMModule(nn.Module):
     def embed(self, ids):
         return self.text.embed(ids)
 
+    def lm_logits(self, hidden):
+        """Project hidden states through the target LM head (the MTP
+        draft reuses it — hpd_parsing/model.rs:631-636)."""
+        return self.lm_head(hidden).astype(jnp.float32)
+
     def prefill(self, embeds, position_ids, cache, mask, dstate,
                 conv_state):
         hidden, cache, dstate, conv_state = self.text(
@@ -100,6 +105,18 @@ class ExactVLMModule(nn.Module):
             conv_state)
         logits = self.lm_head(hidden[:, -1]).astype(jnp.float32)
         return logits, cache, dstate, conv_state
+
+    def prefill_hidden(self, embeds, position_ids, cache, mask, dstate,
+                       conv_state):
+        """Prefill that also returns the last hidden state — the P-MTP
+        producer for the first scheduler round (start_branch,
+        hpd_parsing/model.rs:438-465)."""
+        hidden, cache, dstate, conv_state = self.text(
+            embeds, position_ids, cache, jnp.int32(0), mask, dstate,
+            conv_state)
+        last = hidden[:, -1]
+        logits = self.lm_head(last).astype(jnp.float32)
+        return logits, last, cache, dstate, conv_state
 
     def decode_step(self, tok_ids, position_ids, cache, pos, dstate,
                     conv_state):
@@ -139,6 +156,21 @@ class ExactVLMModule(nn.Module):
         cache = cache.advance(t)
         logits = self.lm_head(hidden).astype(jnp.float32)
         return logits, cache, dstate, conv_state
+
+    def decode_block_hidden(self, tok_ids, position_ids, cache, pos,
+                            dstate, conv_state):
+        """Causal block pass that also returns the hidden states, with
+        per-row ``pos`` support (continuous-batch speculative verify,
+        hpd_parsing/model.rs:568-703 forward_causal_batch). The cache
+        comes back UN-advanced: the scheduler sets per-row lengths from
+        per-branch acceptance counts."""
+        b, t = tok_ids.shape
+        embeds = self.text.embed(tok_ids)
+        mask = self._block_mask(cache, t, False)
+        hidden, cache, dstate, conv_state = self.text(
+            embeds, position_ids, cache, pos, mask, dstate, conv_state)
+        logits = self.lm_head(hidden).astype(jnp.float32)
+        return logits, hidden, cache, dstate, conv_state
 
     def decode_block_causal(self, tok_ids, position_ids, cache, pos,
                             dstate, conv_state):
@@ -725,101 +757,98 @@ def glm_speculative_exact(tiny: bool = False, **kw) -> GlmSpeculativeExact:
 
 class HpdForkExact(ExactVLM):
     """HPD-Parsing fork decoding on the exact stack (InternViT tiles +
-    SDAR decoder): the parent pass emits fork markers; children continue
-    from the SHARED prompt-prefix KV via KVCache.keep_indices row
-    replication and advance as one continuous batch
-    (hpd_parsing/model.rs:17-41)."""
+    SDAR decoder), driven by the continuous-batching scheduler
+    (vl/hpd_scheduler.py — hpd_parsing/model.rs:467-723): every emitted
+    ``<FORK>`` spawns a child whose KV is the parent's cache at the fork
+    position; children join the RUNNING decode batch with admission
+    priority; P-MTP drafts 6 tokens per branch per round."""
 
     FORK_TOKEN = "<FORK>"
+    CHILD_TOKEN = "<CHILD>"
+    # ByteTokenizer reserves ids 0..127 for specials (vl/model.py); the
+    # real checkpoint config pins 151679/151680 (hpd config.rs:54-55)
+    DEV_FORK_ID = 2
+    DEV_CHILD_ID = 3
+
+    def _special_ids(self):
+        fork = self.tokenizer.encode(self.FORK_TOKEN)
+        child = self.tokenizer.encode(self.CHILD_TOKEN)
+        if len(fork) == 1 and len(child) == 1:
+            return fork[0], child[0]
+        return self.DEV_FORK_ID, self.DEV_CHILD_ID
+
+    def _scheduler(self, use_mtp: bool):
+        from .hpd_scheduler import HpdContinuousScheduler
+
+        key = "_sched_mtp" if use_mtp else "_sched"
+        sched = getattr(self, key, None)
+        if sched is None:
+            fork_id, child_id = self._special_ids()
+            sched = HpdContinuousScheduler(
+                self, fork_token_id=fork_id, child_token_id=child_id)
+            setattr(self, key, sched)
+        return sched
 
     def parse_with_forks(self, image: np.ndarray, *,
                          instruction: str = "Parse:",
                          max_new_tokens: int = 48,
-                         max_children: int = 8):
+                         max_children: int = 8,
+                         use_mtp: bool = False,
+                         num_speculative_tokens: int = 6,
+                         max_active_branches: int = 64):
         import functools
 
-        from .families import _tokens_after_subsequence
+        from .hpd_scheduler import HpdSchedulerConfig
 
         c = self.spec.text_cfg
         prefill = jax.jit(functools.partial(
-            self.module.apply, method=ExactVLMModule.prefill))
+            self.module.apply, method=ExactVLMModule.prefill_hidden))
         embeds, pids, t = self._prepare_prompt(image, instruction)
-        capacity = decoder_cache_capacity(t, max_new_tokens + 1)
+        capacity = decoder_cache_capacity(t + max_new_tokens,
+                                          max_new_tokens)
         cache = KVCache.create(c.layers, 1, c.kv_heads, capacity,
                                c.head_dim, dtype=embeds.dtype)
         mask = jnp.broadcast_to(create_causal_mask(t), (1, 1, t, t))
         mask = jnp.concatenate(
             [mask, jnp.zeros((1, 1, t, capacity - t), bool)], -1)
         ds, cv = self._empty_states(self.params, 1)
-        logits, cache, ds, cv = prefill(self.params, embeds,
-                                        jnp.asarray(pids), cache, mask,
-                                        ds, cv)
+        logits, last_h, cache, ds, cv = prefill(
+            self.params, embeds, jnp.asarray(pids), cache, mask, ds, cv)
         prefix_cache = cache.advance(t)
-        first = jnp.argmax(logits, -1).astype(jnp.int32)
+        first = int(jnp.argmax(logits, -1)[0])
 
-        parent_ids = self._decode_from_cache(first, prefix_cache, t,
-                                             max_new_tokens)
-        parent_row = parent_ids[0].tolist()
+        sched = self._scheduler(use_mtp)
+        out = sched.run(prefix_cache, first, last_h,
+                        HpdSchedulerConfig(
+                            max_new_tokens=max_new_tokens,
+                            use_mtp=use_mtp,
+                            num_speculative_tokens=num_speculative_tokens,
+                            max_active_branches=max_active_branches))
+
+        drop = {c.eos_id, sched.fork_token_id, sched.child_token_id}
         parent = self.tokenizer.decode(
-            [i for i in parent_row if i != c.eos_id])
-
-        fork_ids = self.tokenizer.encode(self.FORK_TOKEN)
-        seeds = _tokens_after_subsequence(parent_row, fork_ids)
-        seeds = seeds[:max_children]
-        children: List[str] = []
-        if seeds:
-            n = len(seeds)
-            child_cache = prefix_cache.keep_indices(
-                jnp.zeros((n,), jnp.int32))
-            child_ids = self._decode_from_cache(
-                jnp.asarray(seeds, jnp.int32), child_cache, t,
-                max_new_tokens)
-            children = [self.tokenizer.decode(
-                [i for i in row.tolist() if i != c.eos_id])
-                for row in child_ids]
-        # runtime stats mirror HpdRuntimeStats (hpd_parsing/model.rs:71)
+            [i for i in out.parent_tokens if i not in drop])
+        children = [self.tokenizer.decode(
+            [i for i in row if i not in drop])
+            for row in out.children[:max_children]]
+        st = out.stats
+        # stats mirror HpdRuntimeStats (hpd_parsing/model.rs:71)
         return {"parent": parent, "children": children,
+                "token_ids": out.token_ids,
                 "stats": {"prefix_len": t,
                           "parent_tokens": sum(
-                              1 for i in parent_row if i != c.eos_id),
-                          "num_children": len(children),
+                              1 for i in out.parent_tokens
+                              if i != c.eos_id),
+                          "num_children": len(out.children),
                           "child_tokens": sum(
-                              sum(1 for i in row.tolist() if i != c.eos_id)
-                              for row in child_ids) if seeds else 0}}
-
-    def _decode_from_cache(self, first_tok, cache, wpos, max_new):
-        import functools
-
-        c = self.spec.text_cfg
-
-        def run(params, first, cache, *, max_new):
-            b = first.shape[0]
-            ds, cv = self._empty_states(params, b)
-
-            def step(carry, i):
-                tok, cache, done, ds, cv = carry
-                pids = (wpos + i)[None] * jnp.ones((b, 1), jnp.int32)
-                logits, cache, ds, cv = self.module.apply(
-                    params, tok, pids, cache, wpos + i, ds, cv,
-                    method=ExactVLMModule.decode_step)
-                nxt = jnp.argmax(logits, -1).astype(jnp.int32)
-                nxt = jnp.where(done, c.eos_id, nxt)
-                return (nxt, cache, done | (nxt == c.eos_id), ds, cv), tok
-
-            (_, _, _, _, _), ids = jax.lax.scan(
-                step, (first, cache, first == c.eos_id, ds, cv),
-                jnp.arange(max_new), length=max_new)
-            return jnp.transpose(ids, (1, 0))
-
-        key = ("dfc", int(first_tok.shape[0]), max_new)
-        if not hasattr(self, "_dfc_jits"):
-            self._dfc_jits = {}
-        fn = self._dfc_jits.get(key)
-        if fn is None:
-            fn = jax.jit(functools.partial(run, max_new=max_new))
-            self._dfc_jits[key] = fn
-        return np.asarray(fn(self.params, first_tok, cache))
-
+                              sum(1 for i in row if i != c.eos_id)
+                              for row in out.children),
+                          "scheduler_rounds": st.scheduler_rounds,
+                          "peak_active_branches": st.peak_active_branches,
+                          "forked_branches": st.forked_branches,
+                          "shared_prefix_tokens": st.shared_prefix_tokens,
+                          "mtp_drafted_tokens": st.mtp_drafted_tokens,
+                          "mtp_accepted_tokens": st.mtp_accepted_tokens}}
 
 def hpd_fork_exact(tiny: bool = False, **kw) -> HpdForkExact:
     text = _tiny_text(SDAR_TEXT) if tiny else SDAR_TEXT

@@ -818,9 +818,13 @@ class MinerUDiffusion(VLMFamily):
 
 class HPDParsing(VLMFamily):
     """Parent/child fork decoding: the parent pass emits ``<FORK>``
-    markers; each marker spawns a child branch continued from the shared
-    prompt prefix (zero-copy via KVCache.keep_indices row replication),
-    advanced as one continuous batch (hpd_parsing/model.rs:17-41)."""
+    markers; each marker spawns a child branch continued from the
+    PARENT's KV through its fork position (per-row lengths over one
+    replicated row — the fork_at view of hpd_parsing/model.rs:502),
+    advanced as one continuous batch. The full mid-decode admission
+    scheduler + per-branch P-MTP lives on the exact stack
+    (vl/hpd_scheduler.py via exact_models.HpdForkExact); this harness
+    keeps the simpler two-wave shape for DocParser integration."""
 
     def __init__(self, params=None, *, tiny: bool = False, **kw):
         cfg = FAMILY_CONFIGS["hpd_parsing"]
@@ -857,23 +861,34 @@ class HPDParsing(VLMFamily):
         first = jnp.argmax(logits, -1).astype(jnp.int32)
         npos = jnp.max(jnp.asarray(positions)) + 1
 
-        parent_ids = self._decode_from_cache(
+        parent_ids, parent_cache = self._decode_from_cache(
             first, prefix_cache, npos, t, max_new_tokens)
         parent = self._detok(parent_ids[0].tolist())
 
         fork_ids = self.tokenizer.encode(self.cfg.fork_token)
-        seeds = _tokens_after_subsequence(parent_ids[0].tolist(), fork_ids)
-        seeds = seeds[: max_children or self.cfg.max_active_branches]
+        forks = _fork_points(parent_ids[0].tolist(), fork_ids)
+        forks = forks[: max_children or self.cfg.max_active_branches]
 
         children: List[str] = []
-        if seeds:
-            n = len(seeds)
-            # replicate the PREFIX rows — children share it zero-recompute
-            child_cache = prefix_cache.keep_indices(
+        if forks:
+            n = len(forks)
+            # children continue from the PARENT's KV through each fork
+            # position (SdarKvCache fork_at views, hpd_parsing/
+            # model.rs:502 + mineru_diffusion/text.rs:42-113): replicate
+            # the parent's post-decode row and set per-row lengths to
+            # prompt + marker end, so each child attends the parent's
+            # generated context preceding its fork marker.
+            seeds = [tok for _, tok in forks]
+            ends = [end for end, _ in forks]
+            child_cache = parent_cache.keep_indices(
                 jnp.zeros((n,), jnp.int32))
-            child_ids = self._decode_from_cache(
+            child_cache = child_cache.with_lengths(
+                jnp.asarray([t + e for e in ends], jnp.int32))
+            child_ids, _ = self._decode_from_cache(
                 jnp.asarray(seeds, jnp.int32), child_cache,
-                npos, t, max_new_tokens)
+                jnp.asarray([int(npos) + e for e in ends], jnp.int32),
+                jnp.asarray([t + e for e in ends], jnp.int32),
+                max_new_tokens)
             children = [self._detok(row.tolist()) for row in child_ids]
         # runtime stats mirror HpdRuntimeStats (hpd_parsing/model.rs:71)
         return {"parent": parent, "children": children,
@@ -884,20 +899,25 @@ class HPDParsing(VLMFamily):
                           "num_children": len(children),
                           "child_tokens": sum(
                               sum(1 for i in row.tolist() if i != c.eos_id)
-                              for row in child_ids) if seeds else 0}}
+                              for row in child_ids) if forks else 0}}
 
     def _decode_from_cache(self, first_tok, cache, npos, wpos, max_new):
-        """Greedy scan decode continuing from an existing cache (B rows)."""
+        """Greedy scan decode continuing from an existing cache (B rows).
+        ``npos``/``wpos`` may be scalars or per-row (B,) vectors (children
+        forked at different parent depths sit at different positions).
+        Returns (ids (B, max_new), final cache)."""
         if not hasattr(self, "_decode_from_cache_jit"):
             c = self.cfg.decoder
 
             def run(params, first, cache, npos, wpos, *, max_new):
                 b = first.shape[0]
                 dstate0 = _empty_dstate(self.cfg, b)
+                npos_v = (npos if npos.ndim else
+                          jnp.full((b,), npos, jnp.int32))
 
                 def step(carry, i):
                     tok, cache, done, np_, ds = carry
-                    pos_ids = jnp.broadcast_to(np_[None, None, None],
+                    pos_ids = jnp.broadcast_to(np_[None, :, None],
                                                (3, b, 1))
                     logits, _, cache, ds = self.module.apply(
                         params, tok, pos_ids, cache, wpos + i, ds,
@@ -907,16 +927,18 @@ class HPDParsing(VLMFamily):
                     done = done | (nxt == c.eos_id)
                     return (nxt, cache, done, np_ + 1, ds), tok
 
-                (_, _, _, _, _), ids = jax.lax.scan(
-                    step, (first, cache, first == c.eos_id, npos, dstate0),
+                (_, cache, _, _, _), ids = jax.lax.scan(
+                    step, (first, cache, first == c.eos_id, npos_v,
+                           dstate0),
                     jnp.arange(max_new), length=max_new)
-                return jnp.transpose(ids, (1, 0))
+                return jnp.transpose(ids, (1, 0)), cache
 
             self._decode_from_cache_jit = jax.jit(
                 run, static_argnames=("max_new",))
-        return np.asarray(self._decode_from_cache_jit(
+        ids, cache = self._decode_from_cache_jit(
             self.params, first_tok, cache, jnp.asarray(npos),
-            jnp.asarray(wpos), max_new=max_new))
+            jnp.asarray(wpos), max_new=max_new)
+        return np.asarray(ids), cache
 
 
 class OvisOCR2(VLMFamily):
@@ -998,6 +1020,25 @@ def monkey_end2end_to_structure(text: str, page_w: int, page_h: int):
             box=box, score=float(item.get("score", 1.0)),
             text=item.get("text") or item.get("content")))
     return StructureResult(elements=elements, width=page_w, height=page_h)
+
+
+def _fork_points(ids: List[int], pattern: List[int]
+                 ) -> List[Tuple[int, int]]:
+    """(marker-end index, seed token) for each ``pattern`` occurrence
+    followed by a token — the fork boundary within the parent stream."""
+    out: List[Tuple[int, int]] = []
+    if not pattern:
+        return out
+    n, m = len(ids), len(pattern)
+    i = 0
+    while i <= n - m:
+        if ids[i : i + m] == pattern:
+            if i + m < n:
+                out.append((i + m, ids[i + m]))
+            i += m
+        else:
+            i += 1
+    return out
 
 
 def _tokens_after_subsequence(ids: List[int], pattern: List[int]

@@ -67,14 +67,28 @@ class KVCache(NamedTuple):
 
     def append(self, layer: int, k_new: jax.Array, v_new: jax.Array,
                pos: jax.Array) -> "KVCache":
-        """Write (B, H, T_new, D) at position ``pos`` (scalar int32) in
-        layer ``layer``. Length is advanced separately by `advance`
-        (append per layer, advance once per step)."""
+        """Write (B, H, T_new, D) at position ``pos`` in layer ``layer``.
+        ``pos`` is a scalar int32, or a (B,) vector for continuous
+        batching where every row sits at its own KV length (the
+        reference's per-branch caches, hpd_parsing/model.rs:585-603).
+        Length is advanced separately by `advance` (append per layer,
+        advance once per step)."""
 
-        k = self.k.at[layer].set(jax.lax.dynamic_update_slice(
-            self.k[layer], k_new.astype(self.k.dtype), (0, 0, pos, 0)))
-        v = self.v.at[layer].set(jax.lax.dynamic_update_slice(
-            self.v[layer], v_new.astype(self.v.dtype), (0, 0, pos, 0)))
+        pos = jnp.asarray(pos)
+        if pos.ndim == 0:
+            k = self.k.at[layer].set(jax.lax.dynamic_update_slice(
+                self.k[layer], k_new.astype(self.k.dtype), (0, 0, pos, 0)))
+            v = self.v.at[layer].set(jax.lax.dynamic_update_slice(
+                self.v[layer], v_new.astype(self.v.dtype), (0, 0, pos, 0)))
+            return self._replace(k=k, v=v)
+
+        def write(buf_row, new_row, p):
+            return jax.lax.dynamic_update_slice(buf_row, new_row, (0, p, 0))
+
+        k = self.k.at[layer].set(jax.vmap(write)(
+            self.k[layer], k_new.astype(self.k.dtype), pos))
+        v = self.v.at[layer].set(jax.vmap(write)(
+            self.v[layer], v_new.astype(self.v.dtype), pos))
         return self._replace(k=k, v=v)
 
     def advance(self, n: int | jax.Array) -> "KVCache":
@@ -87,6 +101,39 @@ class KVCache(NamedTuple):
         return self._replace(
             length=jnp.broadcast_to(jnp.asarray(new_length, jnp.int32),
                                     self.length.shape))
+
+    def with_lengths(self, lengths: jax.Array) -> "KVCache":
+        """Set per-row lengths (continuous batching: each branch accepts
+        a different number of speculative tokens per round)."""
+        return self._replace(length=jnp.asarray(lengths, jnp.int32))
+
+    def copy_row(self, src: int, dst: int, new_length) -> "KVCache":
+        """Clone one batch row's K/V into another row with a (possibly
+        shorter) logical length — the branch-fork primitive
+        (SdarKvCache.fork_at, mineru_diffusion/text.rs:42-113; the
+        reference shares tensor views, the TPU analog is an HBM row copy
+        with slots beyond ``new_length`` masked by the per-row mask)."""
+        k = self.k.at[:, dst].set(self.k[:, src])
+        v = self.v.at[:, dst].set(self.v[:, src])
+        length = self.length.at[dst].set(jnp.int32(new_length))
+        pad = self.pad
+        if pad is not None:
+            pad = pad.at[dst].set(pad[src])
+        return KVCache(k, v, length, pad)
+
+    def pad_batch(self, new_batch: int) -> "KVCache":
+        """Grow the batch dimension to ``new_batch`` rows (zero-filled,
+        zero-length) — slot-pool growth for continuous batching."""
+        b = self.k.shape[1]
+        if new_batch <= b:
+            return self
+        extra = new_batch - b
+        padding = [(0, 0), (0, extra), (0, 0), (0, 0), (0, 0)]
+        k = jnp.pad(self.k, padding)
+        v = jnp.pad(self.v, padding)
+        length = jnp.pad(self.length, (0, extra))
+        pad = None if self.pad is None else jnp.pad(self.pad, (0, extra))
+        return KVCache(k, v, length, pad)
 
     def keep_indices(self, indices: jax.Array) -> "KVCache":
         """Gather batch entries (branch reordering / continuation —

@@ -205,7 +205,7 @@ class GatedDeltaNetLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, dstate, conv_state):
-        from .gated_delta import gated_delta_rule
+        from .gated_delta import gated_delta_rule, gated_delta_rule_chunked
 
         c = self.cfg
         b, t, _ = x.shape
@@ -263,7 +263,16 @@ class GatedDeltaNetLayer(nn.Module):
             -jnp.exp(a_log.astype(jnp.float32))[None, None]
             * jax.nn.softplus(a_in.astype(jnp.float32)
                               + dt_bias[None, None]))
-        o, s_final = gated_delta_rule(
+        # prefill rides the chunked/blockwise form (MXU matmuls per
+        # chunk, exact vs the sequential scan — SURVEY §7); single-token
+        # decode keeps the O(1) step. OAR_TPU_NO_CHUNKED_DELTA falls
+        # back to the sequential scan (kill-switch convention).
+        import os as _os
+
+        rule = (gated_delta_rule
+                if t <= 1 or _os.environ.get("OAR_TPU_NO_CHUNKED_DELTA")
+                else gated_delta_rule_chunked)
+        o, s_final = rule(
             qh, kh, vh, alpha.transpose(0, 2, 1), beta.transpose(0, 2, 1),
             initial_state=dstate, return_state=True)
         o = o.transpose(0, 2, 1, 3)                         # (B, T, Hv, d)
@@ -409,3 +418,29 @@ class GlmMtpHead(nn.Module):
         logits = nn.Dense(c.vocab_size, use_bias=False, dtype=out.dtype,
                           name="shared_head.head")(out)
         return logits.astype(jnp.float32), x, cache
+
+
+class HpdMtpHead(nn.Module):
+    """HPD-Parsing P-MTP draft head (hpd_parsing/model.rs:83-180;
+    checkpoint root ``language_model.mtp``): fused = fc(cat(rms(hidden),
+    rms(prev-token embedding))), SwiGLU MLP with residual, final norm.
+    One ``step`` drafts one token's hidden; the target LM head projects
+    it to logits (model.rs:631-636 reuses ``text.lm_logits``)."""
+
+    cfg: UnifiedLMConfig
+
+    @nn.compact
+    def __call__(self, hidden, embedding):
+        from .paddleocr_vl import RMSNorm
+
+        c = self.cfg
+        h = RMSNorm(c.rms_eps, name="pre_fc_norm_hidden")(hidden)
+        e = RMSNorm(c.rms_eps, name="pre_fc_norm_embedding")(embedding)
+        fused = nn.Dense(c.hidden, use_bias=False,
+                         name="fc")(jnp.concatenate([h, e], -1))
+        gate = jax.nn.silu(
+            nn.Dense(c.ffn, use_bias=False, name="gate_proj")(fused))
+        up = nn.Dense(c.ffn, use_bias=False, name="up_proj")(fused)
+        mlp = nn.Dense(c.hidden, use_bias=False,
+                       name="down_proj")(gate * up)
+        return RMSNorm(c.rms_eps, name="norm")(fused + mlp)

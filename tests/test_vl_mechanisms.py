@@ -132,3 +132,76 @@ class TestDiffusion:
         out = np.asarray(decode_block(predictor, 4, 1, num_steps=2,
                                       confidence_threshold=0.0))
         assert (out != MASK_ID).all()
+
+
+class TestChunkedGatedDelta:
+    """Blockwise gated delta rule ≡ sequential scan (the oracle) —
+    VERDICT r2 item 8; SURVEY §7 'associative-scan formulation'."""
+
+    def test_matches_sequential(self):
+        import jax.numpy as jnp
+
+        from oar_ocr_tpu.vl.gated_delta import (gated_delta_rule,
+                                                gated_delta_rule_chunked)
+
+        rng = np.random.default_rng(0)
+        for (b, h, t, dk, dv, c) in [(2, 3, 37, 16, 24, 8),
+                                     (1, 2, 64, 32, 32, 64),
+                                     (2, 1, 130, 8, 8, 32)]:
+            q = rng.standard_normal((b, h, t, dk)).astype(np.float32)
+            k = rng.standard_normal((b, h, t, dk)).astype(np.float32) * 0.3
+            v = rng.standard_normal((b, h, t, dv)).astype(np.float32)
+            a = 1 / (1 + np.exp(-rng.standard_normal((b, h, t))))
+            be = 1 / (1 + np.exp(-rng.standard_normal((b, h, t))))
+            s0 = rng.standard_normal((b, h, dk, dv)).astype(np.float32) * 0.2
+            o_ref, s_ref = gated_delta_rule(
+                q, k, v, a.astype(np.float32), be.astype(np.float32), s0,
+                return_state=True)
+            o_chk, s_chk = gated_delta_rule_chunked(
+                q, k, v, a.astype(np.float32), be.astype(np.float32), s0,
+                chunk=c, return_state=True)
+            assert float(jnp.max(jnp.abs(o_ref - o_chk))) < 1e-4
+            assert float(jnp.max(jnp.abs(s_ref - s_chk))) < 1e-4
+
+    def test_ovis_decoder_prefill_uses_chunked(self, monkeypatch):
+        """The Ovis hybrid decoder's prefill (T>1) produces identical
+        hidden states through the chunked and sequential paths."""
+        import jax
+        import jax.numpy as jnp
+
+        from oar_ocr_tpu.vl.llm_decoders import (OVIS_TEXT, UnifiedDecoder,
+                                                 dataclasses)
+        from oar_ocr_tpu.vl.kv_cache import KVCache
+
+        c = dataclasses.replace(
+            OVIS_TEXT, vocab_size=64, hidden=32, layers=4, heads=4,
+            kv_heads=2, head_dim=8, ffn=48, linear_k_heads=2,
+            linear_v_heads=4, linear_head_dim=8)
+        dec = UnifiedDecoder(c)
+        t, cap, b = 12, 16, 1
+        embeds = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (b, t, c.hidden)), jnp.float32)
+        pids = jnp.arange(t)[None]
+        cache = KVCache.create(c.layers, b, c.kv_heads, cap, c.head_dim,
+                               dtype=jnp.float32)
+        mask = jnp.tril(jnp.ones((t, t), bool))[None, None]
+        mask = jnp.concatenate(
+            [mask, jnp.zeros((1, 1, t, cap - t), bool)], -1)
+        d = c.linear_head_dim
+        ds = jnp.zeros((c.layers, b, c.linear_v_heads, d, d), jnp.float32)
+        cv = jnp.zeros((c.layers, b, max(c.conv_kernel - 1, 1),
+                        2 * c.linear_k_heads * d + c.linear_v_heads * d),
+                       jnp.float32)
+        params = dec.init(jax.random.PRNGKey(0), embeds, pids, cache,
+                          jnp.int32(0), mask, ds, cv)
+
+        def run():
+            h, _, ds2, _ = dec.apply(params, embeds, pids, cache,
+                                     jnp.int32(0), mask, ds, cv)
+            return np.asarray(h), np.asarray(ds2)
+
+        h_chunked, ds_chunked = run()
+        monkeypatch.setenv("OAR_TPU_NO_CHUNKED_DELTA", "1")
+        h_seq, ds_seq = run()
+        np.testing.assert_allclose(h_chunked, h_seq, atol=1e-4)
+        np.testing.assert_allclose(ds_chunked, ds_seq, atol=1e-4)
