@@ -167,7 +167,8 @@ class CTCRecognizer:
             jnp.full((3,), 2.0 / 255.0, jnp.float32),
             jnp.full((3,), -1.0, jnp.float32),
             out_h=REC_H, out_w=out_w,
-            out_dtype=self.runtime.compute_dtype)
+            out_dtype=self.runtime.compute_dtype,
+            pad_value=-1.0)    # black-pixel pad through x·2/255−1
         probs = self.model.apply(params, tiles)
         return pack_ctc_raw(ctc_greedy_decode(probs))
 
@@ -185,7 +186,8 @@ class CTCRecognizer:
             jnp.full((3,), 2.0 / 255.0, jnp.float32),
             jnp.full((3,), -1.0, jnp.float32),
             out_h=REC_H, out_w=out_w,
-            out_dtype=self.runtime.compute_dtype)
+            out_dtype=self.runtime.compute_dtype,
+            pad_value=-1.0)
         probs = self.model.apply(params, tiles)
         return pack_ctc_raw(ctc_greedy_decode(probs))
 

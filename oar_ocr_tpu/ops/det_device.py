@@ -42,7 +42,8 @@ def _interp_weights(dst_pad: int, src_len: int, src_valid, dst_valid,
     return w.astype(dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "out_dtype"))
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "out_dtype",
+                                             "pad_value"))
 def separable_resize_normalize(
     images: jax.Array,         # (B, H, W, C) uint8/float, zero-padded
     src_h: jax.Array,          # (B,) int32 valid source heights
@@ -55,10 +56,17 @@ def separable_resize_normalize(
     out_h: int,
     out_w: int,
     out_dtype=jnp.bfloat16,
+    pad_value: float = 0.0,
 ) -> jax.Array:
     """Per-image bilinear resize to (dst_h[b], dst_w[b]) inside a padded
     (out_h, out_w) tile, with fused normalization. f32 weights on the MXU
-    (precision HIGHEST) keep bilinear exact to float rounding."""
+    (precision HIGHEST) keep bilinear exact to float rounding.
+
+    ``pad_value`` fills slots beyond (dst_h, dst_w): 0.0 for detection
+    (the reference's ToBatch pads the NORMALIZED tensor with zeros,
+    core/batch/mod.rs:215-453); −1.0 for recognition (the reference pads
+    the IMAGE with black and then normalizes — utils/image.rs:588-591
+    PaddingStrategy::Black + x·2/255−1 maps pad pixels to −1)."""
 
     images_u8 = images
     b, h, w, c = images_u8.shape
@@ -79,7 +87,7 @@ def separable_resize_normalize(
     row = jnp.arange(out_h, dtype=jnp.int32)[None, :, None, None]
     col = jnp.arange(out_w, dtype=jnp.int32)[None, None, :, None]
     mask = (row < dst_h[:, None, None, None]) & (col < dst_w[:, None, None, None])
-    return jnp.where(mask, out, 0.0).astype(out_dtype)
+    return jnp.where(mask, out, pad_value).astype(out_dtype)
 
 
 def pack_bits(bitmap: jax.Array) -> jax.Array:

@@ -327,7 +327,10 @@ def warp_rec_tiles_separable(
     beta = jnp.asarray(norm.beta, jnp.float32)
     tiles = tiles * alpha + beta
     col = jnp.arange(out_w, dtype=jnp.int32)[None, None, :, None]
-    tiles = jnp.where(col < dst_w[:, None, None, None], tiles, 0.0)
+    # pad = black pixel through the norm (0·α + β): the reference pads
+    # rec tiles in IMAGE space before normalizing (utils/image.rs:588,
+    # PaddingStrategy::Black), so the padded region is β, not 0
+    tiles = jnp.where(col < dst_w[:, None, None, None], tiles, beta)
     return tiles.astype(out_dtype)
 
 

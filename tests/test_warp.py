@@ -174,7 +174,8 @@ class TestSeparableWarp:
             jnp.asarray(widths, jnp.int32),
             jnp.full((3,), 2.0 / 255.0, jnp.float32),
             jnp.full((3,), -1.0, jnp.float32),
-            out_h=out_h, out_w=out_w, out_dtype=jnp.float32))
+            out_h=out_h, out_w=out_w, out_dtype=jnp.float32,
+            pad_value=-1.0))    # black-pixel pad through x·2/255−1
 
     def _separable(self, pages, mats, img_idx, nat_h, nat_w, widths,
                    nat_hb, nat_wb, out_w, out_h=48):
