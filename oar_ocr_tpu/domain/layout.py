@@ -53,6 +53,12 @@ class LayoutVariant:
     # (PP-DocLayout-S is PicoDet-S; -M is PicoDet-L; -L / plus-L / V2 / V3 /
     # BlockLayout are RT-DETR-L; the table-cell dets are RT-DETR-L)
     net: str = "picodet"
+    # PicoDet dims (picodet_exact.PicoDetExact): (LCNet width scale,
+    # CSP-PAN out channels, PicoFeat conv count). 1x follows
+    # picodet_lcnet_x1_0_layout.yml exactly; -S/-L follow the published
+    # PicoDet-S/L recipes — conversion validates against the real
+    # checkpoint config (docs/ROADMAP.md exactness inventory).
+    picodet_dims: Tuple[float, int, int] = (1.0, 128, 4)
 
     @property
     def num_classes(self) -> int:
@@ -67,13 +73,17 @@ LAYOUT_VARIANTS: Dict[str, LayoutVariant] = {
         LayoutVariant("picodet_layout_1x_table", "picodet",
                       ("table",), (800, 608), bgr=True),
         LayoutVariant("picodet-s_layout_3cls", "picodet",
-                      ("image", "table", "seal"), (480, 480), bgr=True),
+                      ("image", "table", "seal"), (480, 480), bgr=True,
+                      picodet_dims=(0.75, 96, 2)),
         LayoutVariant("picodet-l_layout_3cls", "picodet",
-                      ("image", "table", "seal"), (640, 640), bgr=True),
+                      ("image", "table", "seal"), (640, 640), bgr=True,
+                      picodet_dims=(2.0, 160, 4)),
         LayoutVariant("picodet-s_layout_17cls", "picodet",
-                      tuple(_17CLS), (480, 480), bgr=True),
+                      tuple(_17CLS), (480, 480), bgr=True,
+                      picodet_dims=(0.75, 96, 2)),
         LayoutVariant("picodet-l_layout_17cls", "picodet",
-                      tuple(_17CLS), (640, 640), bgr=True),
+                      tuple(_17CLS), (640, 640), bgr=True,
+                      picodet_dims=(2.0, 160, 4)),
         LayoutVariant("rt-detr-h_layout_3cls", "rtdetr",
                       ("figure", "table", "seal"), (640, 640), net="rtdetr-X"),
         LayoutVariant("rt-detr-h_layout_17cls", "rtdetr",
@@ -82,9 +92,11 @@ LAYOUT_VARIANTS: Dict[str, LayoutVariant] = {
                       ("region",), (640, 640), imagenet_norm=False,
                       net="rtdetr-L"),
         LayoutVariant("pp-doclayout-s", "pp-doclayout",
-                      tuple(_DOCLAYOUT_23), (480, 480), imagenet_norm=False),
+                      tuple(_DOCLAYOUT_23), (480, 480), imagenet_norm=False,
+                      picodet_dims=(0.75, 96, 2)),
         LayoutVariant("pp-doclayout-m", "pp-doclayout",
-                      tuple(_DOCLAYOUT_23), (640, 640), imagenet_norm=False),
+                      tuple(_DOCLAYOUT_23), (640, 640), imagenet_norm=False,
+                      picodet_dims=(2.0, 160, 4)),
         LayoutVariant("pp-doclayout-l", "pp-doclayout",
                       tuple(_DOCLAYOUT_23), (800, 800), imagenet_norm=False,
                       net="rtdetr-L"),

@@ -1,4 +1,4 @@
-"""Layout detection models: PicoDet-style dense detector and RT-DETR.
+"""Layout detection models: exact PicoDet and exact RT-DETR.
 
 Counterparts of the reference's ScaleAwareDetectorModel / PicoDet /
 PP-DocLayout aliases (oar-ocr-core/src/models/detection/
@@ -10,8 +10,9 @@ candidate selection (device top-k + fixed-size NMS for PicoDet, direct
 top-k for RT-DETR) compile into ONE program per variant; the host receives
 (max_det, 6) arrays.
 
-PicoDet head uses GFL distribution regression (reg_max bins, integral
-decode) over CSP-PAN levels — the deployed topology. RT-DETR variants run
+PicoDet runs the exact deploy topology (PP-LCNet v1 + CSP-PAN + PicoHead
+GFL, picodet_exact.py) — golden-parity-tested against
+tools/torch_ref_picodet.py. RT-DETR variants run
 the exact deploy topology (PPHGNetV2 + HybridEncoder + multi-scale
 deformable decoder, rtdetr.py) with DETRPostProcess top-k semantics —
 golden-parity-tested against tools/torch_ref_rtdetr.py.
@@ -30,99 +31,9 @@ import numpy as np
 from ...domain.layout import LAYOUT_VARIANTS, LayoutBox, LayoutVariant
 from ...ops.nms import nms_fixed, topk_candidates
 from ...ops.warp import NormSpec, resize_matrix, sample_transform
-from ...runtime.runtime import Runtime, init_params, init_params_fast
+from ...runtime.runtime import Runtime, init_params_fast
 from ...utils.tracing import stage_timer
-from ..backbones import PPLCNetV3
-from ..layers import ConvBNAct, DepthSepConv
 from .rtdetr import RTDETRExact, rtdetr_postprocess
-
-
-class CSPPAN(nn.Module):
-    """Light PAN neck over 4 backbone levels (PicoDet neck)."""
-
-    out_channels: int = 96
-
-    @nn.compact
-    def __call__(self, feats):
-        oc = self.out_channels
-        # lateral 1x1
-        lats = [ConvBNAct(oc, (1, 1), act="hswish")(f) for f in feats]
-        # top-down (resize to the exact lateral shape — odd-sized levels
-        # appear for inputs not divisible by 64, e.g. 480 → 15 → 8)
-        p = [None] * len(lats)
-        p[-1] = lats[-1]
-        for i in range(len(lats) - 2, -1, -1):
-            up = jax.image.resize(p[i + 1], lats[i].shape, method="nearest")
-            p[i] = DepthSepConv(oc, 3)(lats[i] + up)
-        # bottom-up
-        n = [None] * len(p)
-        n[0] = p[0]
-        for i in range(1, len(p)):
-            down = ConvBNAct(oc, (3, 3), (2, 2), act="hswish")(n[i - 1])
-            n[i] = DepthSepConv(oc, 3)(p[i] + down)
-        return n
-
-
-class PicoDetHead(nn.Module):
-    """Shared depthwise head per level: class scores + GFL reg bins."""
-
-    num_classes: int
-    reg_max: int = 7
-    width: int = 96
-
-    @nn.compact
-    def __call__(self, feats):
-        cls_outs, reg_outs = [], []
-        # shared conv stacks (applied per level with shared params)
-        cls_conv1 = DepthSepConv(self.width, 5)
-        cls_conv2 = DepthSepConv(self.width, 5)
-        head_cls = nn.Conv(self.num_classes, (1, 1), dtype=feats[0].dtype)
-        head_reg = nn.Conv(4 * (self.reg_max + 1), (1, 1),
-                           dtype=feats[0].dtype)
-        for f in feats:
-            h = cls_conv2(cls_conv1(f))
-            cls_outs.append(head_cls(h))
-            reg_outs.append(head_reg(h))
-        return cls_outs, reg_outs
-
-
-class PicoDetModel(nn.Module):
-    """Full PicoDet: backbone → CSP-PAN → head → decoded (A, C) scores and
-    (A, 4) xyxy boxes in input-image pixels."""
-
-    num_classes: int
-    backbone_scale: float = 0.75
-    reg_max: int = 7
-    strides: Tuple[int, ...] = (8, 16, 32, 64)
-
-    @nn.compact
-    def __call__(self, x):
-        c2, c3, c4, c5 = PPLCNetV3(scale=self.backbone_scale, mode="det")(x)
-        # PicoDet uses strides 8..64: downsample c5 once more for the extra level
-        c6 = ConvBNAct(c5.shape[-1], (3, 3), (2, 2), act="hswish")(c5)
-        feats = CSPPAN()( [c3, c4, c5, c6] )
-        cls_outs, reg_outs = PicoDetHead(self.num_classes, self.reg_max)(feats)
-
-        all_scores, all_boxes = [], []
-        for level, (cls, reg) in enumerate(zip(cls_outs, reg_outs)):
-            b, h, w, _ = cls.shape
-            stride = self.strides[level]
-            scores = jax.nn.sigmoid(cls.astype(jnp.float32)).reshape(
-                b, h * w, self.num_classes)
-            reg = reg.astype(jnp.float32).reshape(
-                b, h * w, 4, self.reg_max + 1)
-            bins = jnp.arange(self.reg_max + 1, dtype=jnp.float32)
-            ltrb = jnp.sum(jax.nn.softmax(reg, axis=-1) * bins, -1) * stride
-            cx = (jnp.arange(w, dtype=jnp.float32) + 0.5) * stride
-            cy = (jnp.arange(h, dtype=jnp.float32) + 0.5) * stride
-            gx, gy = jnp.meshgrid(cx, cy)
-            centers = jnp.stack([gx, gy], -1).reshape(1, h * w, 2)
-            boxes = jnp.concatenate(
-                [centers - ltrb[..., 0:2], centers + ltrb[..., 2:4]], -1)
-            all_scores.append(scores)
-            all_boxes.append(boxes * jnp.ones((b, 1, 1), jnp.float32))
-        return (jnp.concatenate(all_scores, axis=1),
-                jnp.concatenate(all_boxes, axis=1))
 
 
 @dataclass
@@ -155,10 +66,16 @@ class LayoutDetector:
                 params = init_params_fast(
                     self.model, (1, v.input_hw[0], v.input_hw[1], 3))
         else:
-            self.model = PicoDetModel(num_classes=v.num_classes)
+            from .picodet_exact import PicoDetExact
+
+            scale, neck_feat, head_convs = v.picodet_dims
+            kw = dict(num_classes=v.num_classes, scale=scale,
+                      neck_feat=neck_feat, head_convs=head_convs)
+            kw.update(net_overrides or {})
+            self.model = PicoDetExact(**kw)
             if params is None:
-                params = init_params(self.model,
-                                     (1, v.input_hw[0], v.input_hw[1], 3))
+                params = init_params_fast(
+                    self.model, (1, v.input_hw[0], v.input_hw[1], 3))
         self.params = jax.device_put(params, self.runtime.device)
         self._step = jax.jit(self._step_impl)
 
