@@ -322,6 +322,7 @@ class OARStructureBuilder:
         self._runtime: Optional[Runtime] = None
         self._layout_params = None
         self._table_kw: dict = {}       # per-kind TableAnalyzer overrides
+        self._formula_model_type = "default"
 
     def with_layout_variant(self, name: str) -> "OARStructureBuilder":
         self._cfg.layout_variant = name
@@ -399,6 +400,14 @@ class OARStructureBuilder:
         self._table_kw["wireless_cell_detector"] = detector
         return self
 
+    def with_formula_model_type(self, model_type: str
+                                ) -> "OARStructureBuilder":
+        """"default" (functional re-expression, formula.py) or
+        "pp-formulanet-exact" (checkpoint-convertible topology,
+        pp_formulanet_exact.py)."""
+        self._formula_model_type = model_type
+        return self
+
     def with_table_structure_model_type(self, model_type: str
                                         ) -> "OARStructureBuilder":
         """"slanet" (default) or "slanet-exact" (checkpoint-convertible
@@ -439,9 +448,15 @@ class OARStructureBuilder:
                   if self._cfg.use_tables else None)
         formulas = None
         if self._cfg.use_formulas:
-            from ..models.recognition.formula import FormulaRecognizer
+            if self._formula_model_type == "pp-formulanet-exact":
+                from ..models.recognition.pp_formulanet_exact import (
+                    PPFormulaNetExactAdapter)
 
-            formulas = FormulaRecognizer(runtime=runtime)
+                formulas = PPFormulaNetExactAdapter(runtime=runtime)
+            else:
+                from ..models.recognition.formula import FormulaRecognizer
+
+                formulas = FormulaRecognizer(runtime=runtime)
         seal_ocr = (OAROCRBuilder("seal").with_runtime(runtime).build()
                     if self._cfg.use_seals else None)
         return OARStructure(layout=layout, ocr=ocr, tables=tables,
