@@ -208,10 +208,99 @@ def sha256_file(path: str) -> str:
     return h.hexdigest()
 
 
+# --------------------------- network fetch ---------------------------
+# The reference auto-downloads upstream artifacts from its ModelScope
+# mirror with 3 retries and SHA-256 verification
+# (oar-ocr-core/src/core/download/mod.rs:59-64, :251-255 URL scheme).
+# The same flow exists here behind OAR_TPU_ALLOW_DOWNLOAD=1 — this
+# sandbox forbids egress, so it is opt-in; outside it the framework
+# fetches upstream checkpoints for tools/convert_weights.py itself.
+
+MODELSCOPE_REPO = "greatv/oar-ocr"
+DEFAULT_REVISION = "master"
+DOWNLOAD_RETRIES = 3
+CONNECT_TIMEOUT_SECS = 30
+
+
+def artifact_url(filename: str, *, repo: str = MODELSCOPE_REPO,
+                 revision: str = DEFAULT_REVISION) -> str:
+    """download/mod.rs:251-255 URL scheme."""
+    from urllib.parse import quote
+
+    return (f"https://www.modelscope.cn/api/v1/models/{repo}/repo"
+            f"?Revision={revision}&FilePath={quote(filename)}")
+
+
+def downloads_enabled() -> bool:
+    return os.environ.get("OAR_TPU_ALLOW_DOWNLOAD", "") not in ("", "0")
+
+
+def fetch_upstream(filename: str, *, target_dir: Optional[str] = None,
+                   retries: int = DOWNLOAD_RETRIES,
+                   opener=None) -> str:
+    """Fetch one upstream artifact into the cache: GET → .part file →
+    SHA-256 verify against UPSTREAM_ARTIFACTS → atomic rename, with
+    ``retries`` attempts (download/mod.rs:59 DOWNLOAD_RETRIES=3,
+    download_attempt :272-340). ``opener`` is injectable for tests."""
+
+    if not downloads_enabled():
+        raise DownloadError(
+            "downloads disabled (set OAR_TPU_ALLOW_DOWNLOAD=1 to fetch "
+            "upstream artifacts outside sandboxed environments)",
+            artifact=filename)
+    target_dir = target_dir or os.path.join(OAR_TPU_HOME, "upstream")
+    os.makedirs(target_dir, exist_ok=True)
+    target = os.path.join(target_dir, filename)
+    expect = UPSTREAM_ARTIFACTS.get(filename)
+    if os.path.exists(target):
+        if expect is None or sha256_file(target) == expect[0]:
+            return target
+        os.remove(target)          # corrupt cache entry: refetch
+
+    if opener is None:
+        from urllib.request import urlopen
+
+        def opener(url):
+            return urlopen(url, timeout=CONNECT_TIMEOUT_SECS)
+
+    url = artifact_url(filename)
+    last_err: Optional[Exception] = None
+    for attempt in range(retries):
+        part = target + ".part"
+        try:
+            with opener(url) as resp, open(part, "wb") as f:
+                while True:
+                    chunk = resp.read(1 << 16)
+                    if not chunk:
+                        break
+                    f.write(chunk)
+            if expect is not None:
+                actual = sha256_file(part)
+                if actual != expect[0]:
+                    raise DownloadError("checksum mismatch",
+                                        artifact=filename,
+                                        expected=expect[0], actual=actual)
+                if os.path.getsize(part) != expect[1]:
+                    raise DownloadError("size mismatch", artifact=filename,
+                                        expected=expect[1],
+                                        actual=os.path.getsize(part))
+            os.replace(part, target)
+            return target
+        except Exception as e:          # noqa: BLE001 — retry ladder
+            last_err = e
+            if os.path.exists(part):
+                os.remove(part)
+    raise DownloadError(
+        f"download failed after {retries} attempts", artifact=filename,
+        url=url) from last_err
+
+
 def resolve_model_path(name_or_path: str, *, verify: bool = True) -> str:
     """Resolve a model asset: explicit path → as-is; registry name →
-    $OAR_TPU_HOME cache (download/mod.rs resolve_path semantics, minus the
-    network which this environment forbids)."""
+    $OAR_TPU_HOME cache (download/mod.rs resolve_path semantics; the
+    network half lives in :func:`fetch_upstream` — converted weights are
+    produced locally by tools/convert_weights.py from fetched upstream
+    artifacts, so a cache miss points there)."""
 
     if os.path.exists(name_or_path):
         return name_or_path
@@ -227,7 +316,8 @@ def resolve_model_path(name_or_path: str, *, verify: bool = True) -> str:
                 raise DownloadError("checksum mismatch", model=entry.name,
                                     expected=entry.sha256, actual=actual)
         return cached
-    raise DownloadError(
-        "model asset not cached and downloads are disabled in this "
-        "environment; place the converted weights at the cache path",
-        model=entry.name, cache_path=cached)
+    hint = ("run tools/convert_weights.py (with OAR_TPU_ALLOW_DOWNLOAD=1 "
+            "to auto-fetch the upstream artifact) or place the converted "
+            "weights at the cache path")
+    raise DownloadError("model asset not cached; " + hint,
+                        model=entry.name, cache_path=cached)

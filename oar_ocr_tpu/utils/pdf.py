@@ -1,11 +1,14 @@
 """PDF page rasterization for pipeline input.
 
 The reference's examples render PDFs with the pure-Rust `hayro` crate
-(examples/utils/pdf.rs:8,81). This environment ships no PDF rasterizer
-(pymupdf/pypdfium2/pdf2image all absent), so the loader dispatches to the
-first available backend and raises a structured error with guidance
-otherwise — the pipelines themselves are PDF-agnostic (they consume HWC
-uint8 pages).
+(examples/utils/pdf.rs:8,81). Here the loader dispatches to the first
+available full rasterizer (pypdfium2 / PyMuPDF / pdf2image) and falls
+back to the BUILT-IN scanned-document extractor: a minimal pure-Python
+PDF object scanner that pulls each page's embedded raster image
+(DCTDecode/JPXDecode via cv2.imdecode, plain FlateDecode via zlib) —
+scanned documents, the dominant OCR input, are one full-page image per
+page, so no vector rendering is needed for them. Vector-content PDFs
+without a full backend raise a structured error with guidance.
 """
 
 from __future__ import annotations
@@ -16,11 +19,13 @@ import numpy as np
 
 from ..errors import UnsupportedError
 
-_BACKENDS = ("pypdfium2", "fitz", "pdf2image")
+_BACKENDS = ("pypdfium2", "fitz", "pdf2image", "builtin-scanned")
 
 
 def available_backend() -> Optional[str]:
     for name in _BACKENDS:
+        if name == "builtin-scanned":
+            return name          # always available (scanned PDFs only)
         try:
             __import__(name)
             return name
@@ -34,11 +39,8 @@ def render_pdf(path: str, *, dpi: int = 150,
     """Rasterize a PDF to HWC uint8 RGB pages."""
 
     backend = available_backend()
-    if backend is None:
-        raise UnsupportedError(
-            "no PDF rasterizer available; install pypdfium2 (preferred), "
-            "PyMuPDF, or pdf2image, or pre-render pages to images",
-            path=path)
+    if backend == "builtin-scanned":
+        return extract_scanned_pages(path, pages=pages)
     if backend == "pypdfium2":
         import pypdfium2 as pdfium
 
@@ -67,3 +69,104 @@ def render_pdf(path: str, *, dpi: int = 150,
     if pages is not None:
         imgs = [imgs[i] for i in pages]
     return [np.asarray(im.convert("RGB")) for im in imgs]
+
+
+# ------------------- built-in scanned-PDF extractor -------------------
+
+_STREAM_RE = None
+
+
+def _parse_dict_entries(head: bytes) -> dict:
+    """Tiny PDF dictionary reader for the keys image streams use."""
+    import re
+
+    out = {}
+    for key in (b"Width", b"Height", b"BitsPerComponent", b"Length"):
+        m = re.search(rb"/" + key + rb"\s+(\d+)", head)
+        if m:
+            out[key.decode()] = int(m.group(1))
+    m = re.search(rb"/Subtype\s*/(\w+)", head)
+    if m:
+        out["Subtype"] = m.group(1).decode()
+    out["Filters"] = [f.decode() for f in re.findall(
+        rb"/(DCTDecode|JPXDecode|FlateDecode|CCITTFaxDecode|JBIG2Decode"
+        rb"|RunLengthDecode|LZWDecode)", head)]
+    m = re.search(rb"/ColorSpace\s*/(\w+)", head)
+    if m:
+        out["ColorSpace"] = m.group(1).decode()
+    return out
+
+
+def extract_scanned_pages(path: str, *,
+                          pages: Optional[List[int]] = None
+                          ) -> List[np.ndarray]:
+    """Extract one embedded raster image per page from a SCANNED PDF.
+
+    Scope (the hayro fallback for this environment): raw-scans the file
+    for image XObject streams — works for classic and most
+    object-stream PDFs since image bytes are always top-level binary
+    streams — decodes DCTDecode (JPEG) / JPXDecode (JPEG2000) with
+    cv2.imdecode and uncompressed-predictor FlateDecode with zlib, and
+    returns them in document order (one per page, the scanned-document
+    convention). Vector-content PDFs raise UnsupportedError with
+    guidance to install a full rasterizer.
+    """
+    import re
+    import zlib
+
+    import cv2
+
+    data = open(path, "rb").read()
+    if not data.startswith(b"%PDF"):
+        raise UnsupportedError("not a PDF file", path=path)
+
+    out: List[np.ndarray] = []
+    for m in re.finditer(rb"<<(.{0,800}?)>>\s*stream\r?\n", data,
+                         re.DOTALL):
+        head = m.group(1)
+        info = _parse_dict_entries(head)
+        if info.get("Subtype") != "Image":
+            continue
+        start = m.end()
+        end = data.find(b"endstream", start)
+        if end < 0:
+            continue
+        raw = data[start:end].rstrip(b"\r\n")
+        filters = info.get("Filters", [])
+        img = None
+        if "DCTDecode" in filters or "JPXDecode" in filters:
+            if "FlateDecode" in filters:        # flate-wrapped jpeg
+                try:
+                    raw = zlib.decompress(raw)
+                except zlib.error:
+                    continue
+            buf = np.frombuffer(raw, np.uint8)
+            img = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+            if img is not None:
+                img = img[:, :, ::-1].copy()            # BGR→RGB
+        elif filters == ["FlateDecode"] or not filters:
+            try:
+                samples = zlib.decompress(raw) if filters else raw
+            except zlib.error:
+                continue
+            w, h = info.get("Width"), info.get("Height")
+            bpc = info.get("BitsPerComponent", 8)
+            if not w or not h or bpc != 8:
+                continue
+            n = len(samples) // (w * h)
+            if n not in (1, 3):
+                continue                                # predictors etc.
+            arr = np.frombuffer(samples[: w * h * n], np.uint8).reshape(
+                h, w, n)
+            img = (np.repeat(arr, 3, axis=2) if n == 1 else arr).copy()
+        if img is not None and img.shape[0] >= 16 and img.shape[1] >= 16:
+            out.append(img)
+
+    if not out:
+        raise UnsupportedError(
+            "builtin-scanned backend found no page images (vector PDF?); "
+            "install pypdfium2 (preferred), PyMuPDF, or pdf2image, or "
+            "pre-render pages to images", path=path)
+    if pages is not None:
+        out = [out[i] for i in pages]
+    return out

@@ -1,3 +1,4 @@
+import os
 import numpy as np
 import pytest
 
@@ -169,3 +170,93 @@ def test_registry_charsets_are_registered_assets():
     for e in MODEL_REGISTRY.values():
         if e.charset and e.source:       # upstream-derived entries only
             assert e.charset in ASSET_REGISTRY, (e.name, e.charset)
+
+
+class TestFetchUpstream:
+    """The download path (download/mod.rs:59-340 analog): URL scheme,
+    retry ladder, sha/size verification, atomic cache rename — exercised
+    with an injected opener (no egress)."""
+
+    def _enable(self, monkeypatch, tmp_path):
+        monkeypatch.setenv("OAR_TPU_ALLOW_DOWNLOAD", "1")
+        return str(tmp_path)
+
+    def test_url_scheme(self):
+        from oar_ocr_tpu.registry.models import artifact_url
+
+        url = artifact_url("ch_svtrv2_rec.onnx")
+        assert url == ("https://www.modelscope.cn/api/v1/models/"
+                       "greatv/oar-ocr/repo?Revision=master"
+                       "&FilePath=ch_svtrv2_rec.onnx")
+
+    def test_disabled_by_default(self, monkeypatch, tmp_path):
+        from oar_ocr_tpu.errors import DownloadError
+        from oar_ocr_tpu.registry.models import fetch_upstream
+
+        monkeypatch.delenv("OAR_TPU_ALLOW_DOWNLOAD", raising=False)
+        with pytest.raises(DownloadError):
+            fetch_upstream("x.onnx", target_dir=str(tmp_path))
+
+    def test_fetch_verify_and_retry(self, monkeypatch, tmp_path):
+        import hashlib
+        import io
+
+        from oar_ocr_tpu.registry import models as M
+
+        target_dir = self._enable(monkeypatch, tmp_path)
+        payload = b"fake-onnx-bytes"
+        digest = hashlib.sha256(payload).hexdigest()
+        monkeypatch.setitem(M.UPSTREAM_ARTIFACTS, "fake.onnx",
+                            (digest, len(payload)))
+        calls = []
+
+        class Resp(io.BytesIO):
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        def flaky_opener(url):
+            calls.append(url)
+            if len(calls) < 3:          # two failures, third succeeds
+                raise OSError("connection reset")
+            return Resp(payload)
+
+        path = M.fetch_upstream("fake.onnx", target_dir=target_dir,
+                                opener=flaky_opener)
+        assert len(calls) == 3
+        assert open(path, "rb").read() == payload
+        assert not os.path.exists(path + ".part")
+        # second call: cache hit, no network
+        path2 = M.fetch_upstream("fake.onnx", target_dir=target_dir,
+                                 opener=flaky_opener)
+        assert path2 == path and len(calls) == 3
+
+    def test_checksum_mismatch_exhausts_retries(self, monkeypatch, tmp_path):
+        import io
+
+        from oar_ocr_tpu.errors import DownloadError
+        from oar_ocr_tpu.registry import models as M
+
+        target_dir = self._enable(monkeypatch, tmp_path)
+        monkeypatch.setitem(M.UPSTREAM_ARTIFACTS, "bad.onnx",
+                            ("0" * 64, 3))
+        calls = []
+
+        class Resp(io.BytesIO):
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        def opener(url):
+            calls.append(url)
+            return Resp(b"abc")
+
+        with pytest.raises(DownloadError):
+            M.fetch_upstream("bad.onnx", target_dir=target_dir,
+                             opener=opener)
+        assert len(calls) == 3          # DOWNLOAD_RETRIES
+        assert not os.listdir(target_dir)

@@ -143,3 +143,76 @@ def test_unimernet_preprocess(rng):
     out = unimernet_preprocess(img)
     assert out.shape[0] % 32 == 0 and out.shape[1] % 32 == 0
     assert out.dtype == np.uint8
+
+
+class TestBuiltinScannedPdf:
+    """The built-in scanned-PDF extractor (the hayro fallback,
+    examples/utils/pdf.rs:8-81): one embedded JPEG per page, decoded in
+    document order."""
+
+    @staticmethod
+    def _make_scanned_pdf(path, imgs):
+        import io
+
+        import cv2
+
+        objs = [b"<< /Type /Catalog /Pages 2 0 R >>"]
+        kids = " ".join(f"{3 + i*3} 0 R" for i in range(len(imgs)))
+        objs.append(
+            f"<< /Type /Pages /Kids [{kids}] /Count {len(imgs)} >>".encode())
+        for i, img in enumerate(imgs):
+            h, w = img.shape[:2]
+            _, enc = cv2.imencode(".jpg", img[:, :, ::-1])
+            jpg = enc.tobytes()
+            img_num, cont_num = 4 + i * 3, 5 + i * 3
+            objs.append((
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
+                f"/Resources << /XObject << /Im0 {img_num} 0 R >> >> "
+                f"/Contents {cont_num} 0 R >>").encode())
+            objs.append((
+                f"<< /Type /XObject /Subtype /Image /Width {w} "
+                f"/Height {h} /ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                f"/Filter /DCTDecode /Length {len(jpg)} >>").encode()
+                + b"\nstream\n" + jpg + b"\nendstream")
+            content = f"q {w} 0 0 {h} 0 0 cm /Im0 Do Q".encode()
+            objs.append(f"<< /Length {len(content)} >>".encode()
+                        + b"\nstream\n" + content + b"\nendstream")
+        out = io.BytesIO()
+        out.write(b"%PDF-1.4\n")
+        offsets = []
+        for num, obj in enumerate(objs, start=1):
+            offsets.append(out.tell())
+            out.write(f"{num} 0 obj\n".encode())
+            out.write(obj)
+            out.write(b"\nendobj\n")
+        xref = out.tell()
+        out.write(f"xref\n0 {len(objs)+1}\n0000000000 65535 f \n".encode())
+        for off in offsets:
+            out.write(f"{off:010d} 00000 n \n".encode())
+        out.write(f"trailer\n<< /Size {len(objs)+1} /Root 1 0 R >>\n"
+                  f"startxref\n{xref}\n%%EOF".encode())
+        open(path, "wb").write(out.getvalue())
+
+    def test_extract_pages(self, tmp_path):
+        from oar_ocr_tpu.utils.pdf import render_pdf
+
+        imgs = [np.full((64, 48, 3), 255, np.uint8),
+                np.full((80, 60, 3), 200, np.uint8)]
+        imgs[0][10:30, 5:40] = 20
+        path = str(tmp_path / "scan.pdf")
+        self._make_scanned_pdf(path, imgs)
+        pages = render_pdf(path)
+        assert [p.shape for p in pages] == [(64, 48, 3), (80, 60, 3)]
+        assert pages[0][20, 20].mean() < 100 < pages[0][5, 5].mean()
+        only = render_pdf(path, pages=[1])
+        assert len(only) == 1 and only[0].shape == (80, 60, 3)
+
+    def test_vector_pdf_raises(self, tmp_path):
+        from oar_ocr_tpu.errors import UnsupportedError
+        from oar_ocr_tpu.utils.pdf import extract_scanned_pages
+
+        path = str(tmp_path / "vec.pdf")
+        open(path, "wb").write(
+            b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj\n%%EOF")
+        with pytest.raises(UnsupportedError):
+            extract_scanned_pages(path)
