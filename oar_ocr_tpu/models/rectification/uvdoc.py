@@ -11,11 +11,11 @@ full-resolution remap run as ONE jitted program per (input-bucket,
 output-bucket) pair; the host supplies the page and receives the rectified
 uint8 image.
 
-Architecture: deployed-UVDoc-style conv encoder — stacked stride-2 conv
-blocks over a fixed 712×488 input emitting a (31, 45)... grid head of
-absolute normalized coordinates. Exact converted-weight fidelity is
-resolved at weight-conversion time; the I/O contract (fixed input size,
-normalized grid, remap semantics) matches the reference.
+Architecture: the published UVDoc/DDCP topology
+(rectification/uvdoc_exact.py — 5×5 head, dilated-residual encoder to
+stride 16, six dilated bridges, dual point heads; torch-mirror parity in
+tests/test_uvdoc_parity.py). The legacy small UVDocNet remains for
+tests/dev.
 """
 
 from __future__ import annotations
@@ -65,11 +65,17 @@ class UVDocNet(nn.Module):
 class UVDocRectifier:
     """Page → rectified page, one jitted program."""
 
-    def __init__(self, params=None, *, runtime: Optional[Runtime] = None):
+    def __init__(self, params=None, *, runtime: Optional[Runtime] = None,
+                 model_type: str = "uvdoc-exact", num_filter: int = 32):
+        from .uvdoc_exact import UVDocNetExact
+
         self.runtime = runtime or Runtime.default()
-        self.model = UVDocNet()
+        self.model = (UVDocNetExact(num_filter=num_filter)
+                      if model_type == "uvdoc-exact" else UVDocNet())
         if params is None:
-            params = init_params(
+            from ...runtime.runtime import init_params_fast
+
+            params = init_params_fast(
                 self.model, (1, UVDOC_INPUT_HW[0], UVDOC_INPUT_HW[1], 3))
         self.params = jax.device_put(params, self.runtime.device)
         self._step = jax.jit(self._step_impl, static_argnames=("out_h", "out_w"))
@@ -84,7 +90,9 @@ class UVDocRectifier:
             pages_u8, mats, img_idx, full[0], full[1], out_h=ih, out_w=iw,
             norm=NormSpec(alpha=(1 / 255.0,) * 3, beta=(0.0,) * 3),
             out_dtype=self.runtime.compute_dtype)
-        grid = self.model.apply(params, x)                     # (N,gh,gw,2)
+        grid = self.model.apply(params, x)
+        if isinstance(grid, tuple):
+            grid = grid[0]            # exact net: (2-D grid, 3-D head)
         # upsample grid to output res, scale to ORIGINAL page pixels
         grid = jax.image.resize(grid, (n, out_h, out_w, 2), method="bilinear")
         coords = normalized_grid_to_pixels(grid, 1, 1)         # [0,1] units
