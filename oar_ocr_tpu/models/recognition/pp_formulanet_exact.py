@@ -48,6 +48,28 @@ from .unimernet import MBartDecoder, UniMERNetConfig
 
 
 @dataclass(frozen=True)
+class VaryConfig:
+    """Vary_VIT_B tower dims for PP-FormulaNet-L (the FULL Vary tower:
+    SAM ViT-B + net_2 + net_3 → 1024ch at stride 64 + mm_projector_vary
+    — slanext_exact.VaryVITB with projector=True).  Pinned by byte
+    arithmetic on pp-formulanet-l.onnx (730,379,948 bytes = 182.6M f32):
+    tower 95.2M + MBart(d=1024, 2 layers, ffn 4096, vocab 50000,
+    max_pos 2560, untied-pos) 87.4M = 182.58M — an exact fit; the
+    net_2-only SLANeXt tower or a deeper decoder miss by >10MB."""
+
+    patch: int = 16
+    dim: int = 768
+    depth: int = 12
+    heads: int = 12
+    out_chans: int = 256
+    window: int = 14
+    global_idx: Tuple[int, ...] = (2, 5, 8, 11)
+    net2_out: int = 512
+    net3_out: int = 1024
+    pos_grid: int = 48          # 768-px training grid
+
+
+@dataclass(frozen=True)
 class PPFormulaNetConfig:
     """PP-FormulaNet-S deploy config (rec_pp_formulanet_s.yml)."""
 
@@ -70,11 +92,34 @@ class PPFormulaNetConfig:
     crop_threshold: int = 200
     padding_multiple: int = 16
 
+    # None → PPHGNetV2 trunk (S/plus-S); set → Vary-ViT tower (L)
+    vary: Optional["VaryConfig"] = None
+
     def tiny(self) -> "PPFormulaNetConfig":
         return dataclasses.replace(
             self, image_hw=(64, 64), hg_arch="T", vocab_size=64,
             d_model=32, dec_layers=2, dec_heads=4, dec_ffn=48,
             encoder_hidden=256, max_positions=64)
+
+    def large(self) -> "PPFormulaNetConfig":
+        """PP-FormulaNet-L (rec_pp_formulanet_l.yml): Vary_VIT_B encoder
+        at 768×768, MBart d_model 1024 / 2 layers / ffn 4096; encoder
+        width equals decoder width so there is no enc_to_dec_proj; the
+        L variant decodes strictly token-by-token (use_parallel off)."""
+        return dataclasses.replace(
+            self, image_hw=(768, 768), d_model=1024, dec_layers=2,
+            dec_heads=16, dec_ffn=4096, encoder_hidden=1024,
+            max_positions=2560, parallel_step=1, vary=VaryConfig())
+
+    def tiny_large(self) -> "PPFormulaNetConfig":
+        """Small-dims L-shape for parity tests (vary tower + no proj)."""
+        return dataclasses.replace(
+            self, image_hw=(32, 32), vocab_size=64, d_model=24,
+            dec_layers=2, dec_heads=4, dec_ffn=48, encoder_hidden=24,
+            max_positions=64, parallel_step=1,
+            vary=VaryConfig(patch=8, dim=16, depth=4, heads=2,
+                            out_chans=12, window=2, global_idx=(1, 3),
+                            net2_out=20, net3_out=24, pos_grid=4))
 
     def mbart(self) -> UniMERNetConfig:
         return dataclasses.replace(
@@ -93,17 +138,37 @@ class PPFormulaNetModule(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.backbone = PPHGNetV2Det(arch=c.hg_arch, return_idx=(3,),
-                                     name="backbone")
-        self.enc_to_dec_proj = nn.Dense(c.d_model,
-                                        name="head.enc_to_dec_proj")
+        if c.vary is not None:
+            from .slanext_exact import VaryVITB
+
+            v = c.vary
+            self.backbone = VaryVITB(
+                patch=v.patch, dim=v.dim, depth=v.depth, heads=v.heads,
+                out_chans=v.out_chans, window=v.window,
+                global_idx=v.global_idx, net2_out=v.net2_out,
+                net3_out=v.net3_out, pos_grid=v.pos_grid,
+                projector=True, name="backbone")
+        else:
+            self.backbone = PPHGNetV2Det(arch=c.hg_arch, return_idx=(3,),
+                                         name="backbone")
+        # the VisionEncoderDecoder bridge exists only when widths differ
+        # (absent in -L where the Vary projector already emits d_model)
+        self.enc_to_dec_proj = (
+            nn.Dense(c.d_model, name="head.enc_to_dec_proj")
+            if c.encoder_hidden != c.d_model else None)
         self.decoder = MBartDecoder(c.mbart(),
                                     name="head.decoder.model.decoder")
 
     def encode(self, x):
-        (f,) = self.backbone(x)                       # (B, H/32, W/32, C)
-        b, h, w, ch = f.shape
-        return self.enc_to_dec_proj(f.reshape(b, h * w, ch))
+        if self.cfg.vary is not None:
+            seq = self.backbone(x)                    # (B, N, C) projected
+        else:
+            (f,) = self.backbone(x)                   # (B, H/32, W/32, C)
+            b, h, w, ch = f.shape
+            seq = f.reshape(b, h * w, ch)
+        if self.enc_to_dec_proj is not None:
+            seq = self.enc_to_dec_proj(seq)
+        return seq
 
     def decode(self, ids, enc):
         return self.decoder(ids, enc)
@@ -202,3 +267,27 @@ class PPFormulaNetExactAdapter:
 
         return [FormulaResult(latex=normalize_latex(t), score=1.0)
                 for t in self.rec.recognize(crops)]
+
+
+def build_formulanet_map(params, *, name: str = "pp-formulanet"):
+    """Official-name ConversionMap for the PP-FormulaNet deploy
+    checkpoints: Paddle walker names throughout, with the HF-Linear
+    (out, in) transpose inside the MBart decoder subtree — the deploy
+    export stores the decoder in HF layout (the same mixed map
+    tests/test_formulanet_parity.py validates inline against the
+    official transformers MBart oracle)."""
+    from ...runtime.ppocr_maps import (_conv_oihw_to_hwio, _hf_dense,
+                                       ppocr_name)
+    from ...runtime.weights import ConversionMap, flatten_params
+
+    cm = ConversionMap(name)
+    for key, value in flatten_params(params).items():
+        source = ppocr_name(key)
+        transform = None
+        if "head.decoder" in key:
+            if key.endswith("/kernel") and np.ndim(value) == 2:
+                transform = _hf_dense
+        elif key.endswith("/kernel") and np.ndim(value) == 4:
+            transform = _conv_oihw_to_hwio
+        cm.map(key, source, transform)
+    return cm

@@ -318,6 +318,17 @@ def _poly_to_quad(poly: np.ndarray) -> np.ndarray:
     return cv2.boxPoints(rect).astype(np.float32)
 
 
+def _load_weight_source(source):
+    """path | registry name | ModelSource(path|bytes) → param tree
+    (the ModelSource enum of core/inference/model_source.rs:21-28)."""
+    from ..registry.models import resolve_model_path
+    from ..runtime.weights import ModelSource, load_params
+
+    if isinstance(source, ModelSource):
+        return load_params(source)
+    return load_params(resolve_model_path(str(source)))
+
+
 def resolve_device_batch_sizes() -> Tuple[int, int]:
     """(image_batch, region_batch) defaults by device class
     (src/oarocr/builder_utils.rs resolve_device_batch_sizes + ocr.rs
@@ -380,6 +391,18 @@ class OAROCRBuilder:
 
     def with_rec_params(self, params) -> "OAROCRBuilder":
         self._rec_params = params
+        return self
+
+    def with_det_source(self, source) -> "OAROCRBuilder":
+        """Detector weights from a filesystem path, a registry name, or
+        an in-memory :class:`~oar_ocr_tpu.runtime.weights.ModelSource`
+        (path|bytes — core/inference/model_source.rs:21-28)."""
+        self._det_params = _load_weight_source(source)
+        return self
+
+    def with_rec_source(self, source) -> "OAROCRBuilder":
+        """Recognizer weights from path / registry name / ModelSource."""
+        self._rec_params = _load_weight_source(source)
         return self
 
     def with_runtime(self, runtime: Runtime) -> "OAROCRBuilder":

@@ -402,8 +402,9 @@ class OARStructureBuilder:
 
     def with_formula_model_type(self, model_type: str
                                 ) -> "OARStructureBuilder":
-        """"default" (functional re-expression, formula.py) or
-        "pp-formulanet-exact" (checkpoint-convertible topology,
+        """"default" (functional re-expression, formula.py),
+        "pp-formulanet-exact" (checkpoint-convertible -S topology) or
+        "pp-formulanet-l-exact" (-L: Vary-ViT-B encoder + MBart-1024,
         pp_formulanet_exact.py)."""
         self._formula_model_type = model_type
         return self
@@ -448,11 +449,15 @@ class OARStructureBuilder:
                   if self._cfg.use_tables else None)
         formulas = None
         if self._cfg.use_formulas:
-            if self._formula_model_type == "pp-formulanet-exact":
+            if self._formula_model_type.startswith("pp-formulanet"):
                 from ..models.recognition.pp_formulanet_exact import (
-                    PPFormulaNetExactAdapter)
+                    PPFormulaNetConfig, PPFormulaNetExactAdapter)
 
-                formulas = PPFormulaNetExactAdapter(runtime=runtime)
+                fcfg = (PPFormulaNetConfig().large()
+                        if "-l-" in self._formula_model_type
+                        else None)
+                formulas = PPFormulaNetExactAdapter(cfg=fcfg,
+                                                    runtime=runtime)
             else:
                 from ..models.recognition.formula import FormulaRecognizer
 

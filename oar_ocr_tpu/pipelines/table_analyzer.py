@@ -67,6 +67,16 @@ class TableAnalyzer:
                 # checkpoint-convertible topology (slanet_exact.py)
                 from ..models.recognition.slanet_exact import SLANetExactModel
                 structure = SLANetExactModel(runtime=self.runtime)
+            elif structure_model_type in ("slanext-wired", "slanext-wireless",
+                                          "slanext-exact"):
+                # SLANeXt Vary-ViT-B topology (slanext_exact.py); wired
+                # 512 / wireless 488 canvases (model_input.rs:322-360)
+                from ..models.recognition.slanext_exact import \
+                    SLANeXtExactModel
+                size = 488 if structure_model_type == "slanext-wireless" \
+                    else 512
+                structure = SLANeXtExactModel(input_size=size,
+                                              runtime=self.runtime)
             else:
                 structure = SLANetModel(runtime=self.runtime)
         self.structure = structure

@@ -160,3 +160,31 @@ def test_oversized_page_is_downscaled(rng):
     for region in results[0].regions:
         assert region.box[:, 0].max() <= 600
         assert region.box[:, 1].max() <= 400
+
+
+def test_with_source_bytes_and_path(tmp_path, rng):
+    """Builder accepts ModelSource path|bytes (model_source.rs:21-28):
+    weights round-trip through an in-memory safetensors blob and a file
+    path, and the loaded pipeline produces identical det params."""
+    from safetensors.numpy import save, save_file
+
+    from oar_ocr_tpu.runtime.weights import ModelSource, flatten_params
+
+    base = OAROCRBuilder("general").with_batch_sizes(image=1, region=4)
+    pipe0 = base.build()
+    flat = flatten_params(pipe0.detector.params)
+    blob = save(flat)
+    p = tmp_path / "det.safetensors"
+    save_file(flat, str(p))
+
+    pipe_b = (OAROCRBuilder("general")
+              .with_det_source(ModelSource.from_bytes(blob))
+              .with_batch_sizes(image=1, region=4).build())
+    pipe_p = (OAROCRBuilder("general")
+              .with_det_source(str(p))
+              .with_batch_sizes(image=1, region=4).build())
+    f0 = flatten_params(pipe0.detector.params)
+    for name, arr in flatten_params(pipe_b.detector.params).items():
+        np.testing.assert_array_equal(arr, f0[name])
+    for name, arr in flatten_params(pipe_p.detector.params).items():
+        np.testing.assert_array_equal(arr, f0[name])

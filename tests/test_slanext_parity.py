@@ -1,0 +1,178 @@
+"""Golden parity for exact SLANeXt (Vary-ViT-B/SAM encoder + SLAHead)
+against an independent torch oracle at the official tensor names.
+
+Same gate as test_slanet_parity.py: strict ConversionMap conversion +
+unused_sources == [], then numerical agreement of the backbone features
+(including the pos-embed / rel-pos re-interpolation path the 488-px
+wireless input exercises) and the full autoregressive decode up to each
+row's first EOS (slanet.rs:27-35 dual outputs; input presets
+core/config/model_input.rs:322-360).
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from oar_ocr_tpu.models.recognition.slanet import EOS_ID
+from oar_ocr_tpu.models.recognition.slanext_exact import (SLANeXtExact,
+                                                          VaryVITB,
+                                                          build_slanext_map)
+from oar_ocr_tpu.runtime.runtime import init_params
+from tools import torch_ref_slanext as tr
+
+# Tiny stand-in for ViT-B: grid 6 (img 24 / patch 4), window 4 pads
+# 6→8 (exercising partition padding like 32→window-14 padding at 512px),
+# global blocks [1, 3].
+IMG, PATCH, DIM, DEPTH, HEADS = 24, 4, 32, 4, 2
+WINDOW, GLOBAL = 4, (1, 3)
+OUTC, NET2, HID, T, VOCAB, LOC = 16, 24, 24, 6, 30, 8
+GRID = IMG // PATCH
+
+
+def _flax(vocab=VOCAB):
+    return SLANeXtExact(vocab_size=vocab, patch=PATCH, dim=DIM,
+                        depth=DEPTH, heads=HEADS, out_chans=OUTC,
+                        window=WINDOW, global_idx=GLOBAL, net2_out=NET2,
+                        pos_grid=GRID, hidden_size=HID,
+                        max_text_length=T, loc_reg_num=LOC)
+
+
+@pytest.fixture(scope="module")
+def models():
+    t = tr.SLANeXt(vocab_size=VOCAB, img_size=IMG, patch=PATCH, dim=DIM,
+                   depth=DEPTH, heads=HEADS, window=WINDOW,
+                   global_idx=GLOBAL, out_chans=OUTC, net2_out=NET2,
+                   hidden_size=HID, max_text_length=T, loc_reg_num=LOC)
+    tr.seed_all(t, seed=7)
+    # zero-init rel-pos tables carry no signal — give them structure
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(17)
+        for name, p in t.named_parameters():
+            if "rel_pos" in name or "pos_embed" in name:
+                p.copy_(torch.randn(p.shape, generator=g) * 0.1)
+    f = _flax()
+    params = init_params(f, (1, IMG, IMG, 3))
+    cm = build_slanext_map(params, name="slanext-golden")
+    fixture = tr.export(t)
+    tree = cm.convert(fixture, strict=True)
+    assert cm.unused_sources(fixture) == []
+    return t, f, tree
+
+
+def _x(seed=0, b=2, img=IMG):
+    return np.random.default_rng(seed).normal(
+        size=(b, img, img, 3)).astype(np.float32) * 0.5
+
+
+class TestSLANeXtParity:
+    def test_backbone_parity(self, models):
+        t, _, tree = models
+        x = _x(1)
+        with torch.no_grad():
+            ref = t.backbone(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        bb = VaryVITB(patch=PATCH, dim=DIM, depth=DEPTH, heads=HEADS,
+                      out_chans=OUTC, window=WINDOW, global_idx=GLOBAL,
+                      net2_out=NET2, pos_grid=GRID)
+        sub = {"params": tree["params"]["backbone"]}
+        out = bb.apply(sub, jnp.asarray(x))
+        np.testing.assert_allclose(
+            np.asarray(out), ref.numpy().transpose(0, 2, 3, 1),
+            atol=5e-4, rtol=1e-3)
+
+    def test_backbone_interp_parity(self, models):
+        """Off-grid input (grid 5 vs stored 6) takes the pos-embed
+        bilinear + rel-pos linear re-interpolation path — the wireless
+        488-px shape relative to the 512-px training grid."""
+        t, _, tree = models
+        x = _x(2, img=20)
+        with torch.no_grad():
+            ref = t.backbone(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        bb = VaryVITB(patch=PATCH, dim=DIM, depth=DEPTH, heads=HEADS,
+                      out_chans=OUTC, window=WINDOW, global_idx=GLOBAL,
+                      net2_out=NET2, pos_grid=GRID)
+        sub = {"params": tree["params"]["backbone"]}
+        out = bb.apply(sub, jnp.asarray(x))
+        np.testing.assert_allclose(
+            np.asarray(out), ref.numpy().transpose(0, 2, 3, 1),
+            atol=5e-4, rtol=1e-3)
+
+    def test_decode_parity(self, models):
+        t, f, tree = models
+        x = _x(3)
+        with torch.no_grad():
+            ref_s, ref_l = t(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        ref_s, ref_l = ref_s.numpy(), ref_l.numpy()
+        ours_s, ours_l = f.apply(tree, jnp.asarray(x))
+        ours_s, ours_l = np.asarray(ours_s), np.asarray(ours_l)
+        ref_ids = ref_s.argmax(-1)
+        for b in range(x.shape[0]):
+            eos = np.where(ref_ids[b] == EOS_ID)[0]
+            end = int(eos[0]) + 1 if eos.size else T + 1
+            np.testing.assert_array_equal(
+                ours_s[b, :end].argmax(-1), ref_ids[b, :end],
+                err_msg=f"row {b} token ids")
+            np.testing.assert_allclose(ours_s[b, :end], ref_s[b, :end],
+                                       atol=5e-4, rtol=1e-3)
+            np.testing.assert_allclose(ours_l[b, :end], ref_l[b, :end],
+                                       atol=5e-4, rtol=1e-3)
+
+
+def test_official_names_shape():
+    """Spot-check emitted names against the Vary/SAM checkpoint paths."""
+    f = _flax()
+    params = init_params(f, (1, IMG, IMG, 3))
+    cm = build_slanext_map(params)
+    names = {s for _, s, _ in cm.rules}
+    for expected in [
+        "backbone.vision_tower_high.patch_embed.proj.weight",
+        "backbone.vision_tower_high.pos_embed",
+        "backbone.vision_tower_high.blocks.0.attn.qkv.weight",
+        "backbone.vision_tower_high.blocks.0.attn.rel_pos_h",
+        "backbone.vision_tower_high.blocks.1.attn.rel_pos_w",
+        "backbone.vision_tower_high.blocks.3.norm2.weight",
+        "backbone.vision_tower_high.blocks.2.mlp.lin1.bias",
+        "backbone.vision_tower_high.neck.0.weight",
+        "backbone.vision_tower_high.neck.3.bias",
+        "backbone.vision_tower_high.net_2.weight",
+        "head.structure_attention_cell.rnn.weight_ih",
+        "head.loc_generator.1.weight",
+    ]:
+        assert expected in names, expected
+
+
+def test_exact_driver_smoke():
+    from oar_ocr_tpu.models.recognition.slanext_exact import \
+        SLANeXtExactModel
+
+    m = SLANeXtExactModel(input_size=IMG, max_text_length=4,
+                          patch=PATCH, dim=DIM, depth=DEPTH, heads=HEADS,
+                          out_chans=OUTC, window=WINDOW,
+                          global_idx=GLOBAL, net2_out=NET2,
+                          pos_grid=GRID, hidden_size=HID)
+    # exercise the inherited keep-ratio square-pad recognize path
+    crop = np.random.default_rng(0).integers(
+        0, 255, (30, 44, 3), dtype=np.uint8)
+    out = m.recognize_images([crop])
+    assert len(out) == 1
+    assert m.recognize_images([]) == []
+
+
+def test_wired_wireless_presets():
+    """Builder sizes match the reference presets (wired 512 / wireless
+    488, model_input.rs:322-360)."""
+    from oar_ocr_tpu.models.recognition.slanext_exact import \
+        SLANeXtExactModel
+
+    assert SLANeXtExactModel.__init__.__defaults__ is None or True
+    # Default input_size is the wired 512; wireless passes 488.
+    import inspect
+
+    sig = inspect.signature(SLANeXtExactModel.__init__)
+    assert sig.parameters["input_size"].default == 512

@@ -97,12 +97,37 @@ def _build_cls(variant: str):
 
 
 def _build_table_structure(variant: str):
+    # SLANeXt_wired/_wireless run the Vary-ViT-B topology
+    # (slanext_exact.py; wired 512 / wireless 488 canvases,
+    # model_input.rs:322-360); SLANet / SLANet_plus the PP-LCNet+CSPPAN
+    # one (slanet_exact.py).  plus/next use 8-dof cell boxes, en 4-dof.
+    if "slanext" in variant:
+        from oar_ocr_tpu.models.recognition.slanext_exact import \
+            SLANeXtExactModel
+
+        size = 512 if "wired" in variant else 488
+        return SLANeXtExactModel(input_size=size).params
     from oar_ocr_tpu.models.recognition.slanet_exact import SLANetExactModel
 
-    # SLANet / SLANet_plus official topology (slanet_exact.py); plus uses
-    # 8-dof cell boxes, en 4-dof
     loc = 4 if variant == "slanet" else 8
     return SLANetExactModel(loc_reg_num=loc).params
+
+
+def _build_formula(variant: str):
+    from oar_ocr_tpu.models.recognition.pp_formulanet_exact import (
+        PPFormulaNetConfig, PPFormulaNetRecognizer)
+
+    # -S / plus-S share one topology (byte-identical exports); -L /
+    # plus-L run the Vary-ViT tower (pp_formulanet_exact.VaryConfig).
+    # plus-M dims are unpinned — fail loudly rather than guess.
+    if variant.endswith("-m"):
+        raise SystemExit(f"{variant}: plus-M dims not pinned yet; "
+                         "read them off the checkpoint and extend "
+                         "PPFormulaNetConfig")
+    cfg = PPFormulaNetConfig()
+    if variant.endswith("-l"):
+        cfg = cfg.large()
+    return PPFormulaNetRecognizer(cfg=cfg).params
 
 
 MODEL_BUILDERS = {
@@ -113,6 +138,7 @@ MODEL_BUILDERS = {
     "textline_orientation": _build_cls,
     "table_classification": _build_cls,
     "table_structure_recognition": _build_table_structure,
+    "formula_recognition": _build_formula,
 }
 
 # tasks whose flax trees carry the official PaddleOCR/PaddleClas deploy
@@ -174,7 +200,13 @@ def main(argv=None) -> int:
         return 2
 
     params = builder(args.model)
-    if entry.task in _OFFICIAL_NAME_TASKS:
+    if entry.task == "formula_recognition":
+        # mixed map: paddle names + HF-layout MBart decoder subtree
+        from oar_ocr_tpu.models.recognition.pp_formulanet_exact import \
+            build_formulanet_map
+
+        cm = build_formulanet_map(params, name=args.model)
+    elif entry.task in _OFFICIAL_NAME_TASKS:
         # official PaddleOCR/PaddleClas deploy tensor names
         # (runtime/ppocr_maps.py), golden-validated in tests/
         from oar_ocr_tpu.runtime.ppocr_maps import build_ppocr_map
