@@ -1,13 +1,17 @@
 """Domain types: text regions, layout elements, structure results."""
 
 from .layout import LAYOUT_VARIANTS, LayoutBox, LayoutVariant
-from .structure import (LayoutElement, LayoutElementType, RegionBlock,
-                        StructureResult, TableResult,
-                        concatenate_markdown_pages)
+from .structure import (LayoutElement, LayoutElementType,
+                        PageContinuationFlags, RegionBlock, StructureResult,
+                        TableResult, concatenate_markdown_pages,
+                        postprocess_markdown, postprocess_text,
+                        save_multi_page_results)
 from .text_region import OAROCRResult, TextRegion
 
 __all__ = [
     "LAYOUT_VARIANTS", "LayoutBox", "LayoutVariant", "LayoutElement",
-    "LayoutElementType", "RegionBlock", "StructureResult", "TableResult",
-    "concatenate_markdown_pages", "OAROCRResult", "TextRegion",
+    "LayoutElementType", "PageContinuationFlags", "RegionBlock",
+    "StructureResult", "TableResult", "concatenate_markdown_pages",
+    "postprocess_markdown", "postprocess_text", "save_multi_page_results",
+    "OAROCRResult", "TextRegion",
 ]

@@ -26,6 +26,8 @@ from __future__ import annotations
 import re
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import numpy as np
+
 BULLET_MARKERS = "•●◦▪◆"
 
 TITLE_NUMBERING_REGEX = re.compile(
@@ -37,6 +39,74 @@ _TOP_KEYWORDS = ("ABSTRACT", "INTRODUCTION", "REFERENCES", "REFERENCE")
 
 def clean_ocr_text(text: str) -> str:
     return text.replace("-\n", "").replace("\n", " ")
+
+
+_CJK_RANGES = ((0x4E00, 0x9FFF), (0x3400, 0x4DBF), (0x20000, 0x2A6DF),
+               (0x2A700, 0x2B73F), (0x2B740, 0x2B81F), (0x2B820, 0x2CEAF),
+               (0x2CEB0, 0x2EBEF))
+
+
+def is_chinese_char(c: str) -> bool:
+    """CJK Unified Ideographs incl. extensions A-F (structure.rs:1403)."""
+    cp = ord(c)
+    return any(lo <= cp <= hi for lo, hi in _CJK_RANGES)
+
+
+def dehyphenate(text: str) -> str:
+    """Remove PDF line-break hyphenation: a ``-`` immediately before a
+    newline whose next line starts lowercase is a word break — drop both
+    the hyphen and the newline.  Mid-word hyphens ("real-time") and
+    hyphens inside URL-ish context (a ±10-char window containing http/
+    www/://) are preserved (structure.rs:1438-1492)."""
+    chars = text
+    n = len(chars)
+    out: List[str] = []
+    i = 0
+    while i < n:
+        c = chars[i]
+        if c == "-":
+            window = chars[max(i - 10, 0): i + 5]
+            in_url = ("http" in window or "www" in window
+                      or "://" in window)
+            artifact = (not in_url and i + 1 < n and chars[i + 1] == "\n"
+                        and i + 2 < n and chars[i + 2].islower()
+                        and chars[i + 2].isascii())
+            if artifact:
+                i += 2              # skip the hyphen and the newline
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def fix_merged_words(text: str) -> str:
+    """Insert the spaces OCR/PDF extraction dropped between merged words
+    (structure.rs:1493-1541): after a possessive ("encoder'sfeature"),
+    at lowercase→Uppercase word starts ("modelThe"), after a digit or %
+    before an Uppercase word ("48.1%AP"), and between a letter and a
+    single digit that is itself followed by a letter."""
+    out: List[str] = []
+    n = len(text)
+    for i, c in enumerate(text):
+        if i > 0:
+            prev = text[i - 1]
+            p_lo = prev.islower() and prev.isascii()
+            c_lo = c.islower() and c.isascii()
+            c_up = c.isupper() and c.isascii()
+            if p_lo and c_lo:
+                if i > 1 and text[i - 2] == "'":
+                    out.append(" ")
+            elif p_lo and c_up:
+                if i + 1 < n and text[i + 1].islower() \
+                        and text[i + 1].isascii():
+                    out.append(" ")
+            elif ((prev.isdigit() or prev == "%") and c_up) or (
+                    prev.isascii() and prev.isalpha() and c.isdigit()
+                    and i + 1 < n and text[i + 1].isascii()
+                    and text[i + 1].isalpha()):
+                out.append(" ")
+        out.append(c)
+    return "".join(out)
 
 
 def format_text_block(text: str) -> str:
@@ -102,31 +172,49 @@ def format_title_with_level(title: str,
     return min(max(clustered_level or 2, 2), 6), cleaned
 
 
-def _kmeans_1d(values: List[float], k: int, iters: int = 12) -> List[int]:
-    """Tiny 1-D k-means for the font-size clustering signal."""
-    uniq = sorted(set(values))
-    k = min(k, len(uniq))
+def infer_levels_by_kmeans_feature(samples: List[Tuple[int, float]],
+                                   descending: bool) -> Dict[int, int]:
+    """Cluster one scalar feature (line height or indent) into heading
+    levels with 1-D k-means (structure.rs:213-310).  ``descending=True``
+    maps a LARGER feature to a SHALLOWER heading (font size); ``False``
+    maps a smaller feature to a shallower heading (indent).  k is the
+    number of distinct values (>1e-3 apart) clamped to [1, 4]; centroids
+    start at the (i+0.5)/k quantiles and run 16 Lloyd iterations."""
+    clean = [(i, v) for i, v in samples if np.isfinite(v)]
+    if len(clean) < 2:
+        return {}
+    values = sorted(v for _, v in clean)
+    unique = 1 + sum(1 for a, b in zip(values, values[1:])
+                     if abs(b - a) > 1e-3)
+    k = min(max(unique, 1), 4, len(clean))
     if k <= 1:
-        return [0] * len(values)
-    centers = [uniq[int(i * (len(uniq) - 1) / (k - 1))] for i in range(k)]
-    assign = [0] * len(values)
-    for _ in range(iters):
-        for i, v in enumerate(values):
-            assign[i] = min(range(k), key=lambda c: abs(v - centers[c]))
-        for c in range(k):
-            mine = [v for v, a in zip(values, assign) if a == c]
-            if mine:
-                centers[c] = sum(mine) / len(mine)
-    # rank clusters by descending center (bigger text → higher level rank 0)
-    order = sorted(range(k), key=lambda c: -centers[c])
+        return {}
+    centroids = [values[min(int((i + 0.5) / k * len(values)),
+                            len(values) - 1)] for i in range(k)]
+    for _ in range(16):
+        sums, counts = [0.0] * k, [0] * k
+        for _, v in clean:
+            c = min(range(k), key=lambda j: abs(v - centroids[j]))
+            sums[c] += v
+            counts[c] += 1
+        centroids = [sums[j] / counts[j] if counts[j] else centroids[j]
+                     for j in range(k)]
+    order = sorted(range(k), key=lambda j: -centroids[j] if descending
+                   else centroids[j])
     rank = {c: r for r, c in enumerate(order)}
-    return [rank[a] for a in assign]
+    out: Dict[int, int] = {}
+    for i, v in clean:
+        c = min(range(k), key=lambda j: abs(v - centroids[j]))
+        out[i] = min(max(rank[c] + 2, 2), 6)
+    return out
 
 
 def infer_paragraph_title_levels(elements) -> Dict[int, int]:
-    """Three-signal vote per paragraph title: semantic numbering level,
-    line-height cluster (k ≤ 4, larger text = shallower level), and
-    indentation order as tie-break (structure.rs:118-160)."""
+    """Three-signal VOTE per paragraph title (structure.rs:118-205):
+    semantic numbering level (weight 2), line-height k-means (weight 1,
+    larger text = shallower) and indent k-means (weight 1, smaller indent
+    = shallower).  Ties prefer the semantic level, then the shallower
+    level; with no votes at all, fall back semantic→font→indent→2."""
     from .structure import LayoutElementType
 
     idxs = [i for i, e in enumerate(elements)
@@ -137,18 +225,34 @@ def infer_paragraph_title_levels(elements) -> Dict[int, int]:
     for i in idxs:
         x0, y0, x1, y1 = elements[i].xyxy
         lines = max(elements[i].num_lines or 1, 1)
-        heights.append(max((y1 - y0) / lines, 1.0))
-    clusters = _kmeans_1d(heights, k=min(4, len(idxs)))
-    indents = sorted(set(round(elements[i].xyxy[0]) for i in idxs))
+        heights.append((i, max((y1 - y0) / lines, 1.0)))
+    indents = [(i, elements[i].xyxy[0]) for i in idxs]
+    font_levels = infer_levels_by_kmeans_feature(heights, descending=True)
+    rel_levels = infer_levels_by_kmeans_feature(indents, descending=False)
     out: Dict[int, int] = {}
-    for pos, i in enumerate(idxs):
+    for i in idxs:
         sem = semantic_title_level(elements[i].text or "")
+        score = [0] * 7
         if sem is not None:
-            out[i] = sem
-            continue
-        cluster_level = 2 + clusters[pos]
-        indent_rank = indents.index(round(elements[i].xyxy[0]))
-        out[i] = min(max(max(cluster_level, 2 + min(indent_rank, 1)), 2), 6)
+            score[min(max(sem, 1), 6)] += 2
+        for lv in (font_levels.get(i), rel_levels.get(i)):
+            if lv is not None:
+                score[min(max(lv, 1), 6)] += 1
+        best_level, best_score = (sem if sem is not None else 2), 0
+        for level in range(1, 7):
+            s = score[level]
+            if s > best_score:
+                best_score, best_level = s, level
+            elif s == best_score and s > 0:
+                is_sem, best_is_sem = sem == level, sem == best_level
+                if (is_sem and not best_is_sem) or (
+                        is_sem == best_is_sem and level < best_level):
+                    best_level = level
+        if best_score == 0:
+            best_level = next((lv for lv in (sem, font_levels.get(i),
+                                             rel_levels.get(i))
+                               if lv is not None), 2)
+        out[i] = min(max(best_level, 1), 6)
     return out
 
 

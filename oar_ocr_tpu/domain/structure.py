@@ -102,6 +102,54 @@ class LayoutElementType(enum.Enum):
                         LayoutElementType.HEADER_IMAGE,
                         LayoutElementType.FOOTER_IMAGE)
 
+    @property
+    def is_caption(self) -> bool:
+        return self in (LayoutElementType.FIGURE_TITLE,
+                        LayoutElementType.TABLE_TITLE,
+                        LayoutElementType.CHART_TITLE)
+
+    @property
+    def is_header(self) -> bool:
+        return self in (LayoutElementType.HEADER,
+                        LayoutElementType.HEADER_IMAGE)
+
+    @property
+    def is_footer(self) -> bool:
+        return self in (LayoutElementType.FOOTER,
+                        LayoutElementType.FOOTER_IMAGE,
+                        LayoutElementType.FOOTNOTE)
+
+    @property
+    def semantic_category(self) -> str:
+        """Coarse grouping for downstream consumers
+        (structure.rs:2171-2222)."""
+        T = LayoutElementType
+        if self in (T.DOC_TITLE, T.PARAGRAPH_TITLE, T.TITLE):
+            return "title"
+        if self in (T.TEXT, T.CONTENT, T.ABSTRACT):
+            return "text"
+        if self in (T.IMAGE, T.CHART, T.FIGURE):
+            return "visual"
+        if self == T.TABLE:
+            return "table"
+        if self.is_caption:
+            return "caption"
+        if self.is_header:
+            return "header"
+        if self.is_footer:
+            return "footer"
+        if self in (T.FORMULA, T.DISPLAY_FORMULA, T.INLINE_FORMULA,
+                    T.FORMULA_NUMBER):
+            return "formula"
+        if self == T.LIST:
+            return "list"
+        if self == T.REGION:
+            return "region"
+        if self in (T.SEAL, T.NUMBER, T.REFERENCE, T.REFERENCE_CONTENT,
+                    T.ALGORITHM, T.ASIDE_TEXT, T.VERTICAL_TEXT):
+            return "special"
+        return "other"
+
 
 @dataclass
 class TableResult:
@@ -187,9 +235,37 @@ class StructureResult:
     width: int = 0
     height: int = 0
     source_path: Optional[str] = None
-    continuation: PageContinuationFlags = field(
-        default_factory=PageContinuationFlags)
+    # None → compute from element geometry on demand (structure.rs:1240)
+    continuation: Optional[PageContinuationFlags] = None
     error: Optional[str] = None
+
+    def calculate_continuation_flags(self) -> PageContinuationFlags:
+        """structure.rs:851-898 — infer whether this page starts/ends in
+        the middle of a paragraph from its text elements' geometry: the
+        first text element starting within 5% of the page width of the
+        left edge marks a NEW paragraph start; the last one ending more
+        than 10% short of the right edge marks a COMPLETE paragraph."""
+        T = LayoutElementType
+        text_kinds = (T.TEXT, T.DOC_TITLE, T.PARAGRAPH_TITLE, T.ABSTRACT,
+                      T.REFERENCE)
+        texts = [e for e in self.elements if e.element_type in text_kinds]
+        if not texts:
+            return PageContinuationFlags(starts_mid_paragraph=False,
+                                         ends_mid_paragraph=False)
+        page_width = float(self.width) if self.width else max(
+            (e.xyxy[2] for e in self.elements), default=0.0)
+        left_thresh = page_width * 0.05 if page_width else 50.0
+        starts_new = texts[0].xyxy[0] <= left_thresh
+        if page_width:
+            ends_complete = texts[-1].xyxy[2] <= page_width * 0.9
+        else:
+            ends_complete = True
+        return PageContinuationFlags(starts_mid_paragraph=not starts_new,
+                                     ends_mid_paragraph=not ends_complete)
+
+    def effective_continuation_flags(self) -> PageContinuationFlags:
+        return (self.continuation if self.continuation is not None
+                else self.calculate_continuation_flags())
 
     # ---------------- markdown (structure.rs:471-860) ----------------
     def to_markdown(self) -> str:
@@ -308,7 +384,10 @@ class StructureResult:
                     parts.append(format_text_block(el.text))
             if t in (T.TEXT, T.REFERENCE_CONTENT):
                 prev_text = el
-        return postprocess_markdown("\n\n".join(p for p in parts if p))
+        # single-page markdown is only trimmed (structure.rs:841); the
+        # full postprocess_markdown pass is a separate public step users
+        # apply to CONCATENATED documents (examples/utils/markdown.rs:103)
+        return _finalize_markdown("\n\n".join(p for p in parts if p))
 
     # ---------------- html (structure.rs:903) ----------------
     def to_html(self) -> str:
@@ -392,37 +471,180 @@ class StructureResult:
 
 
 def concatenate_markdown_pages(pages: Sequence[StructureResult]) -> str:
-    """structure.rs:1223 — join pages, merging paragraphs across page
-    breaks when continuation flags indicate a split paragraph."""
+    """structure.rs:1223-1283 — join pages, gluing a paragraph split
+    across a page break directly (no separator for Chinese text, one
+    space otherwise).  Pages without explicit continuation flags get
+    them computed from element geometry; empty pages are skipped but
+    still propagate their end flag."""
+    from .markdown import is_chinese_char
 
-    out: List[str] = []
-    for i, page in enumerate(pages):
-        md = page.to_markdown()
-        if (out and page.continuation.starts_mid_paragraph
-                and pages[i - 1].continuation.ends_mid_paragraph):
-            out[-1] = out[-1].rstrip() + " " + md.lstrip()
+    out = ""
+    prev_end = True                 # first page starts fresh
+    for page in pages:
+        flags = page.effective_continuation_flags()
+        md = page.to_markdown().strip()
+        if not md:
+            prev_end = not flags.ends_mid_paragraph
+            continue
+        if flags.starts_mid_paragraph and not prev_end:
+            joint_chinese = (bool(out) and is_chinese_char(out[-1])) or \
+                (bool(md) and is_chinese_char(md[0]))
+            out += ("" if joint_chinese else " ") + md.lstrip()
         else:
-            out.append(md)
-    return "\n\n".join(out)
+            out += ("\n\n" if out else "") + md
+        prev_end = not flags.ends_mid_paragraph
+    return out.strip()
+
+
+def save_multi_page_results(pages: Sequence[StructureResult], out_dir: str,
+                            base_name: str = "document",
+                            page_images: Optional[Sequence] = None
+                            ) -> Dict[str, str]:
+    """structure.rs:1814-1868 StructureResultExt::save_multi_page_results
+    — per-page ``page_{idx:03}/`` exports plus the concatenated
+    ``{base_name}.md`` and ``{base_name}.json`` at the top level."""
+    os.makedirs(out_dir, exist_ok=True)
+    for idx, page in enumerate(pages):
+        img = page_images[idx] if page_images is not None else None
+        page.save_results(os.path.join(out_dir, f"page_{idx:03d}"),
+                          page_image=img)
+    paths: Dict[str, str] = {}
+    md_path = os.path.join(out_dir, f"{base_name}.md")
+    with open(md_path, "w", encoding="utf-8") as f:
+        f.write(postprocess_markdown(concatenate_markdown_pages(pages)))
+    paths["md"] = md_path
+    json_path = os.path.join(out_dir, f"{base_name}.json")
+    with open(json_path, "w", encoding="utf-8") as f:
+        json.dump([p.to_json_value() for p in pages], f,
+                  ensure_ascii=False, indent=2)
+    paths["json"] = json_path
+    return paths
 
 
 # ---------------- text postprocessing (structure.rs:1563,:1731) ----------------
 
 _WS_RE = re.compile(r"[ \t]+")
 _MULTI_NL_RE = re.compile(r"\n{3,}")
+_CLOSE_PUNCT = set(".,!?;:)]}")
+
+
+def _finalize_markdown(md: str) -> str:
+    """Light single-page cleanup: collapse runs of blank lines + trim."""
+    return _MULTI_NL_RE.sub("\n\n", md).strip() + ("\n" if md else "")
 
 
 def postprocess_text(text: str) -> str:
-    """Whitespace normalization + hyphenation cleanup."""
-    t = _WS_RE.sub(" ", text).strip()
-    # join hyphenated line breaks: "exam-\nple" → "example"
-    t = re.sub(r"-\s*\n\s*", "", t)
-    t = t.replace("\n", " ")
-    return _WS_RE.sub(" ", t).strip()
+    """OCR/PDF artifact cleanup (structure.rs:1563-1599): dehyphenate →
+    fix merged words → whitespace normalization that collapses runs of
+    whitespace to one space, drops a space preceding closing punctuation,
+    and inserts the missing space at a "word.Next" sentence boundary.
+    (The reference's period branch as written DELETES the space after a
+    sentence-ending period — a transcription slip of PaddleX's intent its
+    own comment states as "fix missing space after period"; we implement
+    the stated intent.)"""
+    from .markdown import dehyphenate, fix_merged_words
+
+    text = fix_merged_words(dehyphenate(text))
+    out: List[str] = []
+    in_space = False
+    n = len(text)
+    for i, c in enumerate(text):
+        if c.isspace():
+            if not in_space and out:
+                out.append(" ")
+                in_space = True
+            continue
+        if in_space and c in _CLOSE_PUNCT and out:
+            out[-1] = c             # drop the space before punctuation
+            in_space = False
+            continue
+        if (c == "." and out and (out[-1].isalnum())
+                and i + 1 < n and text[i + 1].isupper()
+                and text[i + 1].isascii()):
+            out.append(". ")
+            in_space = True
+            continue
+        out.append(c)
+        in_space = False
+    return "".join(out).rstrip()
+
+
+def deduplicate_sections(markdown: str) -> str:
+    """Drop repeated ``**Section**`` header lines, keeping the first
+    occurrence (structure.rs:1606-1638)."""
+    seen = set()
+    out: List[str] = []
+    for line in markdown.splitlines():
+        t = line.strip()
+        if t.startswith("**") and t.endswith("**") and len(t) > 4:
+            name = t[2:-2]
+            if name in seen:
+                continue
+            seen.add(name)
+        out.append(line)
+    return "\n".join(out)
+
+
+def filter_empty_formulas(markdown: str) -> str:
+    """Remove ``$$ … $$`` blocks with no content (structure.rs:1667)."""
+    lines = markdown.splitlines()
+    out: List[str] = []
+    i = 0
+    while i < len(lines):
+        if lines[i].strip() == "$$":
+            # adjacent $$ pair → drop both (+ one following blank line)
+            if i + 1 < len(lines) and lines[i + 1].strip() == "$$":
+                i += 2
+                if i < len(lines) and not lines[i].strip():
+                    i += 1
+                continue
+            j = i + 1
+            has_content = False
+            while j < len(lines) and lines[j].strip() != "$$":
+                if lines[j].strip():
+                    has_content = True
+                    break
+                j += 1
+            if not has_content:
+                while i < len(lines) and lines[i].strip() != "$$":
+                    i += 1
+                i += 1              # skip the closing $$ if present
+                continue
+        out.append(lines[i])
+        i += 1
+    return "\n".join(out)
+
+
+_MD_PREFIXES = ("#", "*", ">", "|", "-", "+")
 
 
 def postprocess_markdown(md: str) -> str:
-    return _MULTI_NL_RE.sub("\n\n", md).strip() + ("\n" if md else "")
+    """Full document-level cleanup for CONCATENATED markdown
+    (structure.rs:1731-1807): filter empty formula blocks, deduplicate
+    ``**Section**`` headers, escape bare ``$`` inside ``$$`` blocks (the
+    KaTeX "can't use '$' in math mode" guard), and run
+    :func:`postprocess_text` over plain prose lines — never inside code
+    fences, formulas, headings, lists, quotes or tables."""
+    md = deduplicate_sections(filter_empty_formulas(md))
+    out: List[str] = []
+    in_code = in_formula = False
+    for line in md.splitlines():
+        t = line.strip()
+        if t.startswith("```"):
+            in_code = not in_code
+            out.append(line)
+        elif t == "$$":
+            in_formula = not in_formula
+            out.append(line)
+        elif in_code:
+            out.append(line)
+        elif in_formula:
+            out.append(line.replace("$", r"\$") if "$" in line else line)
+        elif t.startswith(_MD_PREFIXES):
+            out.append(line)
+        else:
+            out.append(postprocess_text(line))
+    return "\n".join(out) + ("\n" if out else "")
 
 
 def remove_overlapping_elements(elements: List[LayoutElement],

@@ -108,3 +108,87 @@ def test_fix_labels_table_title():
     ]
     fix_element_labels(els)
     assert els[0].element_type == LayoutElementType.TABLE_TITLE
+
+
+# ------- round-3 deep text postprocessing (structure.rs:1438-1807) -------
+
+class TestDeepPostprocess:
+    def test_dehyphenate_line_breaks_only(self):
+        from oar_ocr_tpu.domain.markdown import dehyphenate
+        assert dehyphenate("exam-\nple") == "example"
+        assert dehyphenate("real-time") == "real-time"       # mid-word kept
+        assert dehyphenate("end-\nEnd") == "end-\nEnd"       # uppercase kept
+        assert dehyphenate("http://a-\nb.com") == "http://a-\nb.com"
+
+    def test_fix_merged_words(self):
+        from oar_ocr_tpu.domain.markdown import fix_merged_words
+        assert fix_merged_words("encoder'sfeature") == "encoder's feature"
+        assert fix_merged_words("modelThe") == "model The"
+        assert fix_merged_words("48.1%AP") == "48.1% AP"
+        assert fix_merged_words("RT-DETRv3") == "RT-DETRv3"  # no split
+
+    def test_postprocess_text_sentence_boundary(self):
+        assert postprocess_text("word.Next sentence") == "word. Next sentence"
+        assert postprocess_text("pi is 3.14 ok") == "pi is 3.14 ok"
+        assert postprocess_text("word .") == "word."
+
+    def test_deduplicate_sections(self):
+        from oar_ocr_tpu.domain.structure import deduplicate_sections
+        md = "**Abstract**\ntext\n**Abstract**\nmore"
+        assert deduplicate_sections(md) == "**Abstract**\ntext\nmore"
+
+    def test_filter_empty_formulas(self):
+        from oar_ocr_tpu.domain.structure import filter_empty_formulas
+        assert filter_empty_formulas("$$\n$$\n\nx") == "x"
+        kept = filter_empty_formulas("$$\nE=mc^2\n$$")
+        assert "E=mc^2" in kept
+
+    def test_postprocess_markdown_skips_protected_blocks(self):
+        md = ("# head.Line\n\n```\ncode.Block stays\n```\n\n$$\na $ b\n$$\n\n"
+              "plain.Text here")
+        out = postprocess_markdown(md)
+        assert "# head.Line" in out                     # heading untouched
+        assert "code.Block stays" in out                # code untouched
+        assert "a \\$ b" in out                         # $ escaped in math
+        assert "plain. Text here" in out                # prose fixed
+
+
+class TestContinuationFlags:
+    def _page(self, x0, x1, width=1000):
+        el = _el(LayoutElementType.TEXT, [x0, 10, x1, 40], text="t")
+        return StructureResult(elements=[el], width=width, height=100)
+
+    def test_calculated_flags(self):
+        # starts at left edge → new paragraph; ends short of right → complete
+        flags = self._page(10, 500).calculate_continuation_flags()
+        assert not flags.starts_mid_paragraph and not flags.ends_mid_paragraph
+        # indented start → mid-paragraph; runs to right edge → continues
+        flags = self._page(200, 980).calculate_continuation_flags()
+        assert flags.starts_mid_paragraph and flags.ends_mid_paragraph
+
+    def test_concat_uses_calculated_flags(self):
+        a = StructureResult(elements=[
+            _el(LayoutElementType.TEXT, [10, 10, 980, 40], text="first")],
+            width=1000, height=100)
+        b = StructureResult(elements=[
+            _el(LayoutElementType.TEXT, [300, 10, 500, 40], text="second")],
+            width=1000, height=100)
+        assert "first second" in concatenate_markdown_pages([a, b])
+
+    def test_save_multi_page(self, tmp_path):
+        from oar_ocr_tpu.domain.structure import save_multi_page_results
+        pages = [StructureResult(elements=[
+            _el(LayoutElementType.TEXT, [0, 0, 10, 10], text=f"p{i}")],
+            width=100, height=100) for i in range(2)]
+        paths = save_multi_page_results(pages, str(tmp_path), "doc")
+        import os
+        assert os.path.exists(paths["md"]) and os.path.exists(paths["json"])
+        assert os.path.exists(tmp_path / "page_000" / "page.md")
+
+
+def test_semantic_category():
+    T = LayoutElementType
+    assert T.DOC_TITLE.semantic_category == "title"
+    assert T.CHART.semantic_category == "visual"
+    assert T.FOOTNOTE.semantic_category == "footer"
+    assert T.ALGORITHM.semantic_category == "special"
