@@ -115,8 +115,23 @@ class ImageClassifier:
         if params is None:
             params = init_params(
                 self.model, (1, preprocess.crop_h, preprocess.crop_w, 3))
-        self.params = jax.device_put(params, self.runtime.device)
-        self._step = jax.jit(self._step_impl)
+        self.params = self.runtime.put_params(params)
+        # mesh mode: crop batch shards over ``data``, params + page store
+        # replicated (plain jit when no mesh is active)
+        self._step = self.runtime.shard_jit(self._step_impl,
+                                            batch_argnums=(2, 3))
+
+    def _run_step(self, pages_u8, mats: np.ndarray, idx: np.ndarray):
+        """Pad the batch to shard evenly over the mesh, run, unpad."""
+        n = mats.shape[0]
+        nb = self.runtime.round_batch(n)
+        if nb != n:
+            pad = nb - n
+            mats = np.concatenate([mats, np.repeat(mats[:1], pad, 0)])
+            idx = np.concatenate([idx, np.repeat(idx[:1], pad)])
+        cls, score = self._step(self.params, pages_u8, jnp.asarray(mats),
+                                jnp.asarray(idx))
+        return np.asarray(cls)[:n], np.asarray(score)[:n]
 
     def _step_impl(self, params, pages_u8, mats, img_idx):
         n = mats.shape[0]
@@ -143,9 +158,7 @@ class ImageClassifier:
         idx = np.asarray(page_indices if page_indices is not None
                          else np.arange(n), np.int32)
         with stage_timer(f"{self.name}.device", batch=n):
-            cls, score = self._step(self.params, pages_u8,
-                                    jnp.asarray(mats), jnp.asarray(idx))
-            cls, score = np.asarray(cls), np.asarray(score)
+            cls, score = self._run_step(pages_u8, mats, idx)
         return [(int(c), float(s)) for c, s in zip(cls, score)]
 
     def classify_quads(self, pages_u8: jax.Array,
@@ -170,10 +183,8 @@ class ImageClassifier:
         if not mats:
             return []
         with stage_timer(f"{self.name}.device", batch=len(mats)):
-            cls, score = self._step(
-                self.params, pages_u8, jnp.asarray(np.stack(mats)),
-                jnp.asarray(np.asarray(idxs, np.int32)))
-            cls, score = np.asarray(cls), np.asarray(score)
+            cls, score = self._run_step(pages_u8, np.stack(mats),
+                                        np.asarray(idxs, np.int32))
         return [(int(c), float(s)) for c, s in zip(cls, score)]
 
 

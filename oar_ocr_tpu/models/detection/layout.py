@@ -76,8 +76,13 @@ class LayoutDetector:
             if params is None:
                 params = init_params_fast(
                     self.model, (1, v.input_hw[0], v.input_hw[1], 3))
-        self.params = jax.device_put(params, self.runtime.device)
-        self._step = jax.jit(self._step_impl)
+        self.params = self.runtime.put_params(params)
+        # mesh mode: the page-chunk batch (mats/idx/src_hw) shards over
+        # ``data`` while params + the page store replicate — the same DP
+        # shape as det/rec, so OARStructure's layout stage scales with
+        # the OCR stages (plain jit when no mesh is active)
+        self._step = self.runtime.shard_jit(self._step_impl,
+                                            batch_argnums=(2, 3, 4))
 
     @property
     def _norm(self) -> NormSpec:
@@ -134,11 +139,19 @@ class LayoutDetector:
         idx = np.asarray(page_indices if page_indices is not None
                          else np.arange(n), np.int32)
         src_hw = np.asarray(shapes, np.float32)
+        # pad the batch so the leading axis shards evenly over the mesh
+        # (identity without a mesh — no new jit buckets single-device)
+        nb = self.runtime.round_batch(n)
+        if nb != n:
+            pad = nb - n
+            mats = np.concatenate([mats, np.repeat(mats[:1], pad, 0)])
+            idx = np.concatenate([idx, np.repeat(idx[:1], pad)])
+            src_hw = np.concatenate([src_hw, np.repeat(src_hw[:1], pad, 0)])
         with stage_timer(f"layout.device[{self.variant.name}]", batch=n):
             b, s, l, v = self._step(self.params, pages_u8, jnp.asarray(mats),
                                     jnp.asarray(idx), jnp.asarray(src_hw))
-            b, s, l, v = (np.asarray(b), np.asarray(s), np.asarray(l),
-                          np.asarray(v))
+            b, s, l, v = (np.asarray(b)[:n], np.asarray(s)[:n],
+                          np.asarray(l)[:n], np.asarray(v)[:n])
         out: List[List[LayoutBox]] = []
         labels = self.variant.labels
         for i in range(n):
