@@ -606,9 +606,13 @@ def filter_empty_formulas(markdown: str) -> str:
                     break
                 j += 1
             if not has_content:
-                while i < len(lines) and lines[i].strip() != "$$":
-                    i += 1
-                i += 1              # skip the closing $$ if present
+                # skip opener, blanks, AND the closing $$ (the reference's
+                # skip loop at structure.rs:1706-1714 starts ON the opener
+                # and so drops only it, leaving an unmatched $$ that flips
+                # every later line into math mode — fixed here)
+                while j < len(lines) and lines[j].strip() != "$$":
+                    j += 1
+                i = j + 1
                 continue
         out.append(lines[i])
         i += 1

@@ -177,6 +177,15 @@ class PPFormulaNetModule(nn.Module):
         return self.decode(ids, self.encode(x))
 
 
+def _decode_bucket(n: int) -> int:
+    """Pow2 decode-length buckets (decoder_graph.rs:14 analog) — keeps
+    the per-shape compile count at ~5 for a whole formula."""
+    for b in (8, 16, 32, 64, 128, 256):
+        if n <= b:
+            return b
+    return n
+
+
 class PPFormulaNetRecognizer:
     """Crop → 384×384 normalized input → greedy LaTeX token decode
     (margin crop + pad-to-multiple preprocess per
@@ -230,13 +239,21 @@ class PPFormulaNetRecognizer:
             while len(ids) - 1 < max_new_tokens and not done:
                 # parallel-step decode: read the logits of the last
                 # `parallel_step` query positions per forward (S emits
-                # several tokens per step; step=1 is plain AR)
+                # several tokens per step; step=1 is plain AR). The query
+                # is right-padded to a pow2 LENGTH BUCKET so decode
+                # compiles once per bucket instead of once per emitted
+                # token group (slow remote-compile tunnel, CLAUDE.md);
+                # causal self-attention makes the pad tail inert for all
+                # read positions.
                 query = ids + [c.pad_id] * (step - 1)
+                blen = _decode_bucket(len(query))
+                query = query + [c.pad_id] * (blen - len(query))
                 logits = self._decode(
                     self.params,
                     jnp.asarray(np.asarray(query, np.int32))[None], enc)
                 nxt = np.asarray(jnp.argmax(
-                    logits[0, len(ids) - 1:], axis=-1))
+                    logits[0, len(ids) - 1 : len(ids) - 1 + step],
+                    axis=-1))
                 for tok in nxt[:step].tolist():
                     if tok == c.eos_id or tok >= c.vocab_size:
                         done = True

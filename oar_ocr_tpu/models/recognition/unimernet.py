@@ -401,10 +401,17 @@ class UniMERNetRecognizer:
             enc = self._encode(self.params, jnp.asarray(x))
             ids = [c.sos_id]
             for step in range(max_new_tokens):
+                # right-pad to a pow2 length bucket: one compile per
+                # bucket, not per token (causal decoder → pad tail inert
+                # for the read position; slow remote-compile tunnel)
+                from .pp_formulanet_exact import _decode_bucket
+
+                blen = _decode_bucket(len(ids))
+                query = ids + [c.eos_id] * (blen - len(ids))
                 logits = self._decode(
                     self.params,
-                    jnp.asarray(np.asarray(ids, np.int32))[None], enc)
-                nxt = int(jnp.argmax(logits[0, -1]))
+                    jnp.asarray(np.asarray(query, np.int32))[None], enc)
+                nxt = int(jnp.argmax(logits[0, len(ids) - 1]))
                 if nxt == c.eos_id or nxt >= c.vocab_size:
                     break
                 ids.append(nxt)

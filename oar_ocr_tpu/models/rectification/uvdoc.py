@@ -27,15 +27,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops.grid_sample import grid_sample, normalized_grid_to_pixels
+from ...ops.grid_sample import grid_sample
 from ...ops.warp import NormSpec, resize_matrix, sample_transform
 from ...runtime.runtime import Runtime, init_params
 from ...utils.tracing import stage_timer
 from ..layers import ConvBNAct
 
-# Reference UVDoc operating resolution (uvdoc.rs preprocess) and grid size.
-UVDOC_INPUT_HW = (712, 488)
-UVDOC_GRID_HW = (45, 31)
+# Reference UVDoc operating resolution (uvdoc.rs preprocess) and grid
+# size — single source of truth in uvdoc_exact (the checkpoint topology).
+from .uvdoc_exact import UVDOC_GRID_HW, UVDOC_INPUT_HW  # noqa: E402
 
 
 class UVDocNet(nn.Module):
@@ -93,13 +93,24 @@ class UVDocRectifier:
         grid = self.model.apply(params, x)
         if isinstance(grid, tuple):
             grid = grid[0]            # exact net: (2-D grid, 3-D head)
-        # upsample grid to output res, scale to ORIGINAL page pixels
-        grid = jax.image.resize(grid, (n, out_h, out_w, 2), method="bilinear")
-        coords = normalized_grid_to_pixels(grid, 1, 1)         # [0,1] units
-        coords = jnp.stack([
-            coords[..., 0] * (src_w[:, None, None].astype(jnp.float32) - 1),
-            coords[..., 1] * (src_h[:, None, None].astype(jnp.float32) - 1),
-        ], axis=-1)
+        # Upsample the (gh, gw) grid so it spans exactly the PAGE extent
+        # (h, w) inside the bucketed (out_h, out_w) buffer — align-corners
+        # bilinear interp of the tiny grid at per-page dynamic scale
+        # (a plain resize to the buffer would stretch the grid over the
+        # padding and mis-scale every coordinate). Then [-1,1] → source
+        # pixels (uvdoc_postprocess.rs remap convention).
+        gh, gw = grid.shape[1:3]
+        hf = jnp.maximum(src_h[:, None, None].astype(jnp.float32) - 1, 1)
+        wf = jnp.maximum(src_w[:, None, None].astype(jnp.float32) - 1, 1)
+        iy = jnp.arange(out_h, dtype=jnp.float32)[None, :, None]
+        ix = jnp.arange(out_w, dtype=jnp.float32)[None, None, :]
+        gcoords = jnp.stack(
+            [jnp.broadcast_to(ix * ((gw - 1) / wf), (n, out_h, out_w)),
+             jnp.broadcast_to(iy * ((gh - 1) / hf), (n, out_h, out_w))],
+            axis=-1)
+        up = grid_sample(grid, gcoords)                        # (n,oh,ow,2)
+        unit = (up + 1.0) * 0.5                                # [0,1] units
+        coords = jnp.stack([unit[..., 0] * wf, unit[..., 1] * hf], axis=-1)
         out = grid_sample(pages_u8.astype(jnp.float32), coords)
         return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 

@@ -149,7 +149,7 @@ class OAROCR:
         # merged transfers are collected at the end.
         rec_merged = []
 
-        def _dispatch_pool(pool, pages_dev, base, host_chunk):
+        def _dispatch_pool(pool, pages_dev, host_chunk):
             # textline orientation for this pool (ocr.rs:755-788); crop
             # plans are indexed LOCAL to the det batch's page upload
             if self.line_orienter is not None and pool:
@@ -224,11 +224,11 @@ class OAROCR:
                     pool.append((page_i, region_i,
                                  CropPlan.from_quad(local_i, quad)))
             while len(pool) > MAX_POOLED_CROPS:
-                _dispatch_pool(pool[:MAX_POOLED_CROPS], pages_dev, base,
+                _dispatch_pool(pool[:MAX_POOLED_CROPS], pages_dev,
                                host_chunk)
                 pool = pool[MAX_POOLED_CROPS:]
             if pool:
-                _dispatch_pool(pool, pages_dev, base, host_chunk)
+                _dispatch_pool(pool, pages_dev, host_chunk)
 
         for chunk, pages_dev, handle in det_pending:
             try:

@@ -131,7 +131,12 @@ class ServingEngine:
             maxsize=cfg.max_queue)
         self._stats = ServingStats()
         self._stats_lock = threading.Lock()
+        # serializes the closed-check+enqueue pair against close(), so the
+        # shutdown sentinel is always the LAST item ever enqueued — no
+        # request can land behind it and hang unresolved
+        self._submit_lock = threading.Lock()
         self._closed = False
+        self._drained = False
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="oar-serving-worker")
         self._worker.start()
@@ -141,11 +146,12 @@ class ServingEngine:
     def submit(self, image: np.ndarray) -> Completion:
         """Enqueue one page; returns immediately with a Completion.
         Blocks only when the queue is at its backpressure bound."""
-        if self._closed:
-            raise InvalidInputError("engine is closed")
         self._validate(image)
         completion = Completion()
-        self._queue.put(_Request(image, completion))
+        with self._submit_lock:
+            if self._closed:
+                raise InvalidInputError("engine is closed")
+            self._queue.put(_Request(image, completion))
         with self._stats_lock:
             self._stats.requests += 1
         return completion
@@ -160,10 +166,11 @@ class ServingEngine:
 
     def close(self, timeout: Optional[float] = 30.0) -> None:
         """Drain outstanding work and stop the worker."""
-        if self._closed:
-            return
-        self._closed = True
-        self._queue.put(None)                   # sentinel
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(None)               # sentinel — final item
         self._worker.join(timeout)
 
     def __enter__(self) -> "ServingEngine":
@@ -183,12 +190,15 @@ class ServingEngine:
                 shape=getattr(image, "shape", None),
                 dtype=str(getattr(image, "dtype", None)))
 
-    def _take_batch(self) -> Optional[List[_Request]]:
+    def _take_batch(self):
         """Block for the first request, then coalesce until the size cap
-        or the deadline from ITS arrival. Returns None on shutdown."""
+        or the deadline from ITS arrival. Returns (batch, shutting_down);
+        the sentinel is guaranteed to be the final queue item (see
+        _submit_lock), so seeing it — first or mid-batch — ends the loop
+        after the current batch executes."""
         first = self._queue.get()
         if first is None:
-            return None
+            return [], True
         batch = [first]
         deadline = time.perf_counter() + self.cfg.max_wait_ms / 1e3
         while len(batch) < self.cfg.max_batch_size:
@@ -197,24 +207,28 @@ class ServingEngine:
                 item = (self._queue.get_nowait() if remaining <= 0
                         else self._queue.get(timeout=remaining))
             except queue.Empty:
-                break
-            if item is None:                    # shutdown mid-batch:
-                try:                            # re-post for the loop
-                    self._queue.put_nowait(None)
-                except queue.Full:
-                    pass                        # loop exits via _closed
-                break
+                return batch, False
+            if item is None:
+                return batch, True
             batch.append(item)
-        return batch
+        return batch, False
 
     def _run(self) -> None:
+        shutting_down = False
+        while not shutting_down:
+            batch, shutting_down = self._take_batch()
+            if batch:
+                self._execute(batch)
+        # defensive: fail anything that slipped in (should be impossible
+        # given the sentinel-last invariant)
         while True:
-            batch = self._take_batch()
-            if batch is None:
-                if self._closed:
-                    return
-                continue
-            self._execute(batch)
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None:
+                item.completion._future.set_exception(
+                    InvalidInputError("engine is closed"))
 
     def _execute(self, batch: List[_Request]) -> None:
         try:

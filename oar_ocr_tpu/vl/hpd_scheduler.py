@@ -236,10 +236,16 @@ class HpdContinuousScheduler:
             if k:
                 for br in active:
                     k = min(k, max(br.max_new - len(br.tokens) - 1, 0))
-                # clamp so no slot's write window can clip at capacity
-                # (dynamic_update_slice clamps starts, which would
-                # clobber a frozen branch's valid tail)
-                k = min(k, max(capacity - max(lengths) - 2, 0))
+                # clamp so no LIVE slot's write window can clip at
+                # capacity (dynamic_update_slice clamps starts, which
+                # would clobber a waiting branch's valid KV tail). Only
+                # slots owned by live branches count — a freed slot's
+                # stale length must not pin k to 0 for the rest of the
+                # schedule (clamped garbage writes into dead slots are
+                # harmless).
+                live_max = max((lengths[br.slot]
+                                for br in active + waiting), default=0)
+                k = min(k, max(capacity - live_max - 2, 0))
             adv = np.zeros((s,), bool)
             fresh = np.zeros((s,), bool)
             pending = np.zeros((s,), np.int32)

@@ -103,3 +103,35 @@ def test_uvdoc_rectifier_shapes(rng):
     img = rng.integers(0, 255, (120, 100, 3), dtype=np.uint8)
     out = rect.rectify(img)
     assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_uvdoc_rectifier_identity_grid_reproduces_input(rng):
+    """Regression for the round-3 coordinate collapse: with an IDENTITY
+    sampling grid the rectifier must reproduce the source page (it used
+    to emit a constant image because the [-1,1]->pixel conversion was
+    scaled by (1-1)=0)."""
+    import jax
+    import jax.numpy as jnp
+
+    from oar_ocr_tpu.models.rectification.uvdoc import UVDocRectifier
+
+    rect = UVDocRectifier()
+
+    class IdentityGridNet:
+        def apply(self, params, x):
+            gh, gw = 45, 31
+            gy, gx = jnp.meshgrid(jnp.linspace(-1.0, 1.0, gh),
+                                  jnp.linspace(-1.0, 1.0, gw),
+                                  indexing="ij")
+            grid = jnp.stack([gx, gy], -1)[None]
+            return jnp.broadcast_to(grid, (x.shape[0], gh, gw, 2))
+
+    rect.model = IdentityGridNet()
+    rect._step = jax.jit(rect._step_impl, static_argnames=("out_h", "out_w"))
+    img = rng.integers(0, 255, (96, 64, 3), dtype=np.uint8)
+    out = rect.rectify(img)
+    assert len(np.unique(out)) > 32          # definitely not constant
+    # interior must match exactly up to bilinear-resize edge effects
+    inner_out = out[8:-8, 8:-8].astype(np.int16)
+    inner_in = img[8:-8, 8:-8].astype(np.int16)
+    assert np.abs(inner_out - inner_in).mean() < 3.0

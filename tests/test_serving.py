@@ -138,3 +138,29 @@ def test_end_to_end_with_real_pipeline():
         for a, b in zip(res.regions, direct.regions):
             assert np.allclose(a.box, b.box, atol=1e-4)
             assert a.text == b.text
+
+
+def test_close_during_inflight_resolves_everything():
+    """Shutdown race regression: every accepted request must resolve even
+    when close() lands while requests are queued / in flight."""
+    pipe = RecordingPipeline(delay_s=0.01)
+    eng = ServingEngine(pipe, ServingConfig(max_batch_size=2,
+                                            max_wait_ms=2))
+    handles = []
+    errors = []
+
+    def producer():
+        for i in range(20):
+            try:
+                handles.append(eng.submit(_img(i % 7)))
+            except InvalidInputError:
+                errors.append(i)    # engine closed mid-stream: acceptable
+            time.sleep(0.002)
+
+    t = threading.Thread(target=producer)
+    t.start()
+    time.sleep(0.03)
+    eng.close()
+    t.join()
+    for h in handles:               # accepted => must resolve, no hangs
+        h.result(timeout=10)

@@ -192,3 +192,12 @@ def test_semantic_category():
     assert T.CHART.semantic_category == "visual"
     assert T.FOOTNOTE.semantic_category == "footer"
     assert T.ALGORITHM.semantic_category == "special"
+
+
+def test_filter_empty_formulas_blank_lines_between_markers():
+    """Regression: an empty block with blank lines between $$ markers must
+    drop BOTH markers (the reference's own skip loop leaves the closer,
+    structure.rs:1706-1714 — fixed here)."""
+    from oar_ocr_tpu.domain.structure import filter_empty_formulas
+    out = filter_empty_formulas("$$\n\n$$\nSome text")
+    assert "$$" not in out and "Some text" in out
