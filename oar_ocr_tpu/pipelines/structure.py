@@ -416,6 +416,14 @@ class OARStructureBuilder:
         self._table_kw["structure_model_type"] = model_type
         return self
 
+    def with_cells_to_html(self, enable: bool = True
+                           ) -> "OARStructureBuilder":
+        """Force table HTML to be reconstructed from DETECTED cell boxes
+        instead of the structure decode's tokens
+        (use_cells_trans_to_html, table_analyzer.rs:684)."""
+        self._table_kw["use_cells_to_html"] = enable
+        return self
+
     def build(self) -> OARStructure:
         runtime = self._runtime or Runtime.default()
         layout = LayoutDetector(

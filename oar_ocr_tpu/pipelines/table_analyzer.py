@@ -28,6 +28,7 @@ from ..processors.table import (TableCell, cell_aabbs,
                                 match_table_cells_with_structure_rows,
                                 normalize_checkbox_symbols,
                                 normalize_tiny_symbol, parse_cell_grid_info,
+                                table_cells_to_html_structure,
                                 wrap_table_html)
 from ..runtime.runtime import Runtime
 from ..utils.tracing import stage_timer
@@ -54,6 +55,7 @@ class TableAnalyzer:
                  wired_structure: Optional[SLANetModel] = None,
                  wireless_structure: Optional[SLANetModel] = None,
                  wireless_cell_detector: Optional[LayoutDetector] = None,
+                 use_cells_to_html: bool = False,
                  runtime: Optional[Runtime] = None):
         self.runtime = runtime or Runtime.default()
         self.classifier = classifier or table_classifier(runtime=self.runtime)
@@ -92,6 +94,11 @@ class TableAnalyzer:
         # wireless tables may get their own cell detector
         # (with_wireless_table_cell_detection); None = wired-only cells
         self.wireless_cell_detector = wireless_cell_detector
+        # force DETECTED-cell grid reconstruction over the structure
+        # decode's tokens (use_cells_trans_to_html,
+        # table_analyzer.rs:684-710); the no-tokens fallback (:642-674)
+        # is always on
+        self.use_cells_to_html = use_cells_to_html
 
     def analyze_tables(self, pages_u8, tables: Sequence[TableRegionInput]
                        ) -> List[TableResult]:
@@ -169,19 +176,37 @@ class TableAnalyzer:
             try:
                 st = structures[i]
                 x0, y0 = t.box[0], t.box[1]
+                off = np.array([x0, y0, x0, y0], np.float32)
                 ab = cell_aabbs(st.cell_boxes)
-                struct_xyxy = ab + np.array([x0, y0, x0, y0], np.float32) \
-                    if len(ab) else np.zeros((0, 4), np.float32)
+                struct_xyxy = ab + off if len(ab) \
+                    else np.zeros((0, 4), np.float32)
                 has_detected = i in cell_boxes_by_table
-                if has_detected:
-                    # align detected geometry to the structure's N cells
-                    # (layout_utils.rs:259 reconcile_table_cells)
-                    cells_xyxy = reconcile_table_cells(
-                        struct_xyxy, cell_boxes_by_table[i])
-                else:
-                    cells_xyxy = struct_xyxy
+                tokens = list(st.tokens)
 
-                grid = parse_cell_grid_info(st.tokens)
+                # DETECTED-cell grid reconstruction: forced by
+                # use_cells_to_html, or the fallback when the structure
+                # decode yielded no tokens (table_analyzer.rs:642-710) —
+                # cluster cell edges in CROP coords, tolerance 5 px
+                gen_grid = None
+                if has_detected and (self.use_cells_to_html or not tokens):
+                    det = np.asarray(cell_boxes_by_table[i],
+                                     np.float32).reshape(-1, 4)
+                    gen = table_cells_to_html_structure(det - off, 5.0)
+                    if gen is not None:
+                        tokens, order = gen
+                        cells_xyxy = det[[s for s, _g in order]]
+                        gen_grid = [g for _s, g in order]
+                if gen_grid is None:
+                    if has_detected:
+                        # align detected geometry to the structure's N
+                        # cells (layout_utils.rs:259 reconcile_table_cells)
+                        cells_xyxy = reconcile_table_cells(
+                            struct_xyxy, cell_boxes_by_table[i])
+                    else:
+                        cells_xyxy = struct_xyxy
+                    grid = parse_cell_grid_info(tokens)
+                else:
+                    grid = gen_grid
                 cells = [TableCell(tuple(map(float, b)),
                                    row=(grid[k].row if k < len(grid)
                                         else None),
@@ -198,9 +223,9 @@ class TableAnalyzer:
                     ocr_texts.append(normalize_tiny_symbol(text, 0.9, bb))
 
                 td_mapping = None
-                if st.tokens and ocr_boxes and not (st and not cells):
+                if tokens and ocr_boxes and not (st and not cells):
                     got = match_table_cells_with_structure_rows(
-                        cells, st.tokens, ocr_boxes, ocr_texts,
+                        cells, tokens, ocr_boxes, ocr_texts,
                         has_detected_cells=has_detected)
                     if got is not None:
                         td_mapping = got[0]
@@ -220,9 +245,9 @@ class TableAnalyzer:
                                   for ci in td_mapping]
                 else:
                     cell_texts = collect_cell_texts_for_tokens(
-                        cells, st.tokens)
+                        cells, tokens)
                 html = wrap_table_html(
-                    st.tokens, [tx or "" for tx in cell_texts])
+                    tokens, [tx or "" for tx in cell_texts])
                 results[i] = TableResult(
                     html=html, cell_boxes=cells_xyxy,
                     structure_score=st.score,
@@ -268,12 +293,25 @@ class TableAnalyzer:
             idxs.append(t.page_index)
             offsets.append((x0, y0))
             sizes.append((dh, dw))
-        with stage_timer("table.cells", batch=len(wired_idx)):
+        # pad so the batch shards evenly over the mesh (identity without
+        # one) — this call bypasses LayoutDetector.detect's own padding
+        n_req = len(mats)
+        nb = self.runtime.round_batch(n_req)
+        mats_np = np.stack(mats)
+        idx_np = np.asarray(idxs, np.int32)
+        sz_np = np.asarray(sizes, np.float32)
+        if nb != n_req:
+            pad = nb - n_req
+            mats_np = np.concatenate([mats_np,
+                                      np.repeat(mats_np[:1], pad, 0)])
+            idx_np = np.concatenate([idx_np, np.repeat(idx_np[:1], pad)])
+            sz_np = np.concatenate([sz_np, np.repeat(sz_np[:1], pad, 0)])
+        with stage_timer("table.cells", batch=n_req):
             b, s, l, v = det._step(
-                det.params, pages_u8, jnp.asarray(np.stack(mats)),
-                jnp.asarray(np.asarray(idxs, np.int32)),
-                jnp.asarray(np.asarray(sizes, np.float32)))
-            b, s, v = np.asarray(b), np.asarray(s), np.asarray(v)
+                det.params, pages_u8, jnp.asarray(mats_np),
+                jnp.asarray(idx_np), jnp.asarray(sz_np))
+            b, s, v = (np.asarray(b)[:n_req], np.asarray(s)[:n_req],
+                       np.asarray(v)[:n_req])
         out = []
         for k, i in enumerate(wired_idx):
             ox, oy = offsets[k]

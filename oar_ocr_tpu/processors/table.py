@@ -101,6 +101,98 @@ def wrap_table_html(tokens: Sequence[str],
     return "".join(out)
 
 
+def cluster_positions(positions: Sequence[float],
+                      tolerance: float) -> List[float]:
+    """Greedy 1-D clustering of sorted edge coordinates: neighbours
+    within ``tolerance`` of the cluster's LAST member merge; each cluster
+    reduces to its mean (table_analyzer.rs:79-105)."""
+    if not len(positions):
+        return []
+    xs = sorted(float(p) for p in positions)
+    out: List[float] = []
+    cur = [xs[0]]
+    for p in xs[1:]:
+        if abs(p - cur[-1]) <= tolerance:
+            cur.append(p)
+        else:
+            out.append(sum(cur) / len(cur))
+            cur = [p]
+    out.append(sum(cur) / len(cur))
+    return out
+
+
+def nearest_index(positions: Sequence[float], value: float) -> int:
+    """Index of the grid line closest to ``value``
+    (table_analyzer.rs:107-118)."""
+    return min(range(len(positions)),
+               key=lambda i: abs(positions[i] - value)) if positions else 0
+
+
+def table_cells_to_html_structure(cells_xyxy: np.ndarray,
+                                  tolerance: float
+                                  ) -> Optional[Tuple[List[str],
+                                                      List[Tuple[int,
+                                                                 CellInfo]]]]:
+    """Reconstruct PaddleX-style structure tokens from DETECTED cell
+    boxes alone (no structure model): cluster x/y edges into grid lines,
+    snap each cell to its grid span, emit row-major ``<td>`` tokens with
+    rowspan/colspan. Returns (tokens, row-major [(source_idx, CellInfo)])
+    or None when no usable grid exists (table_analyzer.rs:149-266)."""
+    cells_xyxy = np.asarray(cells_xyxy, np.float32).reshape(-1, 4)
+    if not len(cells_xyxy):
+        return None
+    xs = cluster_positions(
+        np.concatenate([cells_xyxy[:, 0], cells_xyxy[:, 2]]), tolerance)
+    ys = cluster_positions(
+        np.concatenate([cells_xyxy[:, 1], cells_xyxy[:, 3]]), tolerance)
+    if len(xs) < 2 or len(ys) < 2:
+        return None
+    num_rows, num_cols = len(ys) - 1, len(xs) - 1
+
+    entries: List[Tuple[int, int, int, int, int]] = []
+    cell_map: dict = {}          # (row, col) -> entry index, first wins
+    for src, (x0, y0, x1, y1) in enumerate(cells_xyxy):
+        c0, c1 = sorted((nearest_index(xs, x0), nearest_index(xs, x1)))
+        r0, r1 = sorted((nearest_index(ys, y0), nearest_index(ys, y1)))
+        c0 = min(c0, num_cols - 1)
+        r0 = min(r0, num_rows - 1)
+        rs = max(min(r1, num_rows) - r0, 1)
+        cs = max(min(c1, num_cols) - c0, 1)
+        idx = len(entries)
+        entries.append((src, r0, c0, rs, cs))
+        for r in range(r0, min(r0 + rs, num_rows)):
+            for c in range(c0, min(c0 + cs, num_cols)):
+                cell_map.setdefault((r, c), idx)
+
+    tokens: List[str] = ["<table>", "<tbody>"]
+    order: List[Tuple[int, CellInfo]] = []
+    for r in range(num_rows):
+        tokens.append("<tr>")
+        c = 0
+        while c < num_cols:
+            idx = cell_map.get((r, c))
+            if idx is None:
+                c += 1
+                continue
+            src, r0, c0, rs, cs = entries[idx]
+            if r0 == r and c0 == c:
+                if rs > 1 or cs > 1:
+                    tokens.append("<td")
+                    if rs > 1:
+                        tokens.append(f' rowspan="{rs}"')
+                    if cs > 1:
+                        tokens.append(f' colspan="{cs}"')
+                    tokens.append(">")
+                else:
+                    tokens.append("<td></td>")
+                order.append((src, CellInfo(row=r0, col=c0,
+                                            rowspan=rs, colspan=cs)))
+            c += max(cs, 1)
+        tokens.append("</tr>")
+    tokens.extend(["</tbody>", "</table>"])
+    return (tokens, order) if order else None
+
+
 def cell_box_to_quad(box8: np.ndarray) -> np.ndarray:
     """(8,) [x1,y1,…,x4,y4] → (4,2) quad."""
     return np.asarray(box8, np.float32).reshape(4, 2)

@@ -190,3 +190,60 @@ def test_wired_wireless_structure_routing():
     assert [r[1][2] for r in calls["wired"]] == [40, 42]      # tables 0, 2
     assert [r[1][2] for r in calls["wireless"]] == [41, 43]   # tables 1, 3
     assert [t.is_wired for t in out] == [True, False, True, False]
+
+
+# ------- detected-cells → HTML structure (table_analyzer.rs:79-266) -------
+
+class TestCellsToHtmlStructure:
+    def test_row_major_order(self):
+        from oar_ocr_tpu.processors.table import table_cells_to_html_structure
+        # 2x2 grid supplied out of order: reconstruction is row-major
+        cells = np.array([[50, 50, 100, 100],      # bottom-right
+                          [0, 0, 50, 50],          # top-left
+                          [0, 50, 50, 100],        # bottom-left
+                          [50, 0, 100, 50]],       # top-right
+                         np.float32)
+        tokens, order = table_cells_to_html_structure(cells, 5.0)
+        assert tokens.count("<tr>") == 2
+        assert tokens.count("<td></td>") == 4
+        assert [s for s, _g in order] == [1, 3, 2, 0]
+        g = [g for _s, g in order]
+        assert (g[0].row, g[0].col) == (0, 0)
+        assert (g[3].row, g[3].col) == (1, 1)
+
+    def test_rowspan_and_colspan(self):
+        from oar_ocr_tpu.processors.table import table_cells_to_html_structure
+        cells = np.array([[0, 0, 50, 100],         # spans both rows
+                          [50, 0, 100, 50],
+                          [50, 50, 100, 100]], np.float32)
+        tokens, order = table_cells_to_html_structure(cells, 5.0)
+        assert ' rowspan="2"' in tokens
+        g0 = order[0][1]
+        assert g0.rowspan == 2 and g0.colspan == 1
+        # second row contains only the right cell
+        assert tokens.count("<tr>") == 2
+
+    def test_jittered_edges_cluster(self):
+        from oar_ocr_tpu.processors.table import table_cells_to_html_structure
+        cells = np.array([[0, 0, 49, 50], [51, 2, 100, 49],
+                          [1, 52, 50, 100], [50, 51, 99, 101]], np.float32)
+        tokens, order = table_cells_to_html_structure(cells, 5.0)
+        assert tokens.count("<td></td>") == 4     # jitter merged to 3 lines
+
+    def test_degenerate_returns_none(self):
+        from oar_ocr_tpu.processors.table import table_cells_to_html_structure
+        assert table_cells_to_html_structure(
+            np.zeros((0, 4), np.float32), 5.0) is None
+        # all edges collapse to one cluster per axis → no grid
+        assert table_cells_to_html_structure(
+            np.array([[0, 0, 2, 2]], np.float32), 5.0) is None
+
+    def test_wrap_html_from_generated_tokens(self):
+        from oar_ocr_tpu.processors.table import (
+            table_cells_to_html_structure, wrap_table_html)
+        cells = np.array([[0, 0, 50, 100], [50, 0, 100, 50],
+                          [50, 50, 100, 100]], np.float32)
+        tokens, order = table_cells_to_html_structure(cells, 5.0)
+        html = wrap_table_html(tokens, ["A", "B", "C"])
+        assert '<td rowspan="2">A</td>' in html
+        assert "<td>B</td>" in html and "<td>C</td>" in html
