@@ -108,6 +108,12 @@ class FamilyConfig:
     vision: VisionConfig
     tasks: Tuple[str, ...] = ("ocr",)
     prompt_templates: Optional[Dict[str, str]] = None
+    # smart_resize area bounds (None → VisionProcessorConfig defaults);
+    # task_min_pixels raises the floor for specific tasks (MonkeyOCRv2
+    # Layout's LAYOUT_MIN_PIXELS, monkeyocrv2/model.rs:18,166)
+    min_pixels: Optional[int] = None
+    max_pixels: Optional[int] = None
+    task_min_pixels: Optional[Dict[str, int]] = None
     # mechanism knobs
     draft_len: int = 0              # speculation block size (0 = greedy)
     # HunyuanOCR: the real DFlash block draft (vl/dflash.py). When set it
@@ -123,6 +129,19 @@ class FamilyConfig:
             vision=self.vision.tiny(),
             dflash=None if self.dflash is None else self.dflash.tiny(
                 vocab_size=256, hidden=64, heads=4, kv_heads=2, head_dim=16))
+
+
+# Official OvisOCR2 instruction — the leading newline is part of the
+# prompt (ovisocr2/model.rs:20 DEFAULT_PROMPT; docs/usage.md:397-404).
+OVIS_OCR2_PROMPT = (
+    "\nExtract all readable content from the image in natural human "
+    "reading order and output the result as a single Markdown document. "
+    "For charts or images, represent them using an HTML image tag: "
+    '<img src="images/bbox_{left}_{top}_{right}_{bottom}.jpg" />, where '
+    "left, top, right, bottom are bounding box coordinates scaled to "
+    "[0, 1000). Format formulas as LaTeX. Format tables as HTML: "
+    "<table>...</table>. Transcribe all other text as standard Markdown. "
+    "Preserve the original text without translation or paraphrasing.")
 
 
 FAMILY_CONFIGS: Dict[str, FamilyConfig] = {
@@ -157,19 +176,33 @@ FAMILY_CONFIGS: Dict[str, FamilyConfig] = {
         DecoderConfig(vocab_size=151936, hidden=1024, layers=24, heads=16,
                       kv_heads=4, ffn=4096, rope_kind="rope",
                       layer_pattern=("delta", "delta", "delta", "attn")),
-        VisionConfig(), tasks=("markdown",)),
+        VisionConfig(), tasks=("markdown",),
+        # official prompt (leading newline included) + 448²..2880² area
+        # bounds (ovisocr2/model.rs:20 DEFAULT_PROMPT,
+        # config.rs:457 runtime_pixel_bounds)
+        prompt_templates={"markdown": OVIS_OCR2_PROMPT},
+        min_pixels=448 * 448, max_pixels=2880 * 2880),
     "monkeyocrv2": FamilyConfig(
         "monkeyocrv2",
         DecoderConfig(vocab_size=151936, hidden=896, layers=24, heads=14,
                       kv_heads=2, ffn=4864, rope_kind="mrope"),
         VisionConfig(dim=384, layers=12, heads=6),
-        tasks=("end2end", "layout", "table", "formula"),
+        tasks=("end2end", "layout", "text", "table", "formula"),
+        # the five official task prompts (monkeyocrv2/model.rs:36-52)
         prompt_templates={
-            "end2end": "Extract all content with normalized bboxes as JSON:",
-            "layout": "Layout analysis:",
-            "table": "Table (OTSL):",
-            "formula": "Formula:",
-        }),
+            "layout": "Please output the categories and coordinates of "
+                      "the document elements in reading order.",
+            "end2end": "List the document elements in reading order, "
+                       "including their categories, coordinates, and the "
+                       "content of each element.",
+            "text": "Please output the text content from the image.",
+            "formula": "Please write out the expression of the formula in "
+                       "the image using LaTeX format.",
+            "table": "Please extract the table from the image and "
+                     "represent it in OTSL format.",
+        },
+        # layout pass raises the pixel floor (model.rs:18 LAYOUT_MIN_PIXELS)
+        task_min_pixels={"layout": 1_003_520}),
 }
 
 
@@ -590,13 +623,21 @@ class VLMFamily:
             out.append(self._detok(ids))
         return out
 
-    def _prepare_image(self, image: np.ndarray):
+    def _prepare_image(self, image: np.ndarray,
+                       min_pixels: Optional[int] = None):
         import cv2
 
         from .processing import VisionProcessorConfig, smart_resize
 
         v = self.cfg.vision
-        pcfg = VisionProcessorConfig(patch_size=v.patch, merge_size=v.merge)
+        kw = {}
+        if min_pixels is not None or self.cfg.min_pixels is not None:
+            kw["min_pixels"] = (min_pixels if min_pixels is not None
+                                else self.cfg.min_pixels)
+        if self.cfg.max_pixels is not None:
+            kw["max_pixels"] = self.cfg.max_pixels
+        pcfg = VisionProcessorConfig(patch_size=v.patch, merge_size=v.merge,
+                                     **kw)
         h, w = image.shape[:2]
         th, tw = smart_resize(h, w, pcfg)
         resized = cv2.resize(image, (tw, th), interpolation=cv2.INTER_LINEAR)
@@ -643,7 +684,9 @@ class VLMFamily:
 
     def _build_inputs(self, images, task):
         m2 = self.cfg.vision.merge ** 2
-        prepared = [self._prepare_image(im) for im in images]
+        task_min = (self.cfg.task_min_pixels or {}).get(task)
+        prepared = [self._prepare_image(im, min_pixels=task_min)
+                    for im in images]
         max_t = max(p.shape[0] for p, _ in prepared)
         max_t = ((max_t + m2 - 1) // m2) * m2
         b = len(images)
@@ -941,13 +984,63 @@ class HPDParsing(VLMFamily):
         return np.asarray(ids), cache
 
 
+def filter_visual_image_tags(text: str) -> str:
+    """Drop standalone visual-region ``<img src="images/bbox_…">`` blocks
+    (ovisocr2/model.rs:546 filter_visual_image_tags)."""
+    return "\n\n".join(
+        block for block in text.split("\n\n")
+        if not block.strip().startswith('<img src="images/bbox_'))
+
+
+def clean_truncated_repeats(text: str) -> str:
+    """Official OvisOCR2 truncated-repeat cleanup
+    (ovisocr2/model.rs:553-586): for long outputs (≥8000 chars), find the
+    shortest period ≤200 whose repetition covers ≥100 chars ≥5 times at
+    the tail, and collapse it to one period (+ the partial tail)."""
+    MIN_TEXT_LEN, MAX_PERIOD = 8000, 200
+    MIN_REPEAT_CHARS, MIN_REPEAT_TIMES = 100, 5
+    n = len(text)
+    if n < MIN_TEXT_LEN:
+        return text
+    for unit in range(1, min(MAX_PERIOD, n - 1) + 1):
+        if text[n - 1] != text[n - 1 - unit]:
+            continue
+        match_len = 1
+        i = n - 2
+        while i >= unit and text[i] == text[i - unit]:
+            match_len += 1
+            i -= 1
+        total = match_len + unit
+        times = total // unit
+        tail = total % unit
+        if times >= MIN_REPEAT_TIMES and total >= MIN_REPEAT_CHARS:
+            prefix_end = n - total + unit
+            return text[:prefix_end] + (text[n - tail:] if tail else "")
+    return text
+
+
 class OvisOCR2(VLMFamily):
     """Hybrid gated-delta/full-attention decoder (3:1 pattern); whole-page
-    → markdown."""
+    → markdown with the official prompt, 448²..2880² pixel bounds, and
+    default post-processing (docs/usage.md:397-410)."""
 
     def __init__(self, params=None, *, tiny: bool = False, **kw):
         cfg = FAMILY_CONFIGS["ovisocr2"]
         super().__init__(cfg.tiny() if tiny else cfg, params, **kw)
+
+    def parse(self, images: Sequence[np.ndarray], *,
+              max_new_tokens: int = 16384,
+              keep_image_tags: bool = False) -> List[str]:
+        """Page(s) → Markdown with the official default post-processing:
+        truncated-repeat cleanup + standalone image-tag removal
+        (OvisOcr2::parse / parse_with_image_tags; the 16384 default is
+        DEFAULT_MAX_NEW_TOKENS)."""
+        outs = self.generate(images, "markdown",
+                             max_new_tokens=max_new_tokens)
+        cleaned = [clean_truncated_repeats(t) for t in outs]
+        if keep_image_tags:
+            return cleaned
+        return [filter_visual_image_tags(t) for t in cleaned]
 
 
 class MonkeyOCRv2(VLMFamily):

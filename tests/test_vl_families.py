@@ -105,3 +105,54 @@ def test_monkey_end2end_parser():
     res2 = monkey_end2end_to_structure(trunc, 100, 100)
     assert len(res2.elements) == 1
     assert monkey_end2end_to_structure("garbage", 10, 10).elements == []
+
+
+# ---------- official I/O contracts (docs/usage.md:372-500) ----------
+
+class TestOfficialContracts:
+    def test_monkey_official_prompts(self):
+        from oar_ocr_tpu.vl.families import FAMILY_CONFIGS
+        cfg = FAMILY_CONFIGS["monkeyocrv2"]
+        assert set(cfg.tasks) == {"end2end", "layout", "text", "table",
+                                  "formula"}
+        p = cfg.prompt_templates
+        assert p["text"] == "Please output the text content from the image."
+        assert "OTSL format" in p["table"]
+        assert "LaTeX format" in p["formula"]
+        assert cfg.task_min_pixels == {"layout": 1_003_520}
+
+    def test_ovis_official_prompt_and_bounds(self):
+        from oar_ocr_tpu.vl.families import FAMILY_CONFIGS, OVIS_OCR2_PROMPT
+        cfg = FAMILY_CONFIGS["ovisocr2"]
+        assert cfg.prompt_templates["markdown"].startswith("\n")
+        assert "bbox_{left}_{top}_{right}_{bottom}" in OVIS_OCR2_PROMPT
+        assert cfg.min_pixels == 448 * 448
+        assert cfg.max_pixels == 2880 * 2880
+
+    def test_layout_min_pixels_raises_resize_floor(self):
+        from oar_ocr_tpu.vl.families import FAMILY_CONFIGS, MonkeyOCRv2
+        fam = MonkeyOCRv2(tiny=True)
+        small = np.full((64, 64, 3), 128, np.uint8)
+        p_plain, (gh, gw) = fam._prepare_image(small)
+        p_layout, (lh, lw) = fam._prepare_image(
+            small, min_pixels=FAMILY_CONFIGS[
+                "monkeyocrv2"].task_min_pixels["layout"])
+        v = fam.cfg.vision
+        assert (lh * v.patch) * (lw * v.patch) >= 1_003_520
+        assert lh * lw > gh * gw
+
+    def test_filter_visual_image_tags(self):
+        from oar_ocr_tpu.vl.families import filter_visual_image_tags
+        text = ('before\n\n<img src="images/bbox_1_2_3_4.jpg" />\n\nafter')
+        assert filter_visual_image_tags(text) == "before\n\nafter"
+        kept = "a\n\n<img src=\"other.jpg\" />\n\nb"
+        assert filter_visual_image_tags(kept) == kept
+
+    def test_clean_truncated_repeats(self):
+        from oar_ocr_tpu.vl.families import clean_truncated_repeats
+        prefix = "x" * 8000
+        text = prefix + "abc" * 60          # 180-char repeated tail
+        out = clean_truncated_repeats(text)
+        assert out == prefix + "abc"
+        short = "abc" * 60                   # under the 8000-char floor
+        assert clean_truncated_repeats(short) == short
