@@ -73,6 +73,107 @@ class VLMBackend:
         return [r.text for r in out]
 
 
+# Official per-backend task→prompt maps (doc_parser.rs RecognitionBackend
+# impls: Hunyuan :487-498, GLM :533-537, MinerU :573-578).
+HUNYUAN_TASK_PROMPTS = {
+    RecognitionTask.TEXT: "Detect and recognize text in the image, and "
+                         "output the text coordinates in a formatted "
+                         "manner.",
+    RecognitionTask.TABLE: "Parse the table in the image into HTML.",
+    RecognitionTask.FORMULA: "Identify the formula in the image and "
+                             "represent it using LaTeX format.",
+    RecognitionTask.CHART: "Parse the chart in the image; use Mermaid "
+                           "format for flowcharts and Markdown for other "
+                           "charts.",
+}
+GLM_TASK_PROMPTS = {
+    RecognitionTask.TEXT: "Text Recognition:",
+    RecognitionTask.TABLE: "Table Recognition:",
+    RecognitionTask.FORMULA: "Formula Recognition:",
+    RecognitionTask.CHART: "Text Recognition:",
+}
+MINERU_TASK_PROMPTS = {
+    RecognitionTask.TEXT: "\nText Recognition:",
+    RecognitionTask.TABLE: "\nTable Recognition:",
+    RecognitionTask.FORMULA: "\nFormula Recognition:",
+    RecognitionTask.CHART: "\nDocument Parsing:",
+}
+
+
+def resize_for_mineru(image: np.ndarray, min_edge: int = 28,
+                      max_aspect_ratio: float = 50.0) -> np.ndarray:
+    """MinerU crop preprocessing (utils/image.rs:312 resize_for_mineru):
+    pad extreme aspect ratios onto a centered white canvas, then scale up
+    so the minimum edge meets the ViT patch-factor floor."""
+    import cv2
+
+    h, w = image.shape[:2]
+    ratio = max(h, w) / max(min(h, w), 1)
+    if ratio > max_aspect_ratio:
+        if w > h:
+            nh, nw = int(np.ceil(w / max_aspect_ratio)), w
+        else:
+            nh, nw = h, int(np.ceil(h / max_aspect_ratio))
+        canvas = np.full((nh, nw, 3), 255, image.dtype)
+        y, x = (nh - h) // 2, (nw - w) // 2
+        canvas[y : y + h, x : x + w] = image
+        image, h, w = canvas, nh, nw
+    if min(h, w) < min_edge:
+        scale = min_edge / min(h, w)
+        image = cv2.resize(image, (int(np.ceil(w * scale)),
+                                   int(np.ceil(h * scale))),
+                           interpolation=cv2.INTER_LINEAR)
+    return image
+
+
+class FamilyBackend:
+    """RecognitionBackend over a VLMFamily with an OFFICIAL per-task
+    prompt map; GLM/MinerU flavors apply the reference's in-backend
+    repetition truncation, MinerU additionally the small-crop resize."""
+
+    def __init__(self, family, prompts, *, pre_resize: bool = False,
+                 truncate: bool = False, max_new_tokens: int = 256):
+        self.family = family
+        self.prompts = prompts
+        self.pre_resize = pre_resize
+        self.truncate = truncate
+        self.max_new_tokens = max_new_tokens
+
+    def recognize(self, images, task: RecognitionTask) -> List[str]:
+        if not images:
+            return []
+        prompt = self.prompts.get(task, self.prompts[RecognitionTask.TEXT])
+        imgs = [resize_for_mineru(im) if self.pre_resize else im
+                for im in images]
+        outs = self.family.generate(imgs, self.family.cfg.tasks[0],
+                                    max_new_tokens=self.max_new_tokens,
+                                    prompt=prompt)
+        if self.truncate:
+            from .sampling import truncate_repetition
+
+            outs = [truncate_repetition(t, min_len=10,
+                                        min_repeats=10).strip()
+                    for t in outs]
+        return outs
+
+
+def glm_backend(family, **kw) -> FamilyBackend:
+    """GLM-OCR DocParser backend (doc_parser.rs:525)."""
+    return FamilyBackend(family, GLM_TASK_PROMPTS, truncate=True, **kw)
+
+
+def mineru_backend(family, **kw) -> FamilyBackend:
+    """MinerU2.5 DocParser backend (doc_parser.rs:565): official prompts
+    + min-edge-28 crop resize + repetition truncation."""
+    return FamilyBackend(family, MINERU_TASK_PROMPTS, pre_resize=True,
+                         truncate=True, **kw)
+
+
+def hunyuan_backend(family, **kw) -> FamilyBackend:
+    """HunyuanOCR DocParser backend (doc_parser.rs:480)."""
+    return FamilyBackend(family, HUNYUAN_TASK_PROMPTS, **kw)
+
+
 class DocParser:
     """Layout → crop → per-region VLM recognition → StructureResult."""
 

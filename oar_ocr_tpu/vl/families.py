@@ -657,7 +657,11 @@ class VLMFamily:
         return f"{task}:"
 
     def generate(self, images: Sequence[np.ndarray], task: Optional[str] = None,
-                 *, max_new_tokens: int = 256) -> List[str]:
+                 *, max_new_tokens: int = 256,
+                 prompt: Optional[str] = None) -> List[str]:
+        """``prompt`` overrides the task's template verbatim — the
+        generate_with_prompts / per-backend prompt path of the reference
+        (doc_parser.rs RecognitionBackend impls)."""
         task = task or self.cfg.tasks[0]
         if task not in self.cfg.tasks:
             raise InvalidInputError("unknown task for family",
@@ -666,7 +670,7 @@ class VLMFamily:
         if not images:
             return []
         embeds, positions, valid_lengths, max_len = self._build_inputs(
-            images, task)
+            images, task, prompt=prompt)
         capacity = decoder_cache_capacity(max_len, max_new_tokens)
         with stage_timer(f"vl[{self.cfg.name}].generate",
                          batch=len(images), prompt=max_len):
@@ -682,7 +686,7 @@ class VLMFamily:
             row = row[: row.index(self.cfg.decoder.eos_id)]
         return self.tokenizer.decode(row)
 
-    def _build_inputs(self, images, task):
+    def _build_inputs(self, images, task, prompt: Optional[str] = None):
         m2 = self.cfg.vision.merge ** 2
         task_min = (self.cfg.task_min_pixels or {}).get(task)
         prepared = [self._prepare_image(im, min_pixels=task_min)
@@ -700,6 +704,8 @@ class VLMFamily:
             self.params, jnp.asarray(batch, self.runtime.compute_dtype),
             jnp.asarray(valid)).astype(jnp.float32))
 
+        instruction = prompt if prompt is not None \
+            else self._prompt_for(task)
         rows = []
         for i, (p, (gh, gw)) in enumerate(prepared):
             n_tok = p.shape[0] // m2
@@ -708,7 +714,7 @@ class VLMFamily:
                         + [self.IMAGE_PAD_ID] * n_tok
                         + [self.IMAGE_END_ID]
                         + self.tokenizer.encode(
-                            f"{self._prompt_for(task)}\nAssistant: "))
+                            f"{instruction}\nAssistant: "))
         max_len = max(len(r) for r in rows)
         ids = np.zeros((b, max_len), np.int32)
         valid_lengths = np.zeros((b,), np.int32)
