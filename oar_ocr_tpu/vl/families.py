@@ -165,12 +165,16 @@ FAMILY_CONFIGS: Dict[str, FamilyConfig] = {
         "mineru_diffusion",
         DecoderConfig(vocab_size=151936, hidden=2048, layers=24, heads=16,
                       kv_heads=2, ffn=8192, rope_kind="mrope"),
-        VisionConfig(), tasks=("ocr",), diffusion_block=16),
+        VisionConfig(), tasks=("ocr",), diffusion_block=16,
+        # official single-pass prompt (mineru_diffusion/model.rs:33)
+        prompt_templates={"ocr": "\nText Recognition:"}),
     "hpd_parsing": FamilyConfig(
         "hpd_parsing",
         DecoderConfig(vocab_size=92553, hidden=1024, layers=24, heads=16,
                       kv_heads=8, ffn=4096, rope_kind="rope"),
-        VisionConfig(patch=14, merge=1), tasks=("parse",), draft_len=6),
+        VisionConfig(patch=14, merge=1), tasks=("parse",), draft_len=6,
+        # official fork-enabled page prompt (hpd_parsing/model.rs:17)
+        prompt_templates={"parse": "document parsing with fork."}),
     "ovisocr2": FamilyConfig(
         "ovisocr2",
         DecoderConfig(vocab_size=151936, hidden=1024, layers=24, heads=16,
