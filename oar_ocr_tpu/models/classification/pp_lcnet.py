@@ -124,11 +124,7 @@ class ImageClassifier:
     def _run_step(self, pages_u8, mats: np.ndarray, idx: np.ndarray):
         """Pad the batch to shard evenly over the mesh, run, unpad."""
         n = mats.shape[0]
-        nb = self.runtime.round_batch(n)
-        if nb != n:
-            pad = nb - n
-            mats = np.concatenate([mats, np.repeat(mats[:1], pad, 0)])
-            idx = np.concatenate([idx, np.repeat(idx[:1], pad)])
+        mats, idx = self.runtime.pad_batch(mats, idx)
         cls, score = self._step(self.params, pages_u8, jnp.asarray(mats),
                                 jnp.asarray(idx))
         return np.asarray(cls)[:n], np.asarray(score)[:n]

@@ -141,12 +141,7 @@ class LayoutDetector:
         src_hw = np.asarray(shapes, np.float32)
         # pad the batch so the leading axis shards evenly over the mesh
         # (identity without a mesh — no new jit buckets single-device)
-        nb = self.runtime.round_batch(n)
-        if nb != n:
-            pad = nb - n
-            mats = np.concatenate([mats, np.repeat(mats[:1], pad, 0)])
-            idx = np.concatenate([idx, np.repeat(idx[:1], pad)])
-            src_hw = np.concatenate([src_hw, np.repeat(src_hw[:1], pad, 0)])
+        mats, idx, src_hw = self.runtime.pad_batch(mats, idx, src_hw)
         with stage_timer(f"layout.device[{self.variant.name}]", batch=n):
             b, s, l, v = self._step(self.params, pages_u8, jnp.asarray(mats),
                                     jnp.asarray(idx), jnp.asarray(src_hw))

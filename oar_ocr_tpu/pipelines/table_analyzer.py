@@ -296,16 +296,9 @@ class TableAnalyzer:
         # pad so the batch shards evenly over the mesh (identity without
         # one) — this call bypasses LayoutDetector.detect's own padding
         n_req = len(mats)
-        nb = self.runtime.round_batch(n_req)
-        mats_np = np.stack(mats)
-        idx_np = np.asarray(idxs, np.int32)
-        sz_np = np.asarray(sizes, np.float32)
-        if nb != n_req:
-            pad = nb - n_req
-            mats_np = np.concatenate([mats_np,
-                                      np.repeat(mats_np[:1], pad, 0)])
-            idx_np = np.concatenate([idx_np, np.repeat(idx_np[:1], pad)])
-            sz_np = np.concatenate([sz_np, np.repeat(sz_np[:1], pad, 0)])
+        mats_np, idx_np, sz_np = self.runtime.pad_batch(
+            np.stack(mats), np.asarray(idxs, np.int32),
+            np.asarray(sizes, np.float32))
         with stage_timer("table.cells", batch=n_req):
             b, s, l, v = det._step(
                 det.params, pages_u8, jnp.asarray(mats_np),

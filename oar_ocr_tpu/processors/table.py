@@ -10,6 +10,7 @@ device never sees this.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -40,7 +41,8 @@ def parse_cell_grid_info(tokens: Sequence[str]) -> List[CellInfo]:
         if tok == "<tr>":
             row += 1
             col = 0
-        elif tok in ("<td></td>", "<td"):
+        elif tok == "<td></td>" or tok == "<td" or (
+                tok.startswith("<td ") and tok.endswith("></td>")):
             rowspan = colspan = 1
             if tok == "<td":
                 # attributes until '>'
@@ -53,6 +55,12 @@ def parse_cell_grid_info(tokens: Sequence[str]) -> List[CellInfo]:
                         colspan = int(attr.split('"')[1])
                     j += 1
                 i = j
+            elif tok.startswith("<td "):
+                # combined token '<td rowspan="2" colspan="3"></td>'
+                m_r = re.search(r'rowspan="(\d+)"', tok)
+                m_c = re.search(r'colspan="(\d+)"', tok)
+                rowspan = int(m_r.group(1)) if m_r else 1
+                colspan = int(m_c.group(1)) if m_c else 1
             while occupied.get((row, col)):
                 col += 1
             cells.append(CellInfo(row=max(row, 0), col=col,
@@ -70,7 +78,12 @@ def wrap_table_html(tokens: Sequence[str],
     """Assemble full HTML, inserting ``cell_texts`` into successive cells
     (table_structure_decode.rs wrap_table_html*)."""
 
-    out: List[str] = ["<html><body><table>"]
+    # token streams that already carry their own <table> wrapper (the
+    # detected-cells reconstruction) must not get a second one
+    # (table_structure_decode.rs:79-85 has_table_tag)
+    has_table = any(t == "<table>" for t in tokens)
+    out: List[str] = ["<html><body>" if has_table
+                      else "<html><body><table>"]
     cell_i = 0
     i = 0
     n = len(tokens)
@@ -86,6 +99,8 @@ def wrap_table_html(tokens: Sequence[str],
         tok = tokens[i]
         if tok == "<td></td>":
             out.append(f"<td>{next_text()}</td>")
+        elif tok.startswith("<td ") and tok.endswith("></td>"):
+            out.append(tok[: -len("</td>")] + next_text() + "</td>")
         elif tok == "<td":
             attrs = []
             j = i + 1
@@ -97,7 +112,8 @@ def wrap_table_html(tokens: Sequence[str],
         else:
             out.append(tok)
         i += 1
-    out.append("</table></body></html>")
+    out.append("</body></html>" if has_table
+               else "</table></body></html>")
     return "".join(out)
 
 
@@ -177,12 +193,13 @@ def table_cells_to_html_structure(cells_xyxy: np.ndarray,
             src, r0, c0, rs, cs = entries[idx]
             if r0 == r and c0 == c:
                 if rs > 1 or cs > 1:
-                    tokens.append("<td")
-                    if rs > 1:
-                        tokens.append(f' rowspan="{rs}"')
-                    if cs > 1:
-                        tokens.append(f' colspan="{cs}"')
-                    tokens.append(">")
+                    # ONE combined token like the reference emits
+                    # (table_analyzer.rs:228-238): split '<td'/attr/'>'
+                    # tokens have no '</td>' closer, so the row matcher's
+                    # is_td_end_token would skip span cells entirely
+                    attrs = (f' rowspan="{rs}"' if rs > 1 else "") + \
+                        (f' colspan="{cs}"' if cs > 1 else "")
+                    tokens.append(f"<td{attrs}></td>")
                 else:
                     tokens.append("<td></td>")
                 order.append((src, CellInfo(row=r0, col=c0,

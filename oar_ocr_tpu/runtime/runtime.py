@@ -129,6 +129,20 @@ class Runtime:
         n = self.n_data
         return nb if nb % n == 0 else ((nb + n - 1) // n) * n
 
+    def pad_batch(self, *arrays):
+        """Pad every array's leading axis to ``round_batch`` size by
+        repeating row 0 (identity without a mesh). Returns the padded
+        arrays; slice device outputs back with the original length."""
+        import numpy as _np
+
+        n = arrays[0].shape[0]
+        nb = self.round_batch(n)
+        if nb == n:
+            return arrays
+        pad = nb - n
+        return tuple(_np.concatenate([a, _np.repeat(a[:1], pad, axis=0)])
+                     for a in arrays)
+
     def shard_jit(self, fn, batch_argnums, *, static_argnames=(),
                   out_spec="data"):
         """jit ``fn`` with the positional args in ``batch_argnums`` sharded

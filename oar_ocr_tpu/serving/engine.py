@@ -200,7 +200,10 @@ class ServingEngine:
         if first is None:
             return [], True
         batch = [first]
-        deadline = time.perf_counter() + self.cfg.max_wait_ms / 1e3
+        # anchor the deadline at the request's ARRIVAL (submit time), not
+        # at dequeue: a request that aged in the queue behind a long
+        # predict coalesces only from what is already waiting
+        deadline = first.completion._t_submit + self.cfg.max_wait_ms / 1e3
         while len(batch) < self.cfg.max_batch_size:
             remaining = deadline - time.perf_counter()
             try:

@@ -170,8 +170,9 @@ def mineru_backend(family, **kw) -> FamilyBackend:
 
 
 def hunyuan_backend(family, **kw) -> FamilyBackend:
-    """HunyuanOCR DocParser backend (doc_parser.rs:480)."""
-    return FamilyBackend(family, HUNYUAN_TASK_PROMPTS, **kw)
+    """HunyuanOCR DocParser backend (doc_parser.rs:480) — like GLM it
+    truncates degenerate repetition in-backend (:509-511)."""
+    return FamilyBackend(family, HUNYUAN_TASK_PROMPTS, truncate=True, **kw)
 
 
 class DocParser:

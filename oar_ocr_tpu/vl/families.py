@@ -804,7 +804,8 @@ class MinerUDiffusion(VLMFamily):
 
     def generate(self, images, task=None, *, max_new_tokens: int = 256,
                  num_unmask_steps: int = 4,
-                 confidence_threshold: float = 0.9) -> List[str]:
+                 confidence_threshold: float = 0.9,
+                 prompt: Optional[str] = None) -> List[str]:
         from .diffusion import MASK_ID, transfer_count, unmask_step
 
         task = task or self.cfg.tasks[0]
@@ -814,7 +815,7 @@ class MinerUDiffusion(VLMFamily):
         out: List[str] = []
         for image in images:
             embeds, positions, valid_lengths, max_len = self._build_inputs(
-                [image], task)
+                [image], task, prompt=prompt)
             n_blocks = max(1, -(-max_new_tokens // L))
             capacity = decoder_cache_capacity(max_len, n_blocks * L + L)
             cache = KVCache.create(c.layers, 1, c.kv_heads, capacity,

@@ -217,11 +217,17 @@ class TestCellsToHtmlStructure:
                           [50, 0, 100, 50],
                           [50, 50, 100, 100]], np.float32)
         tokens, order = table_cells_to_html_structure(cells, 5.0)
-        assert ' rowspan="2"' in tokens
+        # span cells are ONE combined token with a </td> closer so the
+        # row matcher's is_td_end_token counts them
+        assert '<td rowspan="2"></td>' in tokens
         g0 = order[0][1]
         assert g0.rowspan == 2 and g0.colspan == 1
         # second row contains only the right cell
         assert tokens.count("<tr>") == 2
+        from oar_ocr_tpu.processors.table import parse_cell_grid_info
+        grid = parse_cell_grid_info(tokens)
+        assert [(g.row, g.col, g.rowspan) for g in grid] == \
+            [(0, 0, 2), (0, 1, 1), (1, 1, 1)]
 
     def test_jittered_edges_cluster(self):
         from oar_ocr_tpu.processors.table import table_cells_to_html_structure
@@ -247,3 +253,30 @@ class TestCellsToHtmlStructure:
         html = wrap_table_html(tokens, ["A", "B", "C"])
         assert '<td rowspan="2">A</td>' in html
         assert "<td>B</td>" in html and "<td>C</td>" in html
+        # tokens carry their own <table> wrapper: no doubled tag
+        assert html.count("<table>") == 1 and html.count("</table>") == 1
+
+    def test_generated_tokens_row_match_with_span(self):
+        """Round-3 review repro: OCR boxes must map 1:1 through the
+        generated tokens even when a cell spans rows (the split-token
+        form used to collapse the mapping to [0, 0])."""
+        from oar_ocr_tpu.processors.table import (
+            TableCell, match_table_cells_with_structure_rows,
+            table_cells_to_html_structure)
+        boxes = np.array([[0, 0, 50, 100],       # rowspan 2
+                          [50, 0, 100, 50],
+                          [50, 50, 100, 100]], np.float32)
+        tokens, order = table_cells_to_html_structure(boxes, 5.0)
+        cells = [TableCell(tuple(map(float, boxes[s])),
+                           row=g.row, col=g.col)
+                 for s, g in order]
+        ocr_boxes = [(5, 40, 45, 60), (55, 10, 95, 40), (55, 60, 95, 90)]
+        got = match_table_cells_with_structure_rows(
+            cells, tokens, ocr_boxes, ["left", "topright", "botright"],
+            has_detected_cells=True)
+        assert got is not None
+        td_map = got[0]
+        assert len(td_map) == 3                  # one slot per td token
+        texts = [cells[ci].text if ci is not None else None
+                 for ci in td_map]
+        assert texts == ["left", "topright", "botright"]
