@@ -66,6 +66,46 @@ class OAROCRResult:
     def texts(self) -> List[str]:
         return [r.text or "" for r in self.regions]
 
+    # ---- convenience accessors (result.rs:53-98) ----
+
+    def recognized_text_regions(self) -> List[TextRegion]:
+        """Regions that carry recognized text (result.rs:53)."""
+        return [r for r in self.regions if r.text]
+
+    def confident_text_regions(self) -> List[TextRegion]:
+        """Regions with both text and a confidence score (result.rs:58)."""
+        return [r for r in self.regions
+                if r.text and r.confidence is not None]
+
+    def all_text(self) -> List[str]:
+        """All recognized text strings (result.rs:65)."""
+        return [r.text for r in self.regions if r.text]
+
+    def concatenated_text(self, separator: str = "\n") -> str:
+        """Recognized text joined with ``separator`` (result.rs:73)."""
+        return separator.join(self.all_text())
+
+    def recognized_text_count(self) -> int:
+        return len(self.recognized_text_regions())
+
+    def average_confidence(self) -> Optional[float]:
+        """Mean confidence over confident regions; None if none
+        (result.rs:86)."""
+        regions = self.confident_text_regions()
+        if not regions:
+            return None
+        return sum(r.confidence for r in regions) / len(regions)
+
+    def __str__(self) -> str:   # result.rs Display impl
+        lines = [f"Input path: {self.source_path or '<memory>'}",
+                 f"Image dimensions: [{self.width}, {self.height}]",
+                 f"Text regions: {len(self.regions)}"]
+        for i, r in enumerate(self.regions):
+            conf = (f" ({r.confidence:.3f})"
+                    if r.confidence is not None else "")
+            lines.append(f"  {i}: {r.text!r}{conf}")
+        return "\n".join(lines)
+
     def to_dict(self) -> dict:
         return {
             "source_path": self.source_path,

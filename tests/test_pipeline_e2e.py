@@ -188,3 +188,23 @@ def test_with_source_bytes_and_path(tmp_path, rng):
         np.testing.assert_array_equal(arr, f0[name])
     for name, arr in flatten_params(pipe_p.detector.params).items():
         np.testing.assert_array_equal(arr, f0[name])
+
+
+def test_result_convenience_accessors():
+    """result.rs:53-98 helper surface."""
+    from oar_ocr_tpu.domain.text_region import OAROCRResult, TextRegion
+
+    res = OAROCRResult(regions=[
+        TextRegion(box=np.zeros((4, 2), np.float32), text="hello",
+                   confidence=0.9),
+        TextRegion(box=np.zeros((4, 2), np.float32), text=None),
+        TextRegion(box=np.zeros((4, 2), np.float32), text="world",
+                   confidence=0.7),
+    ], width=10, height=10)
+    assert res.all_text() == ["hello", "world"]
+    assert res.concatenated_text(" ") == "hello world"
+    assert res.recognized_text_count() == 2
+    assert abs(res.average_confidence() - 0.8) < 1e-6
+    assert len(res.confident_text_regions()) == 2
+    assert "hello" in str(res)
+    assert OAROCRResult().average_confidence() is None
