@@ -13,8 +13,10 @@ def main():
 
     out = mineru_exact(tiny=True).generate([img], max_new_tokens=24)
     print("extraction:", repr(out[0][:160]))
-    two = MinerU(tiny=True).parse_two_step(img, max_new_tokens=8)
-    print("two-step keys:", sorted(two))
+    blocks = MinerU(tiny=True).parse_two_step(img, max_new_tokens=8)
+    print(f"two-step blocks: {len(blocks)}"
+          + (f" first={blocks[0].block_type}" if blocks else
+             " (random weights emit no layout lines)"))
 
 
 if __name__ == "__main__":

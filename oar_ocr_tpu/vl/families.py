@@ -775,12 +775,15 @@ class MinerU(VLMFamily):
         super().__init__(cfg.tiny() if tiny else cfg, params, **kw)
 
     def parse_two_step(self, image: np.ndarray, *,
-                       max_new_tokens: int = 256) -> Dict[str, str]:
-        layout = self.generate([image], "layout",
-                               max_new_tokens=max_new_tokens)[0]
-        extract = self.generate([image], "extract",
-                                max_new_tokens=max_new_tokens)[0]
-        return {"layout": layout, "content": extract}
+                       max_new_tokens: int = 256):
+        """Model-native two-step layout→extraction
+        (examples/mineru.rs:155-230 via vl/mineru_layout.py): layout
+        detection on the 1036² square resize, `<|box_start|>…` line
+        parsing, per-block crop + de-rotation + per-type prompts, table
+        OTSL→HTML. Returns the typed ``ContentBlock`` list."""
+        from .mineru_layout import run_two_step
+
+        return run_two_step(self, image, max_new_tokens=max_new_tokens)
 
 
 class MinerUDiffusion(VLMFamily):
