@@ -15,6 +15,17 @@ def main():
                      num_unmask_steps=3)
     print("SDAR block-diffusion decode:", repr(out[0][:160]))
 
+    # the reference example DEFAULTS to the MinerU-style two-step
+    # structured extraction (mineru_diffusion.rs --single-pass inverts);
+    # the diffusion family shares vl/mineru_layout.run_two_step
+    from oar_ocr_tpu.vl.families import MinerUDiffusion
+    from oar_ocr_tpu.vl.mineru_layout import run_two_step
+
+    blocks = run_two_step(MinerUDiffusion(tiny=True), img,
+                          max_new_tokens=8)
+    print(f"two-step blocks: {len(blocks)}"
+          if blocks else "two-step: no layout lines (random weights)")
+
 
 if __name__ == "__main__":
     main()
