@@ -29,6 +29,7 @@ from .attention import (combine_masks, create_causal_mask,
                         create_left_padding_mask)
 from .kv_cache import KVCache, decoder_cache_capacity
 from .paddleocr_vl import (TASK_PROMPTS, PaddleOCRVLConfig,
+                           postprocess_task_output,
                            PaddleOCRVLModule)
 from .processing import VisionProcessorConfig, grid_shape, smart_resize
 
@@ -337,7 +338,9 @@ class PaddleOCRVL:
             if c.eos_id in row:
                 row = row[: row.index(c.eos_id)]
             results.append(GenerationResult(
-                text=self.tokenizer.decode(row), token_ids=row,
+                text=postprocess_task_output(
+                    self.tokenizer.decode(row), task),
+                token_ids=row,
                 num_prompt_tokens=int(valid_lengths[i])))
         return results
 

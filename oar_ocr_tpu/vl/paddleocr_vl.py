@@ -53,6 +53,39 @@ TASK_PROMPTS = {
     "seal": "Seal Recognition:",
 }
 
+
+def strip_math_wrappers(text: str) -> str:
+    """Remove one layer of $$…$$ then $…$ around a formula
+    (utils/text.rs:103-114)."""
+    t = text.strip()
+    if t.startswith("$$") and t.endswith("$$") and len(t) >= 4:
+        t = t[2:-2]
+    elif t.startswith("$") and t.endswith("$") and len(t) >= 2:
+        t = t[1:-1]
+    return t.strip()
+
+
+def postprocess_table_output(text: str) -> str:
+    """Table task output → HTML when it carries OTSL tokens or raw
+    <table markup (paddleocr_vl/processing.rs:17-23)."""
+    from .otsl import needs_table_postprocess, otsl_to_html
+
+    trimmed = text.strip()
+    if not needs_table_postprocess(trimmed) and "<table" not in trimmed:
+        return trimmed
+    return otsl_to_html(text)
+
+
+def postprocess_task_output(text: str, task: str) -> str:
+    """Per-task output cleanup (paddleocr_vl/model.rs:40-46): formulas
+    lose their math wrappers, tables convert OTSL→HTML, everything else
+    is trimmed."""
+    if task == "formula":
+        return strip_math_wrappers(text)
+    if task == "table":
+        return postprocess_table_output(text)
+    return text.strip()
+
 # vision.rs:12 ATTN_FULL_SEQ_THRESHOLD — above this (static) length the
 # vision attention runs the Pallas flash kernel instead of full SDPA.
 ATTN_FULL_SEQ_THRESHOLD = 8192

@@ -358,3 +358,19 @@ class TestSpottingPreprocess:
         # model.rs:30-38 prompt table
         assert TASK_PROMPTS["spotting"] == "Spotting:"
         assert TASK_PROMPTS["seal"] == "Seal Recognition:"
+
+
+def test_per_task_output_postprocess():
+    """paddleocr_vl/model.rs:40-46: formula loses math wrappers, table
+    OTSL converts to HTML, others trim."""
+    from oar_ocr_tpu.vl.paddleocr_vl import (postprocess_table_output,
+                                             postprocess_task_output,
+                                             strip_math_wrappers)
+    assert strip_math_wrappers(" $$x^2$$ ") == "x^2"
+    assert strip_math_wrappers("$y$") == "y"
+    assert strip_math_wrappers("plain") == "plain"
+    assert postprocess_task_output("  text  ", "ocr") == "text"
+    html = postprocess_task_output("<fcel>a<fcel>b<nl>", "table")
+    assert html.startswith("<table>") and "<td>a</td>" in html
+    # non-table text passes through table postprocess untouched
+    assert postprocess_table_output("no tokens here") == "no tokens here"
