@@ -63,6 +63,9 @@ class RecognitionBackend(Protocol):
 class VLMBackend:
     """RecognitionBackend over PaddleOCRVL (or compatible .generate)."""
 
+    # PaddleOCR-VL outputs HTML directly (doc_parser.rs:467-469)
+    needs_table_postprocess = False
+
     def __init__(self, vlm):
         self.vlm = vlm
 
@@ -132,12 +135,16 @@ class FamilyBackend:
     repetition truncation, MinerU additionally the small-crop resize."""
 
     def __init__(self, family, prompts, *, pre_resize: bool = False,
-                 truncate: bool = False, max_new_tokens: int = 256):
+                 truncate: bool = False, max_new_tokens: int = 256,
+                 needs_table_postprocess: bool = False):
         self.family = family
         self.prompts = prompts
         self.pre_resize = pre_resize
         self.truncate = truncate
         self.max_new_tokens = max_new_tokens
+        # per-backend flag (doc_parser.rs:61): MinerU emits OTSL (true,
+        # :596); Hunyuan/GLM emit HTML directly (false, :513/:553)
+        self.needs_table_postprocess = needs_table_postprocess
 
     def recognize(self, images, task: RecognitionTask) -> List[str]:
         if not images:
@@ -164,9 +171,10 @@ def glm_backend(family, **kw) -> FamilyBackend:
 
 def mineru_backend(family, **kw) -> FamilyBackend:
     """MinerU2.5 DocParser backend (doc_parser.rs:565): official prompts
-    + min-edge-28 crop resize + repetition truncation."""
+    + min-edge-28 crop resize + repetition truncation + OTSL table
+    postprocess (doc_parser.rs:596)."""
     return FamilyBackend(family, MINERU_TASK_PROMPTS, pre_resize=True,
-                         truncate=True, **kw)
+                         truncate=True, needs_table_postprocess=True, **kw)
 
 
 def hunyuan_backend(family, **kw) -> FamilyBackend:
@@ -222,8 +230,13 @@ class DocParser:
             for (idx, _), text in zip(items, texts):
                 el = elements[idx]
                 if task == RecognitionTask.TABLE:
-                    html = (otsl_to_html(text)
-                            if needs_table_postprocess(text) else text)
+                    # per-backend flag like doc_parser.rs:364 when the
+                    # backend declares one; sniff the text otherwise
+                    flag = getattr(self.backend,
+                                   "needs_table_postprocess", None)
+                    convert = (flag if flag is not None
+                               else needs_table_postprocess(text))
+                    html = otsl_to_html(text) if convert else text
                     el.table = TableResult(html=html)
                 elif task == RecognitionTask.FORMULA:
                     el.formula_latex = text

@@ -68,12 +68,12 @@ def strip_math_wrappers(text: str) -> str:
 def postprocess_table_output(text: str) -> str:
     """Table task output → HTML when it carries OTSL tokens or raw
     <table markup (paddleocr_vl/processing.rs:17-23)."""
-    from .otsl import needs_table_postprocess, otsl_to_html
+    from .otsl import convert_otsl_to_html, looks_like_table_tokens
 
     trimmed = text.strip()
-    if not needs_table_postprocess(trimmed) and "<table" not in trimmed:
+    if not looks_like_table_tokens(trimmed) and "<table" not in trimmed:
         return trimmed
-    return otsl_to_html(text)
+    return convert_otsl_to_html(text)
 
 
 def postprocess_task_output(text: str, task: str) -> str:

@@ -155,6 +155,136 @@ class TestOTSL:
         html = otsl_to_html("<ched>H1<ched>H2<nl><fcel>a<fcel>b<nl>")
         assert "<th>H1</th>" in html
 
+    # --- reference-exact behaviors (table.rs:193-245, 300-363) ---
+
+    def test_empty_input(self):
+        assert otsl_to_html("") == ""
+        assert otsl_to_html("   ") == ""
+
+    def test_already_html_is_cleaned(self):
+        # clean_html_table repairs the <tdcolspan= typo and strips stray
+        # model tokens (table.rs:217-228)
+        out = otsl_to_html('<table><tr><tdcolspan="2">A<|unk|></td></tr>'
+                           "</table>")
+        assert "<td  colspan=" in out    # reference's double-space repair
+        assert "<|unk|>" not in out
+
+    def test_tsv_fallback(self):
+        html = otsl_to_html("a\tb\nc\td")
+        assert html == ("<table><tr><td>a</td><td>b</td></tr>"
+                        "<tr><td>c</td><td>d</td></tr></table>")
+
+    def test_content_is_escaped(self):
+        html = otsl_to_html("<fcel>a < b<fcel>c & d<nl>")
+        assert "<td>a &lt; b</td>" in html
+        assert "<td>c &amp; d</td>" in html
+
+    def test_ragged_rows_repaired(self):
+        # otsl_pad_to_sqr_v2 pads the short row with <ecel> so spans
+        # still resolve (table.rs:300-363)
+        html = otsl_to_html("<fcel>a<fcel>b<nl><fcel>c<nl>")
+        assert html == ("<table><tr><td>a</td><td>b</td></tr>"
+                        "<tr><td>c</td><td></td></tr></table>")
+
+    def test_rowspan_attr_before_colspan(self):
+        html = otsl_to_html(
+            "<fcel>A<lcel><nl><ucel><xcel><nl>")
+        assert '<td rowspan="2" colspan="2">A</td>' in html
+
+    def test_strip_fallback(self):
+        from oar_ocr_tpu.vl.otsl import strip_table_tokens_fallback
+
+        out = strip_table_tokens_fallback("<fcel>a<fcel>b<nl><fcel>c<nl>")
+        assert out == "a\tb\nc"
+
+
+class TestHTMLToOTSL:
+    """convert_html_to_otsl — reference tests (table.rs:612-712)."""
+
+    def test_simple_grid(self):
+        from oar_ocr_tpu.vl.otsl import convert_html_to_otsl
+
+        html = ("<table><tr><td>a</td><td>b</td></tr>"
+                "<tr><td>c</td><td>d</td></tr></table>")
+        assert convert_html_to_otsl(html) == \
+            "<fcel>a<fcel>b<nl><fcel>c<fcel>d<nl>"
+
+    def test_empty_cells_become_ecel(self):
+        from oar_ocr_tpu.vl.otsl import convert_html_to_otsl
+
+        html = "<table><tr><td>a</td><td></td></tr></table>"
+        assert convert_html_to_otsl(html) == "<fcel>a<ecel><nl>"
+
+    def test_colspan_emits_lcel(self):
+        from oar_ocr_tpu.vl.otsl import convert_html_to_otsl
+
+        html = ('<table><tr><td colspan="2">A</td></tr>'
+                "<tr><td>x</td><td>y</td></tr></table>")
+        assert convert_html_to_otsl(html) == \
+            "<fcel>A<lcel><nl><fcel>x<fcel>y<nl>"
+
+    def test_rowspan_emits_ucel(self):
+        from oar_ocr_tpu.vl.otsl import convert_html_to_otsl
+
+        html = ('<table><tr><td rowspan="2">A</td><td>b</td></tr>'
+                "<tr><td>c</td></tr></table>")
+        assert convert_html_to_otsl(html) == \
+            "<fcel>A<fcel>b<nl><ucel><fcel>c<nl>"
+
+    def test_xcel_for_combined_span(self):
+        from oar_ocr_tpu.vl.otsl import convert_html_to_otsl
+
+        html = ('<table><tr><td colspan="2" rowspan="2">A</td></tr>'
+                "<tr></tr></table>")
+        assert convert_html_to_otsl(html) == \
+            "<fcel>A<lcel><nl><ucel><xcel><nl>"
+
+    def test_tdcolspan_typo(self):
+        from oar_ocr_tpu.vl.otsl import convert_html_to_otsl
+
+        html = ('<table><tr><tdcolspan="2">A</td></tr>'
+                "<tr><td>x</td><td>y</td></tr></table>")
+        assert convert_html_to_otsl(html) == \
+            "<fcel>A<lcel><nl><fcel>x<fcel>y<nl>"
+
+    def test_decodes_entities(self):
+        from oar_ocr_tpu.vl.otsl import convert_html_to_otsl
+
+        html = ("<table><tr><td>a &amp; b</td><td>x &lt; y</td></tr>"
+                "</table>")
+        assert convert_html_to_otsl(html) == \
+            "<fcel>a & b<fcel>x < y<nl>"
+
+    def test_none_for_non_table(self):
+        from oar_ocr_tpu.vl.otsl import convert_html_to_otsl
+
+        assert convert_html_to_otsl("plain text") is None
+        assert convert_html_to_otsl("<p>not a table</p>") is None
+        assert convert_html_to_otsl("") is None
+
+    def test_uppercase_tags(self):
+        from oar_ocr_tpu.vl.otsl import convert_html_to_otsl
+
+        html = "<TABLE><TR><TD>a</TD><TD>b</TD></TR></TABLE>"
+        assert convert_html_to_otsl(html) == "<fcel>a<fcel>b<nl>"
+
+    def test_span_attr_not_fooled_by_substrings(self):
+        from oar_ocr_tpu.vl.otsl import _extract_span
+
+        assert _extract_span(' data-colspan="7"', "colspan") == 1
+        assert _extract_span(' xrowspan="9"', "rowspan") == 1
+        assert _extract_span(' class="mycolspan"', "colspan") == 1
+        assert _extract_span(' colspan="3"', "colspan") == 3
+        assert _extract_span(" COLSPAN=4", "colspan") == 4
+        assert _extract_span(' class="data" rowspan="2"', "rowspan") == 2
+
+    def test_roundtrip(self):
+        from oar_ocr_tpu.vl.otsl import convert_html_to_otsl
+
+        otsl_in = "<fcel>a<fcel>b<nl><fcel>c<fcel>d<nl>"
+        html = otsl_to_html(otsl_in)
+        assert convert_html_to_otsl(html) == otsl_in
+
 
 def test_vl_generate_tiny(rng):
     from oar_ocr_tpu.vl.model import PaddleOCRVL
