@@ -5,9 +5,11 @@ library whose only parallelism is CPU thread pools and batch chunking; here
 the batch (pages / pooled crops) axis is sharded over a named ``data`` mesh
 axis via `jax.sharding`, which is the primary v5e-8 strategy for the ≥50
 pages/s target — every model is ≤ a few M params and fully replicated, so
-no parameter collectives are required. A ``model`` axis is reserved for
-tensor-parallel sharding of wide projections (CTC vocab head, VLM MLPs) as
-a latency optimization.
+no parameter collectives are required. The ``model`` axis carries
+Megatron-style tensor parallelism for the VLM decoders (parallel/tp.py):
+column-sharded q/k/v + gate/up + lm_head, row-sharded o/down, GSPMD
+inserting the all-reduces — a decode-latency lever beyond the
+single-device reference.
 """
 
 from __future__ import annotations

@@ -148,3 +148,100 @@ class TestMeshPredict:
                 np.testing.assert_allclose(a.box, b.box, atol=1e-4)
                 assert a.text == b.text
                 assert abs(a.confidence - b.confidence) < 1e-5
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestTensorParallel:
+    """Megatron-style TP over the ``model`` axis (parallel/tp.py):
+    column-sharded q/k/v + gate/up + lm_head, row-sharded o + down.
+    Correctness = placement invariance: a 2x4 (data x model) mesh must
+    reproduce the replicated single-layout logits bit-for-tolerance."""
+
+    def _decoder_run(self, params_placed, module, cfg, embeds, positions,
+                     n_steps=3):
+        import jax.numpy as jnp
+
+        from oar_ocr_tpu.vl.kv_cache import KVCache
+
+        b, t = embeds.shape[:2]
+        cap = 32
+
+        def step(params, embeds, positions):
+            cache = KVCache.create(cfg.layers, b, cfg.kv_heads, cap,
+                                   cfg.head_dim, dtype=jnp.float32)
+            from oar_ocr_tpu.vl.attention import (combine_masks,
+                                                  create_causal_mask)
+
+            mask = jnp.broadcast_to(create_causal_mask(t), (b, 1, t, t))
+            mask = jnp.concatenate(
+                [mask, jnp.zeros((b, 1, t, cap - t), bool)], -1)
+            logits, _, cache, _ = module.apply(
+                params, embeds, positions, cache, mask,
+                method="prefill")
+            cache = cache.advance(t)
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            outs = [logits]
+            for i in range(n_steps):
+                pos = jnp.full((1, b, 1), t + i, jnp.int32)
+                logits, _, cache, _ = module.apply(
+                    params, tok, pos, cache, t + i,
+                    method="decode_step")
+                tok = jnp.argmax(logits, -1).astype(jnp.int32)
+                outs.append(logits)
+            return jnp.stack(outs)
+
+        return np.asarray(jax.jit(step)(params_placed, embeds, positions))
+
+    def test_tp_matches_replicated(self):
+        import jax.numpy as jnp
+
+        from oar_ocr_tpu.parallel.tp import (param_shardings,
+                                             partition_params, tp_spec)
+        from oar_ocr_tpu.vl.decoder import CausalLM, DecoderConfig
+
+        cfg = DecoderConfig(vocab_size=64, hidden=128, layers=2, heads=8,
+                            kv_heads=4, ffn=256)
+        module = CausalLM(cfg)
+        b, t = 4, 6
+        rng = np.random.default_rng(11)
+        embeds = jnp.asarray(rng.normal(size=(b, t, cfg.hidden)),
+                             jnp.float32)
+        positions = jnp.broadcast_to(
+            jnp.arange(t, dtype=jnp.int32)[None, None], (1, b, t))
+        from oar_ocr_tpu.vl.kv_cache import KVCache
+
+        cache0 = KVCache.create(cfg.layers, b, cfg.kv_heads, 32,
+                                cfg.head_dim, dtype=jnp.float32)
+        # init via decode_step: it touches tok_emb + trunk + lm_head
+        # (prefill alone never creates the embedding table)
+        params = module.init(jax.random.PRNGKey(0),
+                             jnp.zeros((b,), jnp.int32),
+                             jnp.zeros((1, b, 1), jnp.int32),
+                             cache0, 0, method="decode_step")
+
+        ref = self._decoder_run(params, module, cfg, embeds, positions)
+
+        mesh = build_mesh(n_data=2, n_model=4)
+        placed = partition_params(params, mesh)
+        # sanity: TP actually shards something over ``model``
+        shardings = jax.tree_util.tree_leaves(param_shardings(params, mesh))
+        assert any("model" in str(s.spec) for s in shardings)
+        got = self._decoder_run(placed, module, cfg, embeds, positions)
+
+        np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
+
+    def test_tp_spec_rules(self):
+        from jax.sharding import PartitionSpec as P
+
+        from oar_ocr_tpu.parallel.tp import tp_spec
+
+        k2 = np.zeros((4, 4))
+        assert tp_spec(("a", "q_proj", "kernel"), k2) == P(None, "model")
+        assert tp_spec(("a", "down_proj", "kernel"), k2) == P("model", None)
+        assert tp_spec(("a", "lm_head", "kernel"), k2) == P(None, "model")
+        assert tp_spec(("a", "o", "kernel"), k2) == P("model", None)
+        assert tp_spec(("a", "input_norm", "scale"),
+                       np.zeros((4,))) == P()
+        assert tp_spec(("a", "q_proj", "bias"), np.zeros((4,))) == \
+            P("model")
+        assert tp_spec(("a", "tok_emb", "embedding"), k2) == P()
