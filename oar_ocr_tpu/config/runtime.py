@@ -91,14 +91,30 @@ class MeshConfig:
 
     axes: Tuple[str, ...] = ("data",)
     shape: Optional[Tuple[int, ...]] = None  # None → all local devices on axis 0
+    # >1 → reserve a trailing ``model`` axis of this size for Megatron-style
+    # tensor parallelism of the VLM decoders (parallel/tp.py); the remaining
+    # devices form the ``data`` axis. OAR_TPU_TP env override.
+    n_model: int = 1
 
     def build(self) -> jax.sharding.Mesh:
         devices = np.array(jax.devices())
-        if self.shape is None:
-            shape = (len(devices),) + (1,) * (len(self.axes) - 1)
-        else:
-            shape = self.shape
-        return jax.sharding.Mesh(devices.reshape(shape), self.axes)
+        axes = self.axes
+        if self.n_model > 1 and "model" not in axes:
+            axes = axes + ("model",)
+        shape = self.shape
+        if shape is None:
+            if self.n_model > 1:
+                if len(devices) % self.n_model:
+                    from ..errors import ConfigError
+
+                    raise ConfigError(
+                        "n_model must divide the device count",
+                        n_model=self.n_model, devices=len(devices))
+                shape = ((len(devices) // self.n_model,)
+                         + (1,) * (len(axes) - 2) + (self.n_model,))
+            else:
+                shape = (len(devices),) + (1,) * (len(axes) - 1)
+        return jax.sharding.Mesh(devices.reshape(shape), axes)
 
 
 @dataclass(frozen=True)
@@ -149,6 +165,9 @@ class RuntimeConfig:
             updates["compute_dtype"] = os.environ["OAR_TPU_DTYPE"]
         if os.environ.get("OAR_TPU_MESH") is not None:
             updates["use_mesh"] = os.environ["OAR_TPU_MESH"] not in ("0", "")
+        if os.environ.get("OAR_TPU_TP"):
+            updates["mesh"] = dataclasses.replace(
+                cfg.mesh, n_model=int(os.environ["OAR_TPU_TP"]))
         return dataclasses.replace(cfg, **updates) if updates else cfg
 
 

@@ -81,6 +81,8 @@ class Runtime:
                     and self.device.platform in ("tpu", "axon"))
         self.mesh = self.cfg.mesh.build() if want else None
         self.n_data = int(self.mesh.shape["data"]) if self.mesh else 1
+        self.n_model = (int(self.mesh.shape.get("model", 1))
+                        if self.mesh else 1)
         # persistent cache only for real accelerators: XLA:CPU AOT results
         # are machine-feature-pinned and can SIGILL across detection drift
         if self.device.platform in ("tpu", "axon"):
@@ -122,6 +124,19 @@ class Runtime:
             sh = self.replicated_sharding()
             return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
         return jax.device_put(tree, self.device)
+
+    def put_params_vl(self, tree):
+        """Place a VL decoder params pytree: Megatron-style tensor-parallel
+        over the ``model`` axis when one is active (parallel/tp.py rules —
+        column-sharded q/k/v + gate/up + lm_head, row-sharded o/down, GSPMD
+        inserting the all-reduces), otherwise `put_params` semantics.
+        Inputs need no special placement: uncommitted host arrays compose
+        with committed TP params under plain `jit`."""
+        if self.mesh is not None and self.n_model > 1:
+            from ..parallel.tp import partition_params
+
+            return partition_params(tree, self.mesh)
+        return self.put_params(tree)
 
     def round_batch(self, nb: int) -> int:
         """Round a batch bucket up to a multiple of the data-axis size so

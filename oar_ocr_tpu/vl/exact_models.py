@@ -233,7 +233,7 @@ class ExactVLM:
         self.module = ExactVLMModule(spec, vision_cfg)
         if params is None:
             params = self._init_params(seed)
-        self.params = jax.device_put(params, self.runtime.device)
+        self.params = self.runtime.put_params_vl(params)
         self._gen = jax.jit(self._prefill_decode,
                             static_argnames=("max_new", "capacity"))
         self._encode = jax.jit(lambda p, *a: self.module.apply(
@@ -652,7 +652,7 @@ class GlmSpeculativeExact(ExactVLM):
                 jnp.zeros((1, 1, c.hidden), jnp.float32),
                 jnp.zeros((1, 1), jnp.int32), cache, jnp.int32(0),
                 jnp.ones((1, 1, 1, 8), bool))
-        self.mtp_params = jax.device_put(mtp_params, self.runtime.device)
+        self.mtp_params = self.runtime.put_params_vl(mtp_params)
 
     def _spec_round(self, params, mparams, h, tok, cache, mtp_cache,
                     wpos, *, k: int):

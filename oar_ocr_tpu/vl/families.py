@@ -367,7 +367,7 @@ class VLMFamily:
         self.module = FamilyModule(cfg)
         if params is None:
             params = self._init_params(seed)
-        self.params = jax.device_put(params, self.runtime.device)
+        self.params = self.runtime.put_params_vl(params)
         self._encode_vision = jax.jit(functools.partial(
             self.module.apply, method=FamilyModule.encode_vision))
         self._embed = jax.jit(functools.partial(

@@ -114,8 +114,7 @@ class HpdContinuousScheduler:
                 jax.random.PRNGKey(seed),
                 jnp.zeros((1, c.hidden), jnp.float32),
                 jnp.zeros((1, c.hidden), jnp.float32))
-        self.mtp_params = jax.device_put(mtp_params,
-                                         model.runtime.device)
+        self.mtp_params = model.runtime.put_params_vl(mtp_params)
         self._round_jits: Dict[Tuple[int, int], object] = {}
 
     # ------------------------------------------------------------------

@@ -422,7 +422,7 @@ class HunyuanOCRModel:
         self.module = HunyuanOCRModule(self.cfg)
         if params is None:
             params = self._init_params(seed)
-        self.params = jax.device_put(params, self.runtime.device)
+        self.params = self.runtime.put_params_vl(params)
         self._encode = jax.jit(
             lambda p, x, pe, gh, gw: self.module.apply(
                 p, x, pe, gh, gw, method=HunyuanOCRModule.encode_image),
@@ -560,7 +560,7 @@ class HunyuanOCRSpeculative(HunyuanOCRModel):
                                        aux_layers=self._aux_layers)
         if params is None:
             params = self._init_params(seed)
-        self.params = jax.device_put(params, self.runtime.device)
+        self.params = self.runtime.put_params_vl(params)
         self._encode = jax.jit(
             lambda p, x, pe, gh, gw: self.module.apply(
                 p, x, pe, gh, gw, method=HunyuanOCRModule.encode_image),
@@ -590,8 +590,7 @@ class HunyuanOCRSpeculative(HunyuanOCRModel):
                 return m.draft_hidden(q0, ctx0, 1, 0)
 
             dflash_params = self.draft.init(rngs, method=_init_all)
-        self.draft_params = jax.device_put(dflash_params,
-                                           self.runtime.device)
+        self.draft_params = self.runtime.put_params_vl(dflash_params)
         self._rounds: dict = {}
 
     def _spec_round(self, params, dparams, tok, cache, ctx, wpos,

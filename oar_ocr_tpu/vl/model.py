@@ -84,7 +84,7 @@ class PaddleOCRVL:
         self.module = PaddleOCRVLModule(self.cfg)
         if params is None:
             params = self._init_params(seed)
-        self.params = jax.device_put(params, self.runtime.device)
+        self.params = self.runtime.put_params_vl(params)
         self._encode_vision = jax.jit(
             lambda p, patches, valid, h_ids, w_ids, pe: self.module.apply(
                 p, patches, valid, h_ids, w_ids, pe,

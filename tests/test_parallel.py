@@ -230,6 +230,38 @@ class TestTensorParallel:
 
         np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
 
+    def test_tp_production_family_generate(self):
+        """TP reachable from the public API: a VLMFamily built on a
+        Runtime with a (data, model) mesh places its decoder params
+        tensor-parallel (runtime.put_params_vl) and generate() output is
+        identical to the single-device run."""
+        from oar_ocr_tpu.config.runtime import MeshConfig, RuntimeConfig
+        from oar_ocr_tpu.runtime.runtime import Runtime
+        from oar_ocr_tpu.vl.families import GLMOCR
+
+        img = np.random.default_rng(3).integers(
+            0, 255, (48, 64, 3), dtype=np.uint8)
+        base = GLMOCR(tiny=True)
+        ref = base.generate([img], "ocr", max_new_tokens=6)
+
+        rt = Runtime(RuntimeConfig(use_mesh=True,
+                                   mesh=MeshConfig(n_model=2)))
+        assert rt.n_data == 4 and rt.n_model == 2
+        tp = GLMOCR(jax.device_get(base.params), tiny=True, runtime=rt)
+        specs = {str(l.sharding.spec)
+                 for l in jax.tree_util.tree_leaves(tp.params)}
+        assert any("model" in s for s in specs), specs
+        assert tp.generate([img], "ocr", max_new_tokens=6) == ref
+
+    def test_tp_env_knob(self, monkeypatch):
+        from oar_ocr_tpu.config.runtime import RuntimeConfig
+
+        monkeypatch.setenv("OAR_TPU_TP", "2")
+        cfg = RuntimeConfig.from_env()
+        assert cfg.mesh.n_model == 2
+        mesh = cfg.mesh.build()
+        assert dict(mesh.shape) == {"data": 4, "model": 2}
+
     def test_tp_spec_rules(self):
         from jax.sharding import PartitionSpec as P
 

@@ -55,11 +55,17 @@ def test_monkeyocr_prompts():
 
 
 def test_mineru_two_step(img):
+    """parse_two_step returns the typed ContentBlock list
+    (mineru_layout.rs:27-34); a tiny random model yields no parseable
+    `<|box_start|>` lines, so the list may be empty — the mechanics are
+    covered deterministically in test_mineru_layout.py."""
     from oar_ocr_tpu.vl.families import MinerU
+    from oar_ocr_tpu.vl.mineru_layout import ContentBlock
 
     fam = MinerU(tiny=True)
     out = fam.parse_two_step(img, max_new_tokens=4)
-    assert set(out) == {"layout", "content"}
+    assert isinstance(out, list)
+    assert all(isinstance(b, ContentBlock) for b in out)
 
 
 def test_hpd_fork_parse(img):
