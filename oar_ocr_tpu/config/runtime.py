@@ -102,6 +102,17 @@ class MeshConfig:
         if self.n_model > 1 and "model" not in axes:
             axes = axes + ("model",)
         shape = self.shape
+        if shape is not None and len(shape) < len(axes):
+            # an explicit shape was written against self.axes; carve the
+            # appended model axis out of the leading (data) dimension
+            if shape[0] % self.n_model:
+                from ..errors import ConfigError
+
+                raise ConfigError(
+                    "n_model must divide the explicit mesh shape's "
+                    "data dimension", n_model=self.n_model, shape=shape)
+            shape = ((shape[0] // self.n_model,) + tuple(shape[1:])
+                     + (self.n_model,))
         if shape is None:
             if self.n_model > 1:
                 if len(devices) % self.n_model:

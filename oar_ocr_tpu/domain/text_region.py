@@ -69,17 +69,19 @@ class OAROCRResult:
     # ---- convenience accessors (result.rs:53-98) ----
 
     def recognized_text_regions(self) -> List[TextRegion]:
-        """Regions that carry recognized text (result.rs:53)."""
-        return [r for r in self.regions if r.text]
+        """Regions that carry a recognition result — has_text() is
+        text.is_some(), so an empty recognized string still counts
+        (result.rs:53)."""
+        return [r for r in self.regions if r.text is not None]
 
     def confident_text_regions(self) -> List[TextRegion]:
         """Regions with both text and a confidence score (result.rs:58)."""
         return [r for r in self.regions
-                if r.text and r.confidence is not None]
+                if r.text is not None and r.confidence is not None]
 
     def all_text(self) -> List[str]:
         """All recognized text strings (result.rs:65)."""
-        return [r.text for r in self.regions if r.text]
+        return [r.text for r in self.regions if r.text is not None]
 
     def concatenated_text(self, separator: str = "\n") -> str:
         """Recognized text joined with ``separator`` (result.rs:73)."""

@@ -69,7 +69,11 @@ def tp_spec(path: Tuple[str, ...], leaf) -> P:
     """
     if len(path) < 2:
         return P()
-    leaf_name, parent = path[-1], path[-2]
+    leaf_name = path[-1]
+    # flax stores dotted layer names ('self_attn.q_proj') as one dict
+    # key — match on the last dot component so the Hunyuan/exact stacks
+    # shard like the plainly-named ones
+    parent = path[-2].rsplit(".", 1)[-1]
     ndim = getattr(leaf, "ndim", 0)
     if leaf_name == "kernel" and ndim == 2:
         if parent in _COL_PARALLEL:

@@ -124,10 +124,15 @@ def prepare_for_extract(image: np.ndarray, blocks: Sequence[ContentBlock],
     for idx, block in enumerate(blocks):
         if block.block_type in _SKIP_EXTRACT:
             continue
-        x1 = int(np.clip(round(block.bbox[0] * w), 0, w - 1))
-        y1 = int(np.clip(round(block.bbox[1] * h), 0, h - 1))
-        x2 = int(np.clip(round(block.bbox[2] * w), 0, w))
-        y2 = int(np.clip(round(block.bbox[3] * h), 0, h))
+        # f32::round is half-away-from-zero, not Python's banker's
+        # rounding (mineru_layout.rs:159-167); coords are non-negative
+        def _round(v: float) -> int:
+            return int(np.floor(v + 0.5))
+
+        x1 = int(np.clip(_round(block.bbox[0] * w), 0, w - 1))
+        y1 = int(np.clip(_round(block.bbox[1] * h), 0, h - 1))
+        x2 = int(np.clip(_round(block.bbox[2] * w), 0, w))
+        y2 = int(np.clip(_round(block.bbox[3] * h), 0, h))
         if x2 <= x1 or y2 <= y1:
             continue
         crop = np.ascontiguousarray(image[y1:y2, x1:x2])

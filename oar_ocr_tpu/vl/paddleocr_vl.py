@@ -60,7 +60,9 @@ def strip_math_wrappers(text: str) -> str:
     t = text.strip()
     if t.startswith("$$") and t.endswith("$$") and len(t) >= 4:
         t = t[2:-2]
-    elif t.startswith("$") and t.endswith("$") and len(t) >= 2:
+    # sequential, not elif: the reference strips the $$ layer THEN the $
+    # layer (utils/text.rs:103-114), so "$$$x$$$" -> "x"
+    if t.startswith("$") and t.endswith("$") and len(t) >= 2:
         t = t[1:-1]
     return t.strip()
 

@@ -59,6 +59,17 @@ def test_prepare_for_extract_skips_and_rotates():
     assert prompt_for_block("code") == "\nText Recognition:"
 
 
+def test_crop_rounding_half_away_from_zero():
+    """f32::round is half-away-from-zero (mineru_layout.rs:159-167):
+    0.5 * 101 = 50.5 must round to 51, not Python round()'s 50."""
+    img = np.zeros((40, 101, 3), np.uint8)
+    crops, _, _ = prepare_for_extract(
+        img, [ContentBlock("text", (0.0, 0.0, 0.5, 1.0))],
+        min_image_edge=1)
+    # x2 = round(0.5*101) = 51 -> crop width 51 (min_edge=1: no resize)
+    assert crops[0].shape[1] == 51
+
+
 class _FakeFamily:
     class cfg:
         tasks = ("ocr",)

@@ -277,3 +277,18 @@ class TestTensorParallel:
         assert tp_spec(("a", "q_proj", "bias"), np.zeros((4,))) == \
             P("model")
         assert tp_spec(("a", "tok_emb", "embedding"), k2) == P()
+        # flax stores dotted layer names as one key (hunyuan.py
+        # name="self_attn.q_proj"): the last dot component must match
+        assert tp_spec(("a", "self_attn.q_proj", "kernel"), k2) == \
+            P(None, "model")
+        assert tp_spec(("a", "mlp.down_proj", "kernel"), k2) == \
+            P("model", None)
+
+    def test_mesh_explicit_shape_with_model_axis(self):
+        from oar_ocr_tpu.config.runtime import MeshConfig
+        from oar_ocr_tpu.errors import ConfigError
+
+        mesh = MeshConfig(shape=(8,), n_model=2).build()
+        assert dict(mesh.shape) == {"data": 4, "model": 2}
+        with pytest.raises(ConfigError):
+            MeshConfig(shape=(8,), n_model=3).build()

@@ -208,3 +208,10 @@ def test_result_convenience_accessors():
     assert len(res.confident_text_regions()) == 2
     assert "hello" in str(res)
     assert OAROCRResult().average_confidence() is None
+    # has_text() is text.is_some(): an EMPTY recognized string counts
+    # (text_region.rs:98 counts Some(""))
+    res.regions.append(TextRegion(box=np.zeros((4, 2), np.float32),
+                                  text="", confidence=0.2))
+    assert res.recognized_text_count() == 3
+    assert res.all_text() == ["hello", "world", ""]
+    assert abs(res.average_confidence() - 0.6) < 1e-6

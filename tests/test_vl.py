@@ -499,6 +499,9 @@ def test_per_task_output_postprocess():
     assert strip_math_wrappers(" $$x^2$$ ") == "x^2"
     assert strip_math_wrappers("$y$") == "y"
     assert strip_math_wrappers("plain") == "plain"
+    # the $$ layer strips BEFORE the $ layer, sequentially
+    # (utils/text.rs:103-114)
+    assert strip_math_wrappers("$$$x^2$$$") == "x^2"
     assert postprocess_task_output("  text  ", "ocr") == "text"
     html = postprocess_task_output("<fcel>a<fcel>b<nl>", "table")
     assert html.startswith("<table>") and "<td>a</td>" in html
