@@ -163,6 +163,15 @@ class TableResult:
     # a cell DETECTOR backed them (TableResult.is_e2e, structure.rs:2393;
     # gates OCR-box splitting, :2674 has_detection_backed_table_cells)
     is_e2e: bool = True
+    # Stitcher inputs (structure.rs:2393 TableResult keeps cells +
+    # structure_tokens so ResultStitcher.stitch_tables can match OCR text
+    # into cells AFTER the table analyzer ran — the analyzer itself does
+    # not match text, table_analyzer.rs:12). ``cells`` is a list of
+    # processors.table.TableCell (page-coord bbox + grid row/col);
+    # ``cell_texts`` is filled by the stitcher in structure-token order.
+    structure_tokens: Optional[List[str]] = None
+    cells: Optional[list] = None
+    cell_texts: Optional[List[Optional[str]]] = None
 
     def to_json(self) -> dict:
         return {
@@ -172,6 +181,7 @@ class TableResult:
             "structure_score": self.structure_score,
             "is_wired": self.is_wired,
             "is_e2e": self.is_e2e,
+            "cell_texts": self.cell_texts,
         }
 
 
@@ -182,6 +192,10 @@ class LayoutElement:
     element_type: LayoutElementType
     box: np.ndarray                               # (4,) xyxy
     score: float = 0.0
+    # raw detector label (with_label, structure.rs:1924) — drives the
+    # OpenOCR markdown dispatch and ignore lists; element_type is the
+    # normalized taxonomy view of the same string
+    label: Optional[str] = None
     text: Optional[str] = None
     table: Optional[TableResult] = None
     formula_latex: Optional[str] = None

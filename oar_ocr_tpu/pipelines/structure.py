@@ -140,7 +140,8 @@ class OARStructure:
         for page_i, boxes in enumerate(layout_boxes):
             els = [LayoutElement(
                 element_type=LayoutElementType.from_label(b.label),
-                box=b.box, score=b.score, order_index=b.order_index)
+                box=b.box, score=b.score, label=b.label,
+                order_index=b.order_index)
                 for b in boxes]
             els = remove_overlapping_elements(els)
             fix_element_labels(els)
@@ -178,6 +179,14 @@ class OARStructure:
                 ocr_results = self.ocr.predict(list(images))
             for page_i, r in enumerate(ocr_results):
                 ocr_regions[page_i] = r.regions
+            # refine against layout blocks (structure.rs:2484, :3209 —
+            # runs for every page right after recognition)
+            for page_i in range(len(images)):
+                if ocr_regions[page_i] or page_elements[page_i]:
+                    with stage_timer("structure.ocr_refine", page=page_i):
+                        ocr_regions[page_i] = self._refine_ocr_with_layout(
+                            pages, page_i, shapes[page_i],
+                            ocr_regions[page_i], page_elements[page_i])
 
         # --- seal text, batched across pages (poly det preset;
         # detect_seal_text structure.rs:2009) ---
@@ -205,11 +214,11 @@ class OARStructure:
                 for el in els:
                     if el.element_type == LayoutElementType.TABLE:
                         x0, y0, x1, y1 = el.xyxy
-                        regs = ocr_regions[page_i]
+                        # No OCR here: cell-text matching happens in the
+                        # ResultStitcher AFTER the cross-cell split below
+                        # (table_analyzer.rs:12; stitching.rs:105)
                         inputs.append(TableRegionInput(
-                            page_index=page_i, box=(x0, y0, x1, y1),
-                            ocr_boxes=[r.box for r in regs],
-                            ocr_texts=[r.text or "" for r in regs]))
+                            page_index=page_i, box=(x0, y0, x1, y1)))
                         owners.append((page_i, el))
             if inputs:
                 with stage_timer("structure.tables", batch=len(inputs)):
@@ -251,6 +260,165 @@ class OARStructure:
     def predict_image(self, image: np.ndarray) -> StructureResult:
         """Single-page convenience (structure.rs:2808)."""
         return self.predict([image])[0]
+
+    # -------------------------------------------------------------
+    def _refine_ocr_with_layout(self, pages, page_i: int, page_shape,
+                                regions: List[TextRegion],
+                                elements: List[LayoutElement]
+                                ) -> List[TextRegion]:
+        """Refine the overall OCR against layout blocks
+        (structure.rs:1400-1630 refine_overall_ocr_with_layout), two
+        waves, each ONE batched recognize_chunk dispatch instead of the
+        reference's per-crop adapter calls:
+
+        1. every OCR box overlapping >1 non-excluded layout block
+           (intersection w/h > 3 px, :1444) is re-recognized per
+           intersection — the first valid crop replaces the region, the
+           rest append; existing regions covered by a crop (IoU > 0.8)
+           lose their text (:1486);
+        2. non-excluded, non-image/chart layout blocks still textless
+           after wave 1 get a whole-block fallback OCR (:1552).
+
+        Regions whose text was suppressed stay in the list with
+        ``text=None``, like the reference."""
+
+        if not regions and not elements:
+            return regions
+        min_pixels = 3.0
+
+        def excluded(t: LayoutElementType) -> bool:
+            # :1429-1438 — specialized block types never match OCR
+            return (t.is_formula or t == LayoutElementType.FORMULA_NUMBER
+                    or t == LayoutElementType.TABLE
+                    or t == LayoutElementType.SEAL)
+
+        def inter_wh(a, b):
+            return (min(a[2], b[2]) - max(a[0], b[0]),
+                    min(a[3], b[3]) - max(a[1], b[1]))
+
+        def iou(a, b) -> float:
+            iw, ih = inter_wh(a, b)
+            if iw <= 0 or ih <= 0:
+                return 0.0
+            inter = iw * ih
+            ua = ((a[2] - a[0]) * (a[3] - a[1])
+                  + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+            return inter / ua if ua > 0 else 0.0
+
+        # ---- wave 1: multi-layout OCR boxes (:1462-1549) ----
+        region_boxes = [r.xyxy for r in regions]
+        el_boxes = [el.xyxy for el in elements]
+        matched: List[List[int]] = []
+        for rb in region_boxes:
+            ids = []
+            for li, eb in enumerate(el_boxes):
+                if excluded(elements[li].element_type):
+                    continue
+                iw, ih = inter_wh(rb, eb)
+                if iw > min_pixels and ih > min_pixels:
+                    ids.append(li)
+            matched.append(ids)
+
+        plans, plan_meta = [], []   # (region_idx, crop_box, is_first)
+        for ri, ids in enumerate(matched):
+            if len(ids) <= 1:
+                continue
+            rb = region_boxes[ri]
+            for j, li in enumerate(ids):
+                x0, y0 = max(rb[0], el_boxes[li][0]), max(rb[1], el_boxes[li][1])
+                x1, y1 = min(rb[2], el_boxes[li][2]), min(rb[3], el_boxes[li][3])
+                if x1 - x0 <= 1.0 or y1 - y0 <= 1.0:
+                    continue                    # aabb_intersection None
+                crop_box = (x0, y0, x1, y1)
+                # suppress fully-covered existing text (:1486-1494)
+                for oi, other in enumerate(regions):
+                    if oi != ri and iou(other.xyxy, crop_box) > 0.8:
+                        other.text = None
+                plan = self._crop_plan(page_i, page_shape, crop_box)
+                if plan is None:
+                    continue
+                plans.append(plan)
+                plan_meta.append((ri, crop_box, j == 0))
+
+        appended: List[TextRegion] = []
+        if plans:
+            with stage_timer("structure.ocr_refine.multi",
+                             batch=len(plans)):
+                decoded = self.ocr.recognizer.recognize_chunk(pages, plans)
+            for (ri, crop_box, is_first), (text, conf, _c) in zip(plan_meta,
+                                                                  decoded):
+                if not text:
+                    continue                    # :1522 empties skipped
+                x0, y0, x1, y1 = crop_box
+                quad = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]],
+                                np.float32)
+                if is_first:
+                    regions[ri].box = quad      # replace in place (:1526)
+                    regions[ri].text = text
+                    regions[ri].confidence = conf
+                else:
+                    appended.append(TextRegion(box=quad, text=text,
+                                               confidence=conf))
+        regions = list(regions) + appended
+
+        # ---- wave 2: fallback OCR for textless blocks (:1552-1609) ----
+        plans, owners = [], []
+        for li, el in enumerate(elements):
+            t = el.element_type
+            if excluded(t) or t in (LayoutElementType.IMAGE,
+                                    LayoutElementType.CHART):
+                continue
+            eb = el_boxes[li]
+            has_text = False
+            for r in regions:
+                if not (r.text or "").strip():
+                    continue
+                iw, ih = inter_wh(r.xyxy, eb)
+                if iw > min_pixels and ih > min_pixels:
+                    has_text = True
+                    break
+            if has_text:
+                continue
+            plan = self._crop_plan(page_i, page_shape, eb)
+            if plan is None:
+                continue
+            plans.append(plan)
+            owners.append(eb)
+
+        if plans:
+            with stage_timer("structure.ocr_refine.fallback",
+                             batch=len(plans)):
+                decoded = self.ocr.recognizer.recognize_chunk(pages, plans)
+            for eb, (text, conf, _c) in zip(owners, decoded):
+                if not text:
+                    continue
+                x0, y0, x1, y1 = eb
+                regions.append(TextRegion(
+                    box=np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]],
+                                 np.float32),
+                    text=text, confidence=conf))
+        return regions
+
+    @staticmethod
+    def _crop_plan(page_i: int, page_shape, box_xyxy):
+        """Integer-clamped CropPlan for an axis-aligned page box
+        (BBoxCrop::crop_bounding_box's floor/ceil+clamp semantics);
+        None for degenerate crops."""
+        import math
+
+        from ..models.recognition.recognizer import CropPlan
+
+        img_h, img_w = int(page_shape[0]), int(page_shape[1])
+        fx1, fy1, fx2, fy2 = box_xyxy
+        x1 = min(max(int(math.floor(fx1)), 0), max(img_w - 1, 0))
+        y1 = min(max(int(math.floor(fy1)), 0), max(img_h - 1, 0))
+        x2 = min(max(int(math.ceil(fx2)), 0), img_w)
+        y2 = min(max(int(math.ceil(fy2)), 0), img_h)
+        if x2 - x1 <= 1 or y2 - y1 <= 1:
+            return None
+        quad = np.array([[x1, y1], [x2, y1], [x2, y2], [x1, y2]],
+                        np.float32)
+        return CropPlan.from_quad(page_i, quad)
 
     # -------------------------------------------------------------
     def _split_regions_by_cells(self, pages, page_i: int, page_shape,

@@ -24,6 +24,7 @@ from ..processors.layout_utils import reconcile_table_cells
 from ..processors.table import (TableCell, cell_aabbs,
                                 collect_cell_texts_for_tokens,
                                 compose_matched_cell_text,
+                                join_ocr_texts_paddlex_style,
                                 match_table_and_ocr_by_iou_distance,
                                 match_table_cells_with_structure_rows,
                                 normalize_checkbox_symbols,
@@ -214,45 +215,62 @@ class TableAnalyzer:
                                         else None))
                          for k, b in enumerate(cells_xyxy)]
 
-                ocr_boxes, ocr_texts = [], []
-                for box, text in zip(t.ocr_boxes, t.ocr_texts):
-                    b = np.asarray(box, np.float32).reshape(-1, 2)
-                    bb = (float(b[:, 0].min()), float(b[:, 1].min()),
-                          float(b[:, 0].max()), float(b[:, 1].max()))
-                    ocr_boxes.append(bb)
-                    ocr_texts.append(normalize_tiny_symbol(text, 0.9, bb))
+                # Inline OCR matching is a STANDALONE convenience: the
+                # pipeline path passes no OCR and the ResultStitcher's
+                # stitch_tables does the matching after the cross-cell
+                # split (table_analyzer.rs:12 — "this stage does not
+                # match OCR text to cells").
+                cell_texts: List[Optional[str]] = [None] * len(tokens)
+                if len(t.ocr_boxes):
+                    ocr_boxes, ocr_texts = [], []
+                    for box, text in zip(t.ocr_boxes, t.ocr_texts):
+                        b = np.asarray(box, np.float32).reshape(-1, 2)
+                        bb = (float(b[:, 0].min()), float(b[:, 1].min()),
+                              float(b[:, 0].max()), float(b[:, 1].max()))
+                        ocr_boxes.append(bb)
+                        ocr_texts.append(normalize_tiny_symbol(text, 0.9,
+                                                               bb))
+                    # row-aware matching only for detection-backed cells
+                    # (stitching.rs:511 gates on !e2e_like_cells)
+                    td_mapping = None
+                    if tokens and ocr_boxes and has_detected and cells:
+                        got = match_table_cells_with_structure_rows(
+                            cells, tokens, ocr_boxes, ocr_texts,
+                            has_detected_cells=has_detected)
+                        if got is not None:
+                            td_mapping = got[0]
+                    if td_mapping is None and cells and ocr_boxes:
+                        cell_to_ocr, _m = \
+                            match_table_and_ocr_by_iou_distance(
+                                cells, ocr_boxes,
+                                require_positive_iou=has_detected,
+                                use_paddlex_distance=not has_detected)
+                        for ci, indices in cell_to_ocr.items():
+                            if not (cells[ci].text or "").strip():
+                                cells[ci].text = (
+                                    join_ocr_texts_paddlex_style(
+                                        indices, ocr_texts) or None
+                                    if not has_detected else
+                                    compose_matched_cell_text(
+                                        indices, ocr_texts))
+                    normalize_checkbox_symbols(cells)
 
-                td_mapping = None
-                if tokens and ocr_boxes and not (st and not cells):
-                    got = match_table_cells_with_structure_rows(
-                        cells, tokens, ocr_boxes, ocr_texts,
-                        has_detected_cells=has_detected)
-                    if got is not None:
-                        td_mapping = got[0]
-                if td_mapping is None and cells and ocr_boxes:
-                    cell_to_ocr, _m = match_table_and_ocr_by_iou_distance(
-                        cells, ocr_boxes,
-                        require_positive_iou=has_detected,
-                        use_paddlex_distance=not has_detected)
-                    for ci, indices in cell_to_ocr.items():
-                        if not (cells[ci].text or "").strip():
-                            cells[ci].text = compose_matched_cell_text(
-                                indices, ocr_texts)
-                normalize_checkbox_symbols(cells)
-
-                if td_mapping is not None:
-                    cell_texts = [cells[ci].text if ci is not None else None
-                                  for ci in td_mapping]
-                else:
-                    cell_texts = collect_cell_texts_for_tokens(
-                        cells, tokens)
+                    if td_mapping is not None:
+                        cell_texts = [cells[ci].text if ci is not None
+                                      else None for ci in td_mapping]
+                    else:
+                        cell_texts = collect_cell_texts_for_tokens(
+                            cells, tokens)
                 html = wrap_table_html(
                     tokens, [tx or "" for tx in cell_texts])
                 results[i] = TableResult(
                     html=html, cell_boxes=cells_xyxy,
                     structure_score=st.score,
                     is_wired=(cls[i][0] == 0),
-                    is_e2e=not has_detected)
+                    is_e2e=not has_detected,
+                    structure_tokens=tokens,
+                    cells=cells,
+                    cell_texts=cell_texts)
             except Exception as e:  # surface, don't stub (contract :8)
                 raise OCRError("table analysis failed", table_index=i) from e
         return [r for r in results if r is not None]

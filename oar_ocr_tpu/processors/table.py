@@ -28,92 +28,164 @@ class CellInfo:
 
 
 def parse_cell_grid_info(tokens: Sequence[str]) -> List[CellInfo]:
-    """Walk structure tokens tracking (row, col) occupancy incl. spans."""
+    """Walk structure tokens tracking (row, col) occupancy incl. spans
+    (table_structure_decode.rs:210 parse_cell_grid_info): rows advance on
+    ``</tr>``, rowspan carryover marks only FUTURE rows, and every
+    ``<td``-prefixed token form is handled via the shared td parser."""
 
     cells: List[CellInfo] = []
-    occupied: dict = {}          # (row, col) -> True for rowspan carryover
-    row = -1
+    occupied: set = set()        # (row, col) occupied by earlier rowspans
+    row = 0
     col = 0
     i = 0
     n = len(tokens)
     while i < n:
         tok = tokens[i]
         if tok == "<tr>":
-            row += 1
             col = 0
-        elif tok == "<td></td>" or tok == "<td" or (
-                tok.startswith("<td ") and tok.endswith("></td>")):
-            rowspan = colspan = 1
-            if tok == "<td":
-                # attributes until '>'
-                j = i + 1
-                while j < n and tokens[j] != ">":
-                    attr = tokens[j].strip()
-                    if attr.startswith("rowspan="):
-                        rowspan = int(attr.split('"')[1])
-                    elif attr.startswith("colspan="):
-                        colspan = int(attr.split('"')[1])
-                    j += 1
-                i = j
-            elif tok.startswith("<td "):
-                # combined token '<td rowspan="2" colspan="3"></td>'
-                m_r = re.search(r'rowspan="(\d+)"', tok)
-                m_c = re.search(r'colspan="(\d+)"', tok)
-                rowspan = int(m_r.group(1)) if m_r else 1
-                colspan = int(m_c.group(1)) if m_c else 1
-            while occupied.get((row, col)):
+            while (row, col) in occupied:
                 col += 1
-            cells.append(CellInfo(row=max(row, 0), col=col,
+            i += 1
+            continue
+        if tok == "</tr>":
+            row += 1
+            i += 1
+            continue
+        if tok == "<td></td>":
+            while (row, col) in occupied:
+                col += 1
+            cells.append(CellInfo(row=row, col=col))
+            col += 1
+            i += 1
+            continue
+        if tok.startswith("<td"):
+            _, rowspan, colspan, next_index = _parse_td_tag(tokens, i)
+            while (row, col) in occupied:
+                col += 1
+            cells.append(CellInfo(row=row, col=col,
                                   rowspan=rowspan, colspan=colspan))
-            for r in range(max(row, 0), max(row, 0) + rowspan):
-                for c in range(col, col + colspan):
-                    occupied[(r, c)] = True
+            if rowspan > 1:
+                for r in range(1, rowspan):
+                    for c in range(colspan):
+                        occupied.add((row + r, col + c))
             col += colspan
+            i = next_index
+            continue
         i += 1
     return cells
+
+
+def _span_attr(text: str, attr: str) -> Optional[int]:
+    """Extract ``attr="N"`` from a tag fragment
+    (table_structure_decode.rs:294 parse_span_attr)."""
+    m = re.search(attr + r'="(\d+)"', text)
+    return int(m.group(1)) if m else None
+
+
+def _parse_td_tag(tokens: Sequence[str], start_idx: int
+                  ) -> Tuple[str, int, int, int]:
+    """Collect a ``<td`` opener's attribute tokens, its row/col spans,
+    and the index just past its closing ``</td>``
+    (table_structure_decode.rs:326 parse_td_tag). Handles embedded attrs
+    ("<td colspan=\"2\">"), split attr tokens ("<td" ' colspan="2"' ">"),
+    and the plain "<td>" … "</td>" pair.
+    Returns (attrs, rowspan, colspan, next_index)."""
+
+    attrs = ""
+    rowspan = colspan = 1
+    tok = tokens[start_idx]
+    if tok.startswith("<td"):
+        before_gt = tok[3:].split(">", 1)[0]
+        if before_gt:
+            attrs += before_gt
+            v = _span_attr(before_gt, "colspan")
+            if v is not None:
+                colspan = v
+            v = _span_attr(before_gt, "rowspan")
+            if v is not None:
+                rowspan = v
+    idx = start_idx + 1
+    n = len(tokens)
+    while idx < n:
+        t = tokens[idx]
+        if (t == ">" or t == "</td>" or t.startswith("<td")
+                or t == "<tr>" or t == "</tr>"):
+            break
+        attrs += t
+        v = _span_attr(t, "colspan")
+        if v is not None:
+            colspan = v
+        v = _span_attr(t, "rowspan")
+        if v is not None:
+            rowspan = v
+        idx += 1
+    next_index = idx
+    while next_index < n:
+        t = tokens[next_index]
+        if t == "</td>":
+            next_index += 1
+            break
+        if t.startswith("<td") or t == "<tr>" or t == "</tr>":
+            break
+        next_index += 1
+    return attrs, rowspan, colspan, max(next_index, start_idx + 1)
 
 
 def wrap_table_html(tokens: Sequence[str],
                     cell_texts: Optional[Sequence[str]] = None) -> str:
     """Assemble full HTML, inserting ``cell_texts`` into successive cells
-    (table_structure_decode.rs wrap_table_html*)."""
+    (table_structure_decode.rs:71 render_table_html). Accepts the
+    combined "<td></td>" form, split "<td" attr ">" openers, and plain
+    "<td>" … "</td>" pairs; a leading token carrying "<table" suppresses
+    the implicit wrapper (rs:79-85)."""
 
-    # token streams that already carry their own <table> wrapper (the
-    # detected-cells reconstruction) must not get a second one
-    # (table_structure_decode.rs:79-85 has_table_tag)
-    has_table = any(t == "<table>" for t in tokens)
-    out: List[str] = ["<html><body>" if has_table
-                      else "<html><body><table>"]
-    cell_i = 0
-    i = 0
+    out: List[str] = ["<html><body>"]
+    has_table = bool(tokens) and "<table" in tokens[0]
+    if not has_table:
+        out.append("<table>")
+    td_index = 0
+    idx = 0
     n = len(tokens)
 
-    def next_text() -> str:
-        nonlocal cell_i
-        t = (cell_texts[cell_i] if cell_texts and cell_i < len(cell_texts)
-             else "")
-        cell_i += 1
-        return t
+    def text_at(i: int) -> Optional[str]:
+        if cell_texts is not None and i < len(cell_texts) and cell_texts[i]:
+            return cell_texts[i]
+        return None
 
-    while i < n:
-        tok = tokens[i]
+    while idx < n:
+        tok = tokens[idx]
         if tok == "<td></td>":
-            out.append(f"<td>{next_text()}</td>")
-        elif tok.startswith("<td ") and tok.endswith("></td>"):
-            out.append(tok[: -len("</td>")] + next_text() + "</td>")
-        elif tok == "<td":
-            attrs = []
-            j = i + 1
-            while j < n and tokens[j] != ">":
-                attrs.append(tokens[j])
-                j += 1
-            out.append(f"<td{''.join(attrs)}>{next_text()}</td>")
-            i = j
-        else:
-            out.append(tok)
-        i += 1
-    out.append("</body></html>" if has_table
-               else "</table></body></html>")
+            out.append("<td>")
+            t = text_at(td_index)
+            if t:
+                out.append(t)
+            out.append("</td>")
+            td_index += 1
+            idx += 1
+            continue
+        if tok.startswith("<td"):
+            attrs, _, _, next_index = _parse_td_tag(tokens, idx)
+            out.append(f"<td{attrs}>")
+            # rs:109-134: a "<b>" token right after the cell span wraps
+            # the inserted content (the span scan already consumed any
+            # in-cell tokens)
+            is_bold = next_index < n and tokens[next_index] == "<b>"
+            t = text_at(td_index)
+            if t:
+                if is_bold:
+                    out.append("<b>")
+                out.append(t)
+                if is_bold:
+                    out.append("</b>")
+            out.append("</td>")
+            td_index += 1
+            idx = next_index
+            continue
+        out.append(tok)
+        idx += 1
+    if not has_table:
+        out.append("</table>")
+    out.append("</body></html>")
     return "".join(out)
 
 
@@ -545,6 +617,38 @@ def match_table_and_ocr_by_iou_distance(
             cell_to_ocr.setdefault(best_idx, []).append(oi)
             matched.add(oi)
     return cell_to_ocr, matched
+
+
+def join_ocr_texts_paddlex_style(indices: Sequence[int],
+                                 texts: Sequence[Optional[str]]) -> str:
+    """PaddleX-style concatenation for one E2E-matched cell
+    (stitching.rs:906 join_ocr_texts_paddlex_style). Differs from
+    :func:`compose_matched_cell_text` (rs:1290): ``<b>`` is stripped only
+    as a PREFIX and ``</b>`` only as a SUFFIX, empty fragments are
+    skipped BEFORE stripping, and the result is not right-trimmed."""
+
+    joined = ""
+    n = len(indices)
+    for i, oi in enumerate(indices):
+        text = texts[oi] if 0 <= oi < len(texts) else None
+        if text is None:
+            continue
+        content = text
+        if n > 1:
+            if not content:
+                continue
+            if content.startswith(" "):
+                content = content[1:]
+            if content.startswith("<b>"):
+                content = content[3:]
+            if content.endswith("</b>"):
+                content = content[:-4]
+            if not content:
+                continue
+            if i != n - 1 and not content.endswith(" "):
+                content += "<br/>"
+        joined += content
+    return joined
 
 
 def compose_matched_cell_text(indices: Sequence[int],
