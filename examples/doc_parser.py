@@ -17,7 +17,12 @@ def main():
         "picodet-s_layout_3cls", score_thresh=0.05))
     result = parser.parse(img)
     print(f"{len(result.elements)} elements")
-    print(result.to_markdown()[:400])
+    # the VL markdown exporter with per-type formatting (utils.rs:474)
+    from oar_ocr_tpu.vl.text_format import to_markdown, to_markdown_openocr
+
+    print(to_markdown(result.elements)[:400])
+    print("--- openocr/paddlex mode ---")
+    print(to_markdown_openocr(result.elements)[:400])
 
 
 if __name__ == "__main__":

@@ -11,6 +11,7 @@ VLM), mapping the layout element type to a recognition task
 
 from __future__ import annotations
 
+import dataclasses
 import enum
 from typing import List, Optional, Protocol, Sequence
 
@@ -63,8 +64,10 @@ class RecognitionBackend(Protocol):
 class VLMBackend:
     """RecognitionBackend over PaddleOCRVL (or compatible .generate)."""
 
-    # PaddleOCR-VL outputs HTML directly (doc_parser.rs:467-469)
+    # PaddleOCR-VL outputs HTML directly (doc_parser.rs:467-469) but
+    # wants formula margins cropped before recognition (:471-473)
     needs_table_postprocess = False
+    needs_formula_preprocess = True
 
     def __init__(self, vlm):
         self.vlm = vlm
@@ -156,10 +159,11 @@ class FamilyBackend:
                                     max_new_tokens=self.max_new_tokens,
                                     prompt=prompt)
         if self.truncate:
-            from .sampling import truncate_repetition
+            # in-backend truncation, before per-task postprocess
+            # (doc_parser.rs:509-511 "handled inside recognize()")
+            from .text_format import truncate_repetitive_content
 
-            outs = [truncate_repetition(t, min_len=10,
-                                        min_repeats=10).strip()
+            outs = [truncate_repetitive_content(t, 10, 10, 10).strip()
                     for t in outs]
         return outs
 
@@ -183,17 +187,80 @@ def hunyuan_backend(family, **kw) -> FamilyBackend:
     return FamilyBackend(family, HUNYUAN_TASK_PROMPTS, truncate=True, **kw)
 
 
+@dataclasses.dataclass
+class DocParserConfig:
+    """doc_parser.rs:78-111 DocParserConfig."""
+
+    crop_pad_ratio: float = 0.0            # OpenOCR CropByBoxes adds none
+    max_tokens: int = 4096
+    skip_auxiliary_regions: bool = True    # header/footer/aside/number
+    skip_region_blocks: bool = True        # PP-DocBlockLayout regions
+    markdown_ignore_labels: tuple = None   # default set from text_format
+
+    def __post_init__(self):
+        if self.markdown_ignore_labels is None:
+            from .text_format import DEFAULT_MARKDOWN_IGNORE_LABELS
+
+            self.markdown_ignore_labels = DEFAULT_MARKDOWN_IGNORE_LABELS
+
+
+def is_auxiliary_element(t: LayoutElementType) -> bool:
+    """doc_parser.rs:609 — regions skipped before recognition."""
+    return t in (LayoutElementType.NUMBER, LayoutElementType.FOOTNOTE,
+                 LayoutElementType.HEADER, LayoutElementType.HEADER_IMAGE,
+                 LayoutElementType.FOOTER, LayoutElementType.FOOTER_IMAGE,
+                 LayoutElementType.ASIDE_TEXT)
+
+
+def filter_overlap_boxes(boxes, overlap_threshold: float = 0.7):
+    """Drop "reference" boxes, then the smaller of any pair whose
+    small-box overlap ratio exceeds the threshold — except image-vs-other
+    pairs, which coexist (oar-ocr-vl/src/utils.rs:843-885)."""
+    boxes = [b for b in boxes if b.label != "reference"]
+    dropped: set = set()
+    for i in range(len(boxes)):
+        for j in range(i + 1, len(boxes)):
+            if i in dropped or j in dropped:
+                continue
+            bi = np.asarray(boxes[i].box, np.float32).reshape(4)
+            bj = np.asarray(boxes[j].box, np.float32).reshape(4)
+            iw = max(0.0, min(bi[2], bj[2]) - max(bi[0], bj[0]))
+            ih = max(0.0, min(bi[3], bj[3]) - max(bi[1], bj[1]))
+            area_i = max((bi[2] - bi[0]) * (bi[3] - bi[1]), 0.0)
+            area_j = max((bj[2] - bj[0]) * (bj[3] - bj[1]), 0.0)
+            small = min(area_i, area_j)
+            ratio = (iw * ih) / small if small > 0 else 0.0
+            if ratio > overlap_threshold:
+                if ((boxes[i].label == "image" or boxes[j].label == "image")
+                        and boxes[i].label != boxes[j].label):
+                    continue
+                dropped.add(j if area_i >= area_j else i)
+    return [b for k, b in enumerate(boxes) if k not in dropped]
+
+
+def pad_bbox(xyxy, page_w: float, page_h: float, pad_ratio: float):
+    """Expand a crop box by a fraction of its size, clamped to the page
+    (doc_parser.rs:637)."""
+    x1, y1, x2, y2 = xyxy
+    w, h = max(x2 - x1, 1.0), max(y2 - y1, 1.0)
+    px, py = w * pad_ratio, h * pad_ratio
+    return (max(x1 - px, 0.0), max(y1 - py, 0.0),
+            min(x2 + px, page_w), min(y2 + py, page_h))
+
+
 class DocParser:
     """Layout → crop → per-region VLM recognition → StructureResult."""
 
     def __init__(self, backend: RecognitionBackend, *,
                  layout: Optional[LayoutDetector] = None,
                  layout_variant: str = "pp-doclayout_plus-l",
+                 config: Optional[DocParserConfig] = None,
                  runtime: Optional[Runtime] = None):
         self.runtime = runtime or Runtime.default()
         self.layout = layout or LayoutDetector(layout_variant,
                                                runtime=self.runtime)
         self.backend = backend
+        self.config = config or DocParserConfig()
 
     def parse(self, image: np.ndarray) -> StructureResult:
         h, w = image.shape[:2]
@@ -203,10 +270,24 @@ class DocParser:
                       cfg.det_side_buckets.bucket(w))))
         with stage_timer("docparser.layout"):
             boxes = self.layout.detect(pages, [(h, w)])[0]
+        boxes = filter_overlap_boxes(boxes, 0.7)
 
-        elements = [LayoutElement(
-            element_type=LayoutElementType.from_label(b.label),
-            box=b.box, score=b.score) for b in boxes]
+        # element filtering (doc_parser.rs:202-219): drop region blocks
+        # and auxiliary regions; fall back to whole-page OCR when
+        # nothing survives
+        elements = []
+        for b in boxes:
+            t = LayoutElementType.from_label(b.label)
+            if self.config.skip_region_blocks and t == LayoutElementType.REGION:
+                continue
+            if self.config.skip_auxiliary_regions and is_auxiliary_element(t):
+                continue
+            el = LayoutElement(element_type=t, box=b.box, score=b.score)
+            el.label = b.label          # raw label for openocr markdown
+            elements.append(el)
+        if not elements:
+            return self._parse_full_image(image)
+
         order = sort_layout_enhanced(elements, w, h)
         elements = [elements[i] for i in order]
 
@@ -216,34 +297,90 @@ class DocParser:
             task = task_for_element(el.element_type)
             if task is None:
                 continue
-            x0, y0, x1, y1 = [int(v) for v in el.xyxy]
+            bb = el.xyxy
+            if self.config.crop_pad_ratio > 0.0:
+                bb = pad_bbox(bb, float(w), float(h),
+                              self.config.crop_pad_ratio)
+            x0, y0, x1, y1 = [int(v) for v in bb]
             crop = image[max(y0, 0):max(y1, y0 + 1),
                          max(x0, 0):max(x1, x0 + 1)]
             if crop.size == 0:
                 continue
-            by_task.setdefault(task, []).append((idx, np.ascontiguousarray(crop)))
+            crop = np.ascontiguousarray(crop)
+            # formula margin crop when the backend wants it
+            # (doc_parser.rs:342 needs_formula_preprocess → crop_margin)
+            if (task == RecognitionTask.FORMULA
+                    and getattr(self.backend, "needs_formula_preprocess",
+                                False)):
+                from ..models.recognition.formula import crop_formula_margins
+
+                crop = crop_formula_margins(crop)
+            by_task.setdefault(task, []).append((idx, crop))
 
         for task, items in by_task.items():
             with stage_timer(f"docparser.recognize[{task.value}]",
                              batch=len(items)):
                 texts = self.backend.recognize([c for _, c in items], task)
             for (idx, _), text in zip(items, texts):
-                el = elements[idx]
-                if task == RecognitionTask.TABLE:
-                    # per-backend flag like doc_parser.rs:364 when the
-                    # backend declares one; sniff the text otherwise
-                    flag = getattr(self.backend,
-                                   "needs_table_postprocess", None)
-                    convert = (flag if flag is not None
-                               else needs_table_postprocess(text))
-                    html = otsl_to_html(text) if convert else text
-                    el.table = TableResult(html=html)
-                elif task == RecognitionTask.FORMULA:
-                    el.formula_latex = text
-                else:
-                    el.text = text
+                self._apply_generated(elements[idx], task, text)
         return StructureResult(elements=elements, width=w, height=h)
 
+    def _apply_generated(self, el: LayoutElement, task: RecognitionTask,
+                         text: str) -> None:
+        """Post-process one generation (doc_parser.rs:349-385): skip
+        empties, optional repetition truncation, per-task formatting
+        (tables stay markup — never through the text normalizer), and
+        ``el.text`` always carries the processed content like the
+        reference's ``element.text``."""
+        from .text_format import (format_formula, format_text,
+                                  truncate_repetitive_content)
+
+        if not text or not text.strip():
+            return
+        if getattr(self.backend, "needs_repetition_truncation", False):
+            text = truncate_repetitive_content(text, 10, 10, 10)
+        if task == RecognitionTask.TABLE:
+            flag = getattr(self.backend, "needs_table_postprocess", None)
+            convert = (flag if flag is not None
+                       else needs_table_postprocess(text))
+            processed = otsl_to_html(text) if convert else text.strip()
+            el.table = TableResult(html=processed)
+        elif task == RecognitionTask.FORMULA:
+            processed = format_formula(text)
+            el.formula_latex = processed
+        else:
+            processed = format_text(text)
+        el.text = processed
+
+    def _parse_full_image(self, image: np.ndarray) -> StructureResult:
+        """Whole-page OCR when layout finds nothing
+        (doc_parser.rs:417 recognize_full_image)."""
+        h, w = image.shape[:2]
+        texts = self.backend.recognize([np.ascontiguousarray(image)],
+                                       RecognitionTask.TEXT)
+        el = LayoutElement(
+            element_type=LayoutElementType.TEXT,
+            box=np.array([0.0, 0.0, float(w), float(h)], np.float32),
+            score=1.0)
+        el.label = "text"
+        if texts and texts[0].strip():
+            self._apply_generated(el, RecognitionTask.TEXT, texts[0])
+        return StructureResult(elements=[el], width=w, height=h)
+
     def parse_to_markdown(self, image: np.ndarray) -> str:
-        """doc_parser.rs:391."""
-        return self.parse(image).to_markdown()
+        """doc_parser.rs:391 — the VL markdown exporter with per-type
+        formatting (utils.rs:474)."""
+        from .text_format import to_markdown
+
+        return to_markdown(self.parse(image).elements,
+                           self.config.markdown_ignore_labels)
+
+    def parse_to_markdown_openocr(self, image: np.ndarray,
+                                  pretty: bool = True) -> str:
+        """doc_parser.rs:404 — OpenOCR/PaddleX markdown compatibility
+        (utils.rs:601)."""
+        from .text_format import to_markdown_openocr
+
+        return to_markdown_openocr(self.parse(image).elements,
+                                   self.config.markdown_ignore_labels,
+                                   pretty)
