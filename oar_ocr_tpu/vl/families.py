@@ -114,6 +114,12 @@ class FamilyConfig:
     min_pixels: Optional[int] = None
     max_pixels: Optional[int] = None
     task_min_pixels: Optional[Dict[str, int]] = None
+    # HunyuanOCR V1 resize policy (hunyuanocr/processing.rs:97-108):
+    # token cap Hm·(Wm+1) ≤ img_max_tokens, then longer side clamped to
+    # max_image_size. Both read from the checkpoint's config.json at
+    # conversion time; None (V1.5) = plain smart_resize.
+    img_max_tokens: Optional[int] = None
+    max_image_size: Optional[int] = None
     # mechanism knobs
     draft_len: int = 0              # speculation block size (0 = greedy)
     # HunyuanOCR: the real DFlash block draft (vl/dflash.py). When set it
@@ -150,7 +156,11 @@ FAMILY_CONFIGS: Dict[str, FamilyConfig] = {
         DecoderConfig(vocab_size=128000, hidden=2048, layers=20, heads=16,
                       kv_heads=4, ffn=6144, rope_kind="xdrope"),
         VisionConfig(), tasks=("ocr", "table", "formula"), draft_len=8,
-        dflash=DFlashConfig()),
+        dflash=DFlashConfig(),
+        # V1 resize policy: Hm·(Wm+1) token cap + 2048 long-side clamp
+        # (hunyuanocr/processing.rs:97-108; conversion overrides from
+        # config.json — a V1.5 checkpoint sets img_max_tokens=None)
+        img_max_tokens=4096, max_image_size=2048),
     "glmocr": FamilyConfig(
         "glmocr",
         DecoderConfig(vocab_size=151552, hidden=1536, layers=24, heads=12,
@@ -643,7 +653,19 @@ class VLMFamily:
         pcfg = VisionProcessorConfig(patch_size=v.patch, merge_size=v.merge,
                                      **kw)
         h, w = image.shape[:2]
-        th, tw = smart_resize(h, w, pcfg)
+        if self.cfg.img_max_tokens is not None:
+            # HunyuanOCR V1: token-capped resize + max-image clamp
+            # (hunyuanocr/processing.rs:97-108)
+            from .processing import (clamp_to_max_image_size,
+                                     smart_resize_token_limited)
+
+            th, tw = smart_resize_token_limited(h, w, pcfg,
+                                                self.cfg.img_max_tokens)
+            if self.cfg.max_image_size is not None:
+                th, tw = clamp_to_max_image_size(th, tw, pcfg.factor,
+                                                 self.cfg.max_image_size)
+        else:
+            th, tw = smart_resize(h, w, pcfg)
         resized = cv2.resize(image, (tw, th), interpolation=cv2.INTER_LINEAR)
         x = (resized.astype(np.float32) / 255.0 - 0.5) / 0.5
         p, m = v.patch, v.merge

@@ -49,6 +49,48 @@ def smart_resize(h: int, w: int, cfg: VisionProcessorConfig
     return hb, wb
 
 
+def smart_resize_token_limited(h: int, w: int, cfg: VisionProcessorConfig,
+                               max_tokens: int) -> Tuple[int, int]:
+    """HunyuanOCR V1 resize (hunyuanocr/processing.rs:16-62):
+    smart_resize, then shrink the larger merged-grid axis one factor at a
+    time until ``Hm·(Wm+1) ≤ max_tokens`` (the +1 is HunYuanVL's
+    per-row newline token)."""
+    rh, rw = smart_resize(h, w, cfg)
+    factor = cfg.factor
+    while True:
+        hm, wm = rh // factor, rw // factor
+        if hm * (wm + 1) <= max_tokens:
+            return rh, rw
+        if wm >= hm:
+            if rw <= factor:
+                raise InvalidInputError(
+                    "cannot satisfy img_max_token_num", h=h, w=w,
+                    max_tokens=max_tokens)
+            rw -= factor
+        else:
+            if rh <= factor:
+                raise InvalidInputError(
+                    "cannot satisfy img_max_token_num", h=h, w=w,
+                    max_tokens=max_tokens)
+            rh -= factor
+
+
+def clamp_to_max_image_size(h: int, w: int, factor: int,
+                            max_image_size: int) -> Tuple[int, int]:
+    """Scale (h, w) down so the longer side fits ``max_image_size``,
+    flooring to factor multiples with a factor floor
+    (oar-ocr-vl/src/utils/image.rs:256-305)."""
+    if factor <= 0 or max_image_size < factor:
+        raise InvalidInputError("bad clamp config", factor=factor,
+                                max_image_size=max_image_size)
+    if max(h, w) <= max_image_size:
+        return h, w
+    scale = max_image_size / max(h, w)
+    nh = int(math.floor(h * scale / factor) * factor)
+    nw = int(math.floor(w * scale / factor) * factor)
+    return max(nh, factor), max(nw, factor)
+
+
 # Spotting preprocess constants (paddleocr_vl/model.rs:55-56)
 SPOTTING_UPSCALE_THRESHOLD = 1500
 SPOTTING_MAX_LONG_SIDE = 2048

@@ -127,6 +127,59 @@ class TestProcessing:
         with pytest.raises(InvalidInputError):
             smart_resize(10, 4000, VisionProcessorConfig())
 
+    def test_smart_resize_token_limited(self):
+        """HunyuanOCR V1 token cap (hunyuanocr/processing.rs:16-62):
+        Hm·(Wm+1) ≤ max_tokens with the per-row newline token."""
+        from oar_ocr_tpu.vl.processing import smart_resize_token_limited
+
+        cfg = VisionProcessorConfig()
+        f = cfg.factor
+        h, w = smart_resize_token_limited(1000, 2000, cfg, max_tokens=100)
+        hm, wm = h // f, w // f
+        assert hm * (wm + 1) <= 100
+        assert h % f == 0 and w % f == 0
+        # under the cap → identical to plain smart_resize
+        assert (smart_resize_token_limited(100, 200, cfg, 10**6)
+                == smart_resize(100, 200, cfg))
+
+    def test_clamp_to_max_image_size(self):
+        """utils/image.rs:256-305 + the V1 preprocess clamp test at
+        hunyuanocr/processing.rs:167."""
+        from oar_ocr_tpu.vl.processing import clamp_to_max_image_size
+
+        # under the cap → unchanged (even non-divisible dims)
+        assert clamp_to_max_image_size(100, 200, 28, 2048) == (100, 200)
+        h, w = clamp_to_max_image_size(4096, 2048, 28, 2048)
+        assert max(h, w) <= 2048 and h % 28 == 0 and w % 28 == 0
+        # factor floor
+        assert clamp_to_max_image_size(10000, 28, 28, 56) == (56, 28)
+
+    def test_hunyuan_family_prepare_uses_v1_policy(self):
+        """The hunyuanocr family preprocess routes through the token cap
+        + clamp (hunyuanocr/processing.rs:97-108)."""
+        import dataclasses
+
+        import numpy as np
+
+        from oar_ocr_tpu.vl.families import FAMILY_CONFIGS, VLMFamily
+
+        cfg = FAMILY_CONFIGS["hunyuanocr"].tiny()
+        assert cfg.img_max_tokens is not None
+        cfg = dataclasses.replace(cfg, img_max_tokens=64,
+                                  max_image_size=2048)
+        fam = VLMFamily.__new__(VLMFamily)
+        fam.cfg = cfg
+        img = np.zeros((640, 1280, 3), np.uint8)
+        patches, (gh, gw) = fam._prepare_image(img)
+        m = cfg.vision.merge
+        hm, wm = gh // m, gw // m
+        assert hm * (wm + 1) <= 64
+        # V1.5 (no cap) reproduces plain smart_resize grids
+        fam.cfg = dataclasses.replace(cfg, img_max_tokens=None,
+                                      max_image_size=None)
+        p2, (gh2, gw2) = fam._prepare_image(img)
+        assert gh2 * gw2 >= gh * gw
+
     def test_num_image_tokens(self):
         cfg = VisionProcessorConfig()
         assert num_image_tokens(56, 56, cfg) == 4  # 4x4 patches / 4
