@@ -357,7 +357,9 @@ def stitch_tables(elements: List[LayoutElement],
         # formulas overlapping the table participate in cell matching
         for fel in elements:
             latex = fel.formula_latex
-            if not latex or fel.element_type != LayoutElementType.FORMULA:
+            # every recognized formula participates (stitching.rs:485
+            # iterates FormulaResults — display/inline variants included)
+            if not latex or not fel.element_type.is_formula:
                 continue
             fb = fel.xyxy
             if fb[2] - fb[0] <= 1.0 or fb[3] - fb[1] <= 1.0:

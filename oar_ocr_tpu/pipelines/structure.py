@@ -180,13 +180,11 @@ class OARStructure:
             for page_i, r in enumerate(ocr_results):
                 ocr_regions[page_i] = r.regions
             # refine against layout blocks (structure.rs:2484, :3209 —
-            # runs for every page right after recognition)
-            for page_i in range(len(images)):
-                if ocr_regions[page_i] or page_elements[page_i]:
-                    with stage_timer("structure.ocr_refine", page=page_i):
-                        ocr_regions[page_i] = self._refine_ocr_with_layout(
-                            pages, page_i, shapes[page_i],
-                            ocr_regions[page_i], page_elements[page_i])
+            # runs for every page right after recognition; batched
+            # across pages into one dispatch per wave)
+            with stage_timer("structure.ocr_refine"):
+                ocr_regions = self._refine_ocr_pages(
+                    pages, shapes, ocr_regions, page_elements)
 
         # --- seal text, batched across pages (poly det preset;
         # detect_seal_text structure.rs:2009) ---
@@ -266,24 +264,40 @@ class OARStructure:
                                 regions: List[TextRegion],
                                 elements: List[LayoutElement]
                                 ) -> List[TextRegion]:
+        """Single-page convenience over :meth:`_refine_ocr_pages`."""
+        n = int(pages.shape[0]) if hasattr(pages, "shape") else page_i + 1
+        all_regions = [[] for _ in range(max(n, page_i + 1))]
+        all_elements = [[] for _ in range(max(n, page_i + 1))]
+        shapes = [page_shape] * len(all_regions)
+        all_regions[page_i] = regions
+        all_elements[page_i] = elements
+        return self._refine_ocr_pages(pages, shapes, all_regions,
+                                      all_elements)[page_i]
+
+    def _refine_ocr_pages(self, pages, shapes,
+                          ocr_regions: List[List[TextRegion]],
+                          page_elements: List[List[LayoutElement]]
+                          ) -> List[List[TextRegion]]:
         """Refine the overall OCR against layout blocks
         (structure.rs:1400-1630 refine_overall_ocr_with_layout), two
-        waves, each ONE batched recognize_chunk dispatch instead of the
-        reference's per-crop adapter calls:
+        waves, each ONE batched recognize_chunk dispatch pooled across
+        ALL pages instead of the reference's per-crop adapter calls:
 
         1. every OCR box overlapping >1 non-excluded layout block
            (intersection w/h > 3 px, :1444) is re-recognized per
            intersection — the first valid crop replaces the region, the
-           rest append; existing regions covered by a crop (IoU > 0.8)
-           lose their text (:1486);
+           rest append; per OCR box, in order, existing regions covered
+           by one of its crops (IoU > 0.8) lose their text (:1486) —
+           replayed after recognition so a later box's suppression can
+           null an earlier box's re-recognized text, like the
+           reference's interleaving;
         2. non-excluded, non-image/chart layout blocks still textless
            after wave 1 get a whole-block fallback OCR (:1552).
 
-        Regions whose text was suppressed stay in the list with
-        ``text=None``, like the reference."""
+        A page with no OCR regions or no layout elements is untouched
+        (:1413-1415 early return). Regions whose text was suppressed
+        stay in the list with ``text=None``, like the reference."""
 
-        if not regions and not elements:
-            return regions
         min_pixels = 3.0
 
         def excluded(t: LayoutElementType) -> bool:
@@ -296,108 +310,125 @@ class OARStructure:
             return (min(a[2], b[2]) - max(a[0], b[0]),
                     min(a[3], b[3]) - max(a[1], b[1]))
 
-        def iou(a, b) -> float:
-            iw, ih = inter_wh(a, b)
-            if iw <= 0 or ih <= 0:
-                return 0.0
-            inter = iw * ih
-            ua = ((a[2] - a[0]) * (a[3] - a[1])
-                  + (b[2] - b[0]) * (b[3] - b[1]) - inter)
-            return inter / ua if ua > 0 else 0.0
+        from ..processors.table import bbox_iou
+
+        active = [p for p in range(len(ocr_regions))
+                  if ocr_regions[p] and page_elements[p]]
 
         # ---- wave 1: multi-layout OCR boxes (:1462-1549) ----
-        region_boxes = [r.xyxy for r in regions]
-        el_boxes = [el.xyxy for el in elements]
-        matched: List[List[int]] = []
-        for rb in region_boxes:
-            ids = []
-            for li, eb in enumerate(el_boxes):
-                if excluded(elements[li].element_type):
+        # per-page: [(region_idx, [(crop_box, plan_slot|None), ...])]
+        plans: List = []
+        page_work: dict = {}
+        for p in active:
+            regions = ocr_regions[p]
+            elements = page_elements[p]
+            el_boxes = [el.xyxy for el in elements]
+            work = []
+            for ri, r in enumerate(regions):
+                rb = r.xyxy
+                ids = []
+                for li, eb in enumerate(el_boxes):
+                    if excluded(elements[li].element_type):
+                        continue
+                    iw, ih = inter_wh(rb, eb)
+                    if iw > min_pixels and ih > min_pixels:
+                        ids.append(li)
+                if len(ids) <= 1:
                     continue
-                iw, ih = inter_wh(rb, eb)
-                if iw > min_pixels and ih > min_pixels:
-                    ids.append(li)
-            matched.append(ids)
+                crops = []
+                for j, li in enumerate(ids):
+                    x0 = max(rb[0], el_boxes[li][0])
+                    y0 = max(rb[1], el_boxes[li][1])
+                    x1 = min(rb[2], el_boxes[li][2])
+                    y1 = min(rb[3], el_boxes[li][3])
+                    if x1 - x0 <= 1.0 or y1 - y0 <= 1.0:
+                        continue                # aabb_intersection None
+                    crop_box = (x0, y0, x1, y1)
+                    plan = self._crop_plan(p, shapes[p], crop_box)
+                    slot = None
+                    if plan is not None:
+                        slot = len(plans)
+                        plans.append(plan)
+                    crops.append((crop_box, slot, j == 0))
+                if crops:
+                    work.append((ri, crops))
+            if work:
+                page_work[p] = work
 
-        plans, plan_meta = [], []   # (region_idx, crop_box, is_first)
-        for ri, ids in enumerate(matched):
-            if len(ids) <= 1:
-                continue
-            rb = region_boxes[ri]
-            for j, li in enumerate(ids):
-                x0, y0 = max(rb[0], el_boxes[li][0]), max(rb[1], el_boxes[li][1])
-                x1, y1 = min(rb[2], el_boxes[li][2]), min(rb[3], el_boxes[li][3])
-                if x1 - x0 <= 1.0 or y1 - y0 <= 1.0:
-                    continue                    # aabb_intersection None
-                crop_box = (x0, y0, x1, y1)
-                # suppress fully-covered existing text (:1486-1494)
-                for oi, other in enumerate(regions):
-                    if oi != ri and iou(other.xyxy, crop_box) > 0.8:
-                        other.text = None
-                plan = self._crop_plan(page_i, page_shape, crop_box)
-                if plan is None:
-                    continue
-                plans.append(plan)
-                plan_meta.append((ri, crop_box, j == 0))
-
-        appended: List[TextRegion] = []
+        decoded = []
         if plans:
             with stage_timer("structure.ocr_refine.multi",
                              batch=len(plans)):
                 decoded = self.ocr.recognizer.recognize_chunk(pages, plans)
-            for (ri, crop_box, is_first), (text, conf, _c) in zip(plan_meta,
-                                                                  decoded):
-                if not text:
-                    continue                    # :1522 empties skipped
-                x0, y0, x1, y1 = crop_box
-                quad = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]],
-                                np.float32)
-                if is_first:
-                    regions[ri].box = quad      # replace in place (:1526)
-                    regions[ri].text = text
-                    regions[ri].confidence = conf
-                else:
-                    appended.append(TextRegion(box=quad, text=text,
-                                               confidence=conf))
-        regions = list(regions) + appended
+
+        # replay suppress→apply per OCR box in reference order (:1479)
+        for p, work in page_work.items():
+            regions = ocr_regions[p]
+            appended: List[TextRegion] = []
+            for ri, crops in work:
+                for crop_box, _slot, _first in crops:
+                    # suppress fully-covered existing text (:1486-1494)
+                    for oi, other in enumerate(regions):
+                        if oi != ri and bbox_iou(other.xyxy,
+                                                 crop_box) > 0.8:
+                            other.text = None
+                for crop_box, slot, is_first in crops:
+                    if slot is None:
+                        continue
+                    text, conf, _c = decoded[slot]
+                    if not text:
+                        continue                # :1522 empties skipped
+                    x0, y0, x1, y1 = crop_box
+                    quad = np.array([[x0, y0], [x1, y0], [x1, y1],
+                                     [x0, y1]], np.float32)
+                    if is_first:
+                        regions[ri].box = quad  # replace in place (:1526)
+                        regions[ri].text = text
+                        regions[ri].confidence = conf
+                    else:
+                        appended.append(TextRegion(box=quad, text=text,
+                                                   confidence=conf))
+            ocr_regions[p] = list(regions) + appended
 
         # ---- wave 2: fallback OCR for textless blocks (:1552-1609) ----
-        plans, owners = [], []
-        for li, el in enumerate(elements):
-            t = el.element_type
-            if excluded(t) or t in (LayoutElementType.IMAGE,
-                                    LayoutElementType.CHART):
-                continue
-            eb = el_boxes[li]
-            has_text = False
-            for r in regions:
-                if not (r.text or "").strip():
+        plans, owners = [], []      # owners: (page, el_box)
+        for p in active:
+            regions = ocr_regions[p]
+            for el in page_elements[p]:
+                t = el.element_type
+                if excluded(t) or t in (LayoutElementType.IMAGE,
+                                        LayoutElementType.CHART):
                     continue
-                iw, ih = inter_wh(r.xyxy, eb)
-                if iw > min_pixels and ih > min_pixels:
-                    has_text = True
-                    break
-            if has_text:
-                continue
-            plan = self._crop_plan(page_i, page_shape, eb)
-            if plan is None:
-                continue
-            plans.append(plan)
-            owners.append(eb)
+                eb = el.xyxy
+                has_text = False
+                for r in regions:
+                    if not (r.text or "").strip():
+                        continue
+                    iw, ih = inter_wh(r.xyxy, eb)
+                    if iw > min_pixels and ih > min_pixels:
+                        has_text = True
+                        break
+                if has_text:
+                    continue
+                plan = self._crop_plan(p, shapes[p], eb)
+                if plan is None:
+                    continue
+                plans.append(plan)
+                owners.append((p, eb))
 
         if plans:
             with stage_timer("structure.ocr_refine.fallback",
                              batch=len(plans)):
                 decoded = self.ocr.recognizer.recognize_chunk(pages, plans)
-            for eb, (text, conf, _c) in zip(owners, decoded):
+            for (p, eb), (text, conf, _c) in zip(owners, decoded):
                 if not text:
                     continue
                 x0, y0, x1, y1 = eb
-                regions.append(TextRegion(
+                ocr_regions[p].append(TextRegion(
                     box=np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]],
                                  np.float32),
                     text=text, confidence=conf))
-        return regions
+        return ocr_regions
 
     @staticmethod
     def _crop_plan(page_i: int, page_shape, box_xyxy):

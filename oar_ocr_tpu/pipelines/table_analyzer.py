@@ -219,8 +219,10 @@ class TableAnalyzer:
                 # pipeline path passes no OCR and the ResultStitcher's
                 # stitch_tables does the matching after the cross-cell
                 # split (table_analyzer.rs:12 — "this stage does not
-                # match OCR text to cells").
-                cell_texts: List[Optional[str]] = [None] * len(tokens)
+                # match OCR text to cells"). cell_texts is per td CELL
+                # (wrap_table_html insertion order), not per token.
+                cell_texts: List[Optional[str]] = \
+                    [None] * len(parse_cell_grid_info(tokens))
                 if len(t.ocr_boxes):
                     ocr_boxes, ocr_texts = [], []
                     for box, text in zip(t.ocr_boxes, t.ocr_texts):

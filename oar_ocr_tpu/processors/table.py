@@ -496,12 +496,17 @@ def sort_table_cells_boxes(cells: Sequence[TableCell],
     return sorted_idx, flags
 
 
-def _iou(a, b) -> float:
+def bbox_iou(a, b) -> float:
+    """xyxy IoU (stitching.rs:1433 calculate_iou) — the shared helper
+    for every table/stitch/refine matcher."""
     iw = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
     ih = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
     inter = iw * ih
     ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
     return inter / ua if ua > 0 else 0.0
+
+
+_iou = bbox_iou
 
 
 def _ioa_of(a, b) -> float:

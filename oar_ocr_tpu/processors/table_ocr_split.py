@@ -54,9 +54,9 @@ def _intersection_area(a: Box, b: Box) -> float:
 
 
 def _iou(a: Box, b: Box) -> float:
-    inter = _intersection_area(a, b)
-    union = _area(a) + _area(b) - inter
-    return inter / union if union > 0 else 0.0
+    from .table import bbox_iou
+
+    return bbox_iou(a, b)
 
 
 def detect_cross_cell_ocr_boxes(

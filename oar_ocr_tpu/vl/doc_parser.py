@@ -54,10 +54,13 @@ def task_for_element(t: LayoutElementType) -> Optional[RecognitionTask]:
 
 
 class RecognitionBackend(Protocol):
-    """doc_parser.rs:45 — anything that turns region crops into text."""
+    """doc_parser.rs:45 — anything that turns region crops into text.
+    ``max_tokens`` is the parser's per-region generation budget
+    (doc_parser.rs:56); None = the backend's own default."""
 
     def recognize(self, images: Sequence[np.ndarray],
-                  task: RecognitionTask) -> List[str]:
+                  task: RecognitionTask,
+                  max_tokens: Optional[int] = None) -> List[str]:
         ...
 
 
@@ -72,11 +75,20 @@ class VLMBackend:
     def __init__(self, vlm):
         self.vlm = vlm
 
-    def recognize(self, images, task: RecognitionTask) -> List[str]:
+    def recognize(self, images, task: RecognitionTask,
+                  max_tokens: Optional[int] = None) -> List[str]:
         if not images:
             return []
-        out = self.vlm.generate(list(images), task=task.value)
-        return [r.text for r in out]
+        # truncate repetition on the RAW output, before per-task
+        # postprocess (doc_parser.rs:458-464)
+        from ..vl.paddleocr_vl import postprocess_task_output
+        from .text_format import truncate_repetitive_content
+
+        out = self.vlm.generate(list(images), task=task.value,
+                                max_new_tokens=max_tokens or 512, raw=True)
+        return [postprocess_task_output(
+            truncate_repetitive_content(r.text, 10, 10, 10), task.value)
+            for r in out]
 
 
 # Official per-backend task→prompt maps (doc_parser.rs RecognitionBackend
@@ -149,14 +161,16 @@ class FamilyBackend:
         # :596); Hunyuan/GLM emit HTML directly (false, :513/:553)
         self.needs_table_postprocess = needs_table_postprocess
 
-    def recognize(self, images, task: RecognitionTask) -> List[str]:
+    def recognize(self, images, task: RecognitionTask,
+                  max_tokens: Optional[int] = None) -> List[str]:
         if not images:
             return []
         prompt = self.prompts.get(task, self.prompts[RecognitionTask.TEXT])
         imgs = [resize_for_mineru(im) if self.pre_resize else im
                 for im in images]
         outs = self.family.generate(imgs, self.family.cfg.tasks[0],
-                                    max_new_tokens=self.max_new_tokens,
+                                    max_new_tokens=(max_tokens
+                                                    or self.max_new_tokens),
                                     prompt=prompt)
         if self.truncate:
             # in-backend truncation, before per-task postprocess
@@ -320,7 +334,9 @@ class DocParser:
         for task, items in by_task.items():
             with stage_timer(f"docparser.recognize[{task.value}]",
                              batch=len(items)):
-                texts = self.backend.recognize([c for _, c in items], task)
+                texts = self.backend.recognize(
+                    [c for _, c in items], task,
+                    max_tokens=self.config.max_tokens)
             for (idx, _), text in zip(items, texts):
                 self._apply_generated(elements[idx], task, text)
         return StructureResult(elements=elements, width=w, height=h)
@@ -357,7 +373,8 @@ class DocParser:
         (doc_parser.rs:417 recognize_full_image)."""
         h, w = image.shape[:2]
         texts = self.backend.recognize([np.ascontiguousarray(image)],
-                                       RecognitionTask.TEXT)
+                                       RecognitionTask.TEXT,
+                                       max_tokens=self.config.max_tokens)
         el = LayoutElement(
             element_type=LayoutElementType.TEXT,
             box=np.array([0.0, 0.0, float(w), float(h)], np.float32),

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -77,6 +77,14 @@ class HunyuanOCRConfig:
     v_ln_eps: float = 1e-5
     v_max_image: int = 2048       # learned-position base grid (vision.rs:60)
     add_patchemb_bias: bool = True
+    # preprocessor budget (preprocessor_config.json / config.json values,
+    # conversion-overridable): V1 caps image tokens at Hm·(Wm+1) ≤
+    # img_max_token_num then clamps the longer side to v_max_image
+    # (hunyuanocr/processing.rs:97-108); a V1.5 checkpoint sets
+    # img_max_token_num=None (only smart_resize applies, :111)
+    min_pixels: int = 32 * 32
+    max_pixels: int = 16_777_216
+    img_max_token_num: Optional[int] = 4096
     # token ids (config.json; placeholder strings are tokenizer specials —
     # hy_place_holder no.100/102/101 = start/image/end, model.rs:1401)
     bos_id: int = 1
@@ -477,13 +485,27 @@ class HunyuanOCRModel:
         return jnp.transpose(ids, (1, 0))
 
     def _prepare_image(self, image: np.ndarray):
+        """V1 preprocess (hunyuanocr/processing.rs:63-140): smart resize
+        under the pixel budget, token cap Hm·(Wm+1) ≤ img_max_token_num,
+        longer side clamped to the learned-position grid v_max_image."""
         import cv2
 
+        from .processing import (VisionProcessorConfig,
+                                 clamp_to_max_image_size,
+                                 smart_resize, smart_resize_token_limited)
+
         c = self.cfg
-        unit = c.v_patch * c.v_merge
         h, w = image.shape[:2]
-        th = max(unit, int(round(h / unit)) * unit)
-        tw = max(unit, int(round(w / unit)) * unit)
+        pcfg = VisionProcessorConfig(
+            patch_size=c.v_patch, merge_size=c.v_merge,
+            min_pixels=c.min_pixels, max_pixels=c.max_pixels)
+        if c.img_max_token_num is not None:
+            th, tw = smart_resize_token_limited(h, w, pcfg,
+                                                c.img_max_token_num)
+            th, tw = clamp_to_max_image_size(th, tw, pcfg.factor,
+                                             c.v_max_image)
+        else:
+            th, tw = smart_resize(h, w, pcfg)
         resized = cv2.resize(image, (tw, th),
                              interpolation=cv2.INTER_LINEAR)
         x = (resized.astype(np.float32) / 255.0 - 0.5) / 0.5

@@ -226,7 +226,11 @@ class PaddleOCRVL:
             ids[:, 1].astype(np.int32)
 
     def generate(self, images: Sequence[np.ndarray], task: str = "ocr",
-                 *, max_new_tokens: int = 512) -> List[GenerationResult]:
+                 *, max_new_tokens: int = 512,
+                 raw: bool = False) -> List[GenerationResult]:
+        """``raw=True`` skips the per-task output postprocess — the
+        ``generate_with_raw`` path (doc_parser.rs:459) callers use when
+        they must truncate repetition BEFORE task postprocessing."""
         if task not in TASK_PROMPTS:
             raise InvalidInputError("unknown task", task=task,
                                     known=sorted(TASK_PROMPTS))
@@ -234,7 +238,8 @@ class PaddleOCRVL:
             return []
         try:
             return self._generate_batch(images, task,
-                                        max_new_tokens=max_new_tokens)
+                                        max_new_tokens=max_new_tokens,
+                                        raw=raw)
         except Exception:
             if len(images) == 1:
                 raise
@@ -245,7 +250,8 @@ class PaddleOCRVL:
             for im in images:
                 try:
                     out.extend(self._generate_batch(
-                        [im], task, max_new_tokens=max_new_tokens))
+                        [im], task, max_new_tokens=max_new_tokens,
+                        raw=raw))
                 except Exception:
                     from ..utils.tracing import logger
 
@@ -256,7 +262,8 @@ class PaddleOCRVL:
             return out
 
     def _generate_batch(self, images: Sequence[np.ndarray], task: str,
-                        *, max_new_tokens: int) -> List[GenerationResult]:
+                        *, max_new_tokens: int,
+                        raw: bool = False) -> List[GenerationResult]:
         c = self.cfg
 
         # --- vision; the spotting task 2×-pre-upscales small pages and
@@ -337,9 +344,10 @@ class PaddleOCRVL:
             row = out_ids[i].tolist()
             if c.eos_id in row:
                 row = row[: row.index(c.eos_id)]
+            decoded = self.tokenizer.decode(row)
             results.append(GenerationResult(
-                text=postprocess_task_output(
-                    self.tokenizer.decode(row), task),
+                text=decoded if raw else postprocess_task_output(decoded,
+                                                                 task),
                 token_ids=row,
                 num_prompt_tokens=int(valid_lengths[i])))
         return results

@@ -12,7 +12,7 @@ class StubBackend:
     def __init__(self):
         self.calls = []
 
-    def recognize(self, images, task):
+    def recognize(self, images, task, max_tokens=None):
         self.calls.append((task, len(images)))
         if task == RecognitionTask.TABLE:
             return ["<fcel>A<fcel>B<nl><fcel>C<ecel><nl>"] * len(images)

@@ -90,6 +90,25 @@ def test_covered_regions_suppressed(pipe_and_pages, monkeypatch):
     assert [r.text for r in out if r.text] == ["left", "right"]
 
 
+def test_later_box_suppresses_earlier_rerecognized_text(pipe_and_pages,
+                                                        monkeypatch):
+    """The suppress→apply sequence replays per OCR box in order
+    (structure.rs:1479-1545 interleaving): a later multi-layout box
+    whose crop covers an earlier box's REPLACED region nulls the
+    earlier re-recognized text."""
+    pipe, pages = pipe_and_pages
+    els = [element(LayoutElementType.TEXT, (10, 10, 200, 100)),
+           element(LayoutElementType.TEXT, (220, 10, 400, 100))]
+    a = region(20, 20, 390, 40, "A")
+    b = region(20, 22, 390, 42, "B")    # first crop covers a's (IoU>0.8)
+    _stub(monkeypatch, pipe.ocr.recognizer,
+          [["leftA", "rightA", "leftB", "rightB"]])
+
+    out = pipe._refine_ocr_with_layout(pages, 0, (256, 512), [a, b], els)
+    assert out[0].text is None          # leftA written, then nulled by b
+    assert [r.text for r in out[1:]] == ["leftB", "rightA", "rightB"]
+
+
 def test_fallback_ocr_for_textless_blocks(pipe_and_pages, monkeypatch):
     """A non-excluded layout block with no matched text gets whole-block
     OCR (structure.rs:1552-1609); image/chart and formula/table/seal
@@ -99,12 +118,13 @@ def test_fallback_ocr_for_textless_blocks(pipe_and_pages, monkeypatch):
            element(LayoutElementType.IMAGE, (220, 10, 400, 100)),
            element(LayoutElementType.TABLE, (10, 120, 200, 200)),
            element(LayoutElementType.SEAL, (220, 120, 400, 200))]
+    far = region(450, 210, 490, 240, "elsewhere")   # overlaps no block
     calls = _stub(monkeypatch, pipe.ocr.recognizer, [["found text"]])
 
-    out = pipe._refine_ocr_with_layout(pages, 0, (256, 512), [], els)
+    out = pipe._refine_ocr_with_layout(pages, 0, (256, 512), [far], els)
     assert len(calls) == 1 and len(calls[0]) == 1   # only the TEXT block
-    assert [r.text for r in out] == ["found text"]
-    x0, y0, x1, y1 = out[0].xyxy
+    assert [r.text for r in out] == ["elsewhere", "found text"]
+    x0, y0, x1, y1 = out[1].xyxy
     assert (x0, y0, x1, y1) == (10.0, 10.0, 200.0, 100.0)
 
 
@@ -139,9 +159,13 @@ def test_empty_rec_keeps_original(pipe_and_pages, monkeypatch):
 
 
 def test_refine_noop_without_inputs(pipe_and_pages, monkeypatch):
+    """structure.rs:1413 — EITHER empty OCR or empty layout skips the
+    page entirely (no fallback block OCR on OCR-less pages)."""
     pipe, pages = pipe_and_pages
     calls = _stub(monkeypatch, pipe.ocr.recognizer, [])
     assert pipe._refine_ocr_with_layout(pages, 0, (256, 512), [], []) == []
     r = [region(1, 1, 9, 9, "x")]
     assert pipe._refine_ocr_with_layout(pages, 0, (256, 512), r, []) == r
+    els = [element(LayoutElementType.TEXT, (10, 10, 200, 100))]
+    assert pipe._refine_ocr_with_layout(pages, 0, (256, 512), [], els) == []
     assert calls == []
