@@ -154,11 +154,20 @@ class RuntimeConfig:
     # env overrides applied by `from_env`).
     enable_pallas_kernels: bool = True
     enable_async_dispatch: bool = True
+    # Sparse det-bitmap fetch on degraded d2h links: ship the per-row
+    # occupancy mask (~0.1% of the bytes), gather only occupied rows,
+    # reassemble bit-exactly on host; overflow falls back to the full
+    # fetch. "auto" activates when the measured d2h bandwidth EMA drops
+    # below det_sparse_bw_mbps (the tunnel swings 1.2 GB/s → 3 MB/s,
+    # docs/environment-variables.md); "on"/"off" force it.
+    det_sparse_fetch: str = "auto"
+    det_sparse_bw_mbps: float = 20.0
 
     RULES = {
         "compute_dtype": Rule(choices=("bfloat16", "float32")),
         "param_dtype": Rule(choices=("bfloat16", "float32")),
         "output_dtype": Rule(choices=("bfloat16", "float32")),
+        "det_sparse_fetch": Rule(choices=("auto", "on", "off")),
     }
 
     def validate(self) -> None:
@@ -176,6 +185,8 @@ class RuntimeConfig:
             updates["compute_dtype"] = os.environ["OAR_TPU_DTYPE"]
         if os.environ.get("OAR_TPU_MESH") is not None:
             updates["use_mesh"] = os.environ["OAR_TPU_MESH"] not in ("0", "")
+        if os.environ.get("OAR_TPU_SPARSE_DET"):
+            updates["det_sparse_fetch"] = os.environ["OAR_TPU_SPARSE_DET"]
         if os.environ.get("OAR_TPU_TP"):
             updates["mesh"] = dataclasses.replace(
                 cfg.mesh, n_model=int(os.environ["OAR_TPU_TP"]))

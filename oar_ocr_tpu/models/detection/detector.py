@@ -162,14 +162,26 @@ class DBDetector:
                 jnp.asarray(dst_h), jnp.asarray(dst_w),
                 jnp.float32(pp_cfg.thresh),
                 out_h=out_h, out_w=out_w, dilate=pp_cfg.use_dilation)
-        # start the bitmap d2h now — the ~1 MB bit-packed transfer rides
-        # the slow tunnel while the next batch computes (collect then
-        # finds it resident instead of paying the RTT synchronously)
+        # Sparse fetch decision happens at dispatch so the async copy
+        # targets the payload we will actually read: on a degraded d2h
+        # link (runtime.det_sparse_active, EMA-gated) ship only the tiny
+        # per-row occupancy mask now and gather occupied rows at collect;
+        # otherwise start the full ~1 MB bit-packed transfer so it rides
+        # the tunnel while the next batch computes.
+        sparse = (self.runtime.det_sparse_active()
+                  and pp_cfg.box_type != BoxType.POLY
+                  and pp_cfg.score_mode != ScoreMode.SLOW)
+        row_mask = None
+        if sparse:
+            from ...ops.det_device import row_occupancy_mask
+
+            row_mask = row_occupancy_mask(packed)
+        target = row_mask if sparse else packed
         try:
-            packed.copy_to_host_async()
+            target.copy_to_host_async()
         except (AttributeError, NotImplementedError):
             pass
-        return (plans, prob_dev, packed, out_w)
+        return (plans, prob_dev, packed, out_w, row_mask)
 
     def detect(
         self,
@@ -185,6 +197,49 @@ class DBDetector:
     def collect(self, handle) -> List[Tuple[List[np.ndarray], List[float]]]:
         return self.finalize(self.collect_candidates(handle))
 
+    @staticmethod
+    def _sparse_budgets(out_h: int):
+        """Occupied-row budgets, smallest first; beyond 3/4 the sparse
+        fetch stops paying for its extra round-trip → full fallback."""
+        return (out_h // 8, out_h // 4, out_h // 2, 3 * out_h // 4)
+
+    def _fetch_bitmap(self, packed, row_mask) -> np.ndarray:
+        """Bring the bit-packed bitmap to host. With ``row_mask`` set
+        (sparse mode, dispatch decided): read the tiny per-row occupancy
+        mask, gather only occupied rows at the smallest sufficient
+        budget, and scatter them into a zeroed buffer — bit-identical to
+        the full fetch (gather_occupied_rows invariant). Dense batches
+        (> 3/4 rows occupied) fall back to the full transfer. Every
+        fetch feeds the runtime's d2h bandwidth/RTT EMAs so the auto
+        policy adapts as the link changes."""
+        import time as _time
+
+        rt = self.runtime
+        if row_mask is not None:
+            t0 = _time.perf_counter()
+            mask_np = np.asarray(row_mask)              # (nb, out_h/8)
+            rt.note_rtt(_time.perf_counter() - t0)
+            out_h = packed.shape[1]
+            bits = np.unpackbits(mask_np, axis=-1, count=out_h)
+            kmax = int(bits.sum(axis=1).max())
+            k = next((b for b in self._sparse_budgets(out_h)
+                      if kmax <= b), None)
+            if k is not None and 0 < k < out_h:
+                from ...ops.det_device import gather_occupied_rows
+
+                rows_dev, idx_dev = gather_occupied_rows(packed, k=k)
+                t0 = _time.perf_counter()
+                rows = np.asarray(rows_dev)
+                idx = np.asarray(idx_dev)
+                rt.note_d2h(rows.nbytes, _time.perf_counter() - t0)
+                out = np.zeros(packed.shape, np.uint8)
+                np.put_along_axis(out, idx[:, :, None], rows, axis=1)
+                return out
+        t0 = _time.perf_counter()
+        packed_np = np.asarray(packed)
+        rt.note_d2h(packed_np.nbytes, _time.perf_counter() - t0)
+        return packed_np
+
     def collect_candidates(self, handle):
         """Phase 1 of collect (split so a pipeline can run the NEXT
         batch's host contour pass while this batch's device scores ride
@@ -192,11 +247,11 @@ class DBDetector:
         candidates on the host (native C++ fast path), dispatch the
         device scoring call and start its async host copy. Returns an
         opaque pending tuple for ``finalize``."""
-        plans, prob_dev, packed, out_w = handle
+        plans, prob_dev, packed, out_w, row_mask = handle
         n = len(plans)
         pp_cfg = self.postprocess.cfg
         with stage_timer("det.device", batch=n):
-            packed_np = np.asarray(packed)
+            packed_np = self._fetch_bitmap(packed, row_mask)
 
         if pp_cfg.score_mode == ScoreMode.SLOW:
             # exact contour scoring → host path (rare mode)

@@ -101,6 +101,36 @@ def pack_bits(bitmap: jax.Array) -> jax.Array:
     return jnp.sum(x * weights, axis=-1).astype(jnp.uint8)
 
 
+@jax.jit
+def row_occupancy_mask(packed: jax.Array) -> jax.Array:
+    """(B, H, W/8) packed bitmap → (B, H/8) uint8: bit r set when row r
+    has any foreground pixel. ~0.1% of the bitmap's bytes — shipped
+    ahead of the bitmap so the host can size a sparse row fetch on slow
+    d2h links (docs/environment-variables.md: d2h swings to ~3 MB/s;
+    the full 1-bit/px bitmap then dominates the detect wall time)."""
+    row_any = jnp.any(packed != 0, axis=-1)         # (B, H)
+    return pack_bits(row_any)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def gather_occupied_rows(packed: jax.Array, *, k: int):
+    """Gather the first ``k`` rows of each bitmap ordered
+    occupied-rows-first (ascending row index within each class).
+    Returns (rows (B, k, W/8) uint8, idx (B, k) int32).
+
+    With k ≥ the page's occupied-row count this loses nothing: the extra
+    gathered rows are all-zero, and scattering them back into a zeroed
+    buffer reproduces the full bitmap bit-exactly (the sparse-fetch
+    reassembly in models/detection/detector.py)."""
+    h = packed.shape[1]
+    row_any = jnp.any(packed != 0, axis=-1)         # (B, H)
+    score = row_any.astype(jnp.int32) * (2 * h) - jnp.arange(
+        h, dtype=jnp.int32)[None, :]
+    _, idx = jax.lax.top_k(score, k)                # occupied first, asc
+    rows = jnp.take_along_axis(packed, idx[:, :, None], axis=1)
+    return rows, idx.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def poly_scores(prob: jax.Array, polys: jax.Array, img_idx: jax.Array,
                 *, chunk: int = 4) -> jax.Array:

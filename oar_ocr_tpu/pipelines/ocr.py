@@ -74,6 +74,18 @@ class OAROCR:
         self.line_orienter = line_orienter
 
     # ------------------------------------------------------------------
+    def predict_paths(self, paths: Sequence[str]) -> List[OAROCRResult]:
+        """Path-based entry (ocr.rs predict_path / structure.rs:2511
+        pattern): threaded decode (utils/image.py load_images) then
+        :meth:`predict`; results carry their source path."""
+        from ..utils.image import load_images
+
+        images, loaded = load_images(list(paths))
+        results = self.predict(images)
+        for r, p in zip(results, loaded):
+            r.source_path = p
+        return results
+
     def predict(self, images: Sequence[np.ndarray]) -> List[OAROCRResult]:
         """Run det+rec on a list of HWC uint8 RGB images."""
 

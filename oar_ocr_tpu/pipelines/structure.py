@@ -259,6 +259,14 @@ class OARStructure:
         """Single-page convenience (structure.rs:2808)."""
         return self.predict([image])[0]
 
+    def predict_paths(self, paths: Sequence[str]) -> List[StructureResult]:
+        """Path-based entry (structure.rs:2511 predict(image_path)):
+        threaded decode then :meth:`predict`."""
+        from ..utils.image import load_images
+
+        images, _loaded = load_images(list(paths))
+        return self.predict(images)
+
     # -------------------------------------------------------------
     def _refine_ocr_with_layout(self, pages, page_i: int, page_shape,
                                 regions: List[TextRegion],

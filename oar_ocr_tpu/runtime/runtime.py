@@ -87,6 +87,45 @@ class Runtime:
         # are machine-feature-pinned and can SIGILL across detection drift
         if self.device.platform in ("tpu", "axon"):
             _enable_compilation_cache()
+        # d2h bandwidth EMA (MB/s), fed by the big fetch sites — drives
+        # the auto sparse det-bitmap fetch (config det_sparse_fetch)
+        self._d2h_mbps: Optional[float] = None
+        self._d2h_rtt: Optional[float] = None
+
+    def note_rtt(self, seconds: float) -> None:
+        """Record a tiny-fetch round-trip (payload ≈ 0) so bandwidth
+        estimates can subtract the fixed link latency."""
+        if seconds <= 0:
+            return
+        self._d2h_rtt = (seconds if self._d2h_rtt is None
+                         else 0.7 * self._d2h_rtt + 0.3 * seconds)
+
+    def note_d2h(self, nbytes: int, seconds: float) -> None:
+        """Record one device→host transfer for the bandwidth estimate.
+        Small transfers are RTT-dominated and skipped; the RTT EMA is
+        subtracted so payload bandwidth is measured, not latency."""
+        if nbytes < 64 * 1024 or seconds <= 0:
+            return
+        payload_s = max(seconds - (self._d2h_rtt or 0.0), 1e-4)
+        mbps = nbytes / payload_s / 1e6
+        self._d2h_mbps = (mbps if self._d2h_mbps is None
+                          else 0.7 * self._d2h_mbps + 0.3 * mbps)
+
+    @property
+    def d2h_mbps(self) -> Optional[float]:
+        return self._d2h_mbps
+
+    def det_sparse_active(self) -> bool:
+        """Sparse det-bitmap fetch policy (config det_sparse_fetch):
+        forced on/off, or auto below the bandwidth threshold. Mesh mode
+        keeps the full fetch (the packed array is sharded)."""
+        mode = self.cfg.det_sparse_fetch
+        if mode == "off" or self.mesh is not None:
+            return False
+        if mode == "on":
+            return True
+        return (self._d2h_mbps is not None
+                and self._d2h_mbps < self.cfg.det_sparse_bw_mbps)
 
     @classmethod
     def default(cls) -> "Runtime":

@@ -44,6 +44,19 @@ def test_predict_empty(pipeline):
     assert pipeline.predict([]) == []
 
 
+def test_predict_paths(pipeline, rng, tmp_path):
+    """Path-based entry: threaded decode → predict, source_path stamped
+    (ocr.rs predict_path surface)."""
+    import cv2
+
+    p = tmp_path / "page.png"
+    cv2.imwrite(str(p), _doc_image(rng)[..., ::-1])
+    results = pipeline.predict_paths([str(p)])
+    assert len(results) == 1
+    assert results[0].source_path == str(p)
+    assert results[0].width == 300 and results[0].height == 200
+
+
 def test_predict_rejects_bad_input(pipeline):
     with pytest.raises(InvalidInputError):
         pipeline.predict([np.zeros((10, 10), np.uint8)])

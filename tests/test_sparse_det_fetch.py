@@ -1,0 +1,119 @@
+"""Sparse det-bitmap fetch (ops/det_device.py gather_occupied_rows +
+models/detection/detector.py _fetch_bitmap): on a degraded d2h link only
+the per-row occupancy mask and the occupied rows cross the link, and the
+host reassembly must be BIT-IDENTICAL to the full fetch — the detection
+path is parity-critical (SURVEY §8)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oar_ocr_tpu.config.runtime import RuntimeConfig
+from oar_ocr_tpu.ops.det_device import (gather_occupied_rows, pack_bits,
+                                        row_occupancy_mask)
+from oar_ocr_tpu.runtime.runtime import Runtime
+
+
+def _reassemble(packed_dev, k):
+    rows, idx = gather_occupied_rows(packed_dev, k=k)
+    rows, idx = np.asarray(rows), np.asarray(idx)
+    out = np.zeros(packed_dev.shape, np.uint8)
+    np.put_along_axis(out, idx[:, :, None], rows, axis=1)
+    return out
+
+
+@pytest.mark.parametrize("occupancy", [0.0, 0.1, 0.45])
+def test_gather_rows_bit_exact(rng, occupancy):
+    b, h, w = 3, 64, 128
+    bitmap = (rng.random((b, h, w)) < 0.3).astype(np.uint8)
+    # keep only a fraction of rows occupied
+    row_keep = rng.random((b, h, 1)) < occupancy
+    bitmap = bitmap * row_keep
+    packed_dev = pack_bits(jnp.asarray(bitmap))
+    full = np.asarray(packed_dev)
+    for k in (h // 2, 3 * h // 4, h):
+        if int(row_keep.sum(axis=1).max()) <= k:
+            assert np.array_equal(_reassemble(packed_dev, k), full), k
+
+
+def test_row_mask_matches_numpy(rng):
+    b, h, w = 2, 32, 64
+    bitmap = (rng.random((b, h, w)) < 0.05).astype(np.uint8)
+    packed_dev = pack_bits(jnp.asarray(bitmap))
+    mask = np.asarray(row_occupancy_mask(packed_dev))
+    bits = np.unpackbits(mask, axis=-1, count=h)
+    assert np.array_equal(bits, bitmap.any(axis=-1).astype(np.uint8))
+
+
+def test_runtime_auto_policy_flips_on_bandwidth():
+    rt = Runtime(RuntimeConfig(det_sparse_fetch="auto",
+                               det_sparse_bw_mbps=20.0, use_mesh=False))
+    assert not rt.det_sparse_active()       # no estimate yet → full
+    rt.note_rtt(0.001)
+    rt.note_d2h(1_000_000, 0.301)           # ~3.3 MB/s
+    assert rt.det_sparse_active()
+    for _ in range(12):                     # link recovers
+        rt.note_d2h(1_000_000, 0.002)       # ~1 GB/s
+    assert not rt.det_sparse_active()
+    rt2 = Runtime(RuntimeConfig(det_sparse_fetch="on", use_mesh=False))
+    assert rt2.det_sparse_active()
+    rt3 = Runtime(RuntimeConfig(det_sparse_fetch="off", use_mesh=False))
+    rt3.note_d2h(1_000_000, 10.0)
+    assert not rt3.det_sparse_active()
+
+
+@pytest.fixture(scope="module")
+def doc_image():
+    rng = np.random.default_rng(7)
+    img = np.full((240, 320, 3), 255, np.uint8)
+    img[40:70, 30:290] = rng.integers(0, 60)
+    img[120:150, 30:160] = rng.integers(0, 60)
+    return img
+
+
+def test_detector_sparse_matches_full(doc_image):
+    """Forced-sparse detection produces identical boxes/scores to the
+    full fetch (overflow-safe bit-exact reassembly end to end)."""
+    from oar_ocr_tpu.pipelines.ocr import OAROCRBuilder
+
+    def boxes(mode):
+        rt = Runtime(RuntimeConfig(det_sparse_fetch=mode, use_mesh=False))
+        pipe = (OAROCRBuilder("general").with_runtime(rt)
+                .with_det_config(box_thresh=0.05, thresh=0.45).build())
+        det = pipe.detector
+        h, w = doc_image.shape[:2]
+        cfg = rt.cfg
+        from oar_ocr_tpu.runtime.runtime import stack_padded
+
+        pages = rt.put(stack_padded(
+            [doc_image], (cfg.det_side_buckets.bucket(h),
+                          cfg.det_side_buckets.bucket(w))))
+        return det.detect(pages, [(h, w)])
+
+    full = boxes("off")
+    sparse = boxes("on")
+    assert len(full) == len(sparse) == 1
+    fb, fs = full[0]
+    sb, ss = sparse[0]
+    assert len(fb) == len(sb)
+    for a, b in zip(fb, sb):
+        assert np.allclose(a, b)
+    assert np.allclose(fs, ss)
+
+
+def test_dense_bitmap_falls_back_to_full(rng, monkeypatch):
+    """> 3/4 occupied rows → the sparse path must fall back to the full
+    transfer (budget exhausted) and still be exact."""
+    from oar_ocr_tpu.models.detection.detector import DBDetector
+
+    rt = Runtime(RuntimeConfig(det_sparse_fetch="on", use_mesh=False))
+    det = DBDetector.__new__(DBDetector)
+    det.runtime = rt
+    b, h, w = 2, 32, 64
+    bitmap = np.ones((b, h, w), np.uint8)          # fully dense
+    packed_dev = pack_bits(jnp.asarray(bitmap))
+    mask = row_occupancy_mask(packed_dev)
+    out = det._fetch_bitmap(packed_dev, mask)
+    assert np.array_equal(out, np.asarray(packed_dev))
