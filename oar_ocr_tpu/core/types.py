@@ -93,11 +93,12 @@ class ImageScaleInfo:
 
 
 class Rotation(enum.IntEnum):
-    """Document orientation classes → degrees to rotate *back* to upright.
+    """Document orientation classes → upright correction angle.
 
-    reference: src/oarocr/preprocess.rs:111-149 — class {0:0°,1:90°,2:180°,
-    3:270°} means the image *is rotated by* that amount; correction rotates by
-    the negative.
+    reference: src/oarocr/preprocess.rs:111-149 — label k·90 uprights by
+    rotating +k·90° CCW (PaddleX ``np.rot90(img, k)``; the reference's
+    class1→rotate270 / class3→rotate90 in the image crate's CLOCKWISE
+    naming are 90° CCW / 90° CW respectively).
     """
 
     DEG_0 = 0

@@ -216,6 +216,15 @@ class DBDetector:
 
         rt = self.runtime
         if row_mask is not None:
+            # every 16th sparse batch re-measures the link with a full
+            # transfer (rows fetches can be under note_d2h's size floor,
+            # which would freeze the EMA and latch sparse mode after the
+            # link recovers)
+            self._sparse_count = getattr(self, "_sparse_count", 0) + 1
+            if (self._sparse_count % 16 == 0
+                    and rt.cfg.det_sparse_fetch == "auto"):
+                row_mask = None
+        if row_mask is not None:
             t0 = _time.perf_counter()
             mask_np = np.asarray(row_mask)              # (nb, out_h/8)
             rt.note_rtt(_time.perf_counter() - t0)

@@ -284,7 +284,10 @@ class OAROCR:
                 res.rectified = page.rectified
                 if (page.orientation is not None
                         and page.orientation.angle != 0 and page.can_map_back):
-                    back_angle = (360 - page.orientation.angle) % 360
+                    # rotate_points_back takes the CCW rotation that WAS
+                    # applied to upright the page (= the detected angle,
+                    # preprocess.py) and inverts it (geometry.rs:848)
+                    back_angle = page.orientation.angle % 360
                     res.height, res.width = orig_shapes[page_i]
             scale = page_scales[page_i]
             uw, uh = unscaled_shapes[page_i][1], unscaled_shapes[page_i][0]

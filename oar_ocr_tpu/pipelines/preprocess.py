@@ -84,10 +84,11 @@ class DocumentPreprocessor:
             for page, (cls, _score) in zip(pages, results):
                 angle = int(Rotation.from_class(cls))
                 if angle != 0:
-                    # class k means the page is rotated k·90° — rotate by
-                    # -angle to upright, i.e. (360-angle) CCW
-                    # (preprocess.rs:111-149)
-                    page.image = rotate_image(page.image, (360 - angle) % 360)
+                    # label k·90 uprights by rotating +angle CCW —
+                    # PaddleX's np.rot90(img, k=angle//90) and the
+                    # reference's class1→rotate270 (=90° CCW in the
+                    # image crate's CW naming), preprocess.rs:111-149
+                    page.image = rotate_image(page.image, angle)
                 h, w = page.image.shape[:2]
                 page.orientation = OrientationCorrection(angle, w, h)
 

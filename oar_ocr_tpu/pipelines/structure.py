@@ -261,11 +261,15 @@ class OARStructure:
 
     def predict_paths(self, paths: Sequence[str]) -> List[StructureResult]:
         """Path-based entry (structure.rs:2511 predict(image_path)):
-        threaded decode then :meth:`predict`."""
+        threaded decode then :meth:`predict`; results carry their
+        source path."""
         from ..utils.image import load_images
 
-        images, _loaded = load_images(list(paths))
-        return self.predict(images)
+        images, loaded = load_images(list(paths))
+        results = self.predict(images)
+        for r, p in zip(results, loaded):
+            r.source_path = p
+        return results
 
     # -------------------------------------------------------------
     def _refine_ocr_with_layout(self, pages, page_i: int, page_shape,
@@ -428,8 +432,24 @@ class OARStructure:
             with stage_timer("structure.ocr_refine.fallback",
                              batch=len(plans)):
                 decoded = self.ocr.recognizer.recognize_chunk(pages, plans)
+            # apply sequentially, re-checking has_text against the
+            # GROWING list: the reference appends block B1's fallback
+            # region before evaluating B2, so an overlapping later block
+            # is satisfied by it (:1552-1609 per-block loop). Recognition
+            # of a block that becomes satisfied is discarded (we batched
+            # a superset to keep one dispatch).
             for (p, eb), (text, conf, _c) in zip(owners, decoded):
                 if not text:
+                    continue
+                satisfied = False
+                for r in ocr_regions[p]:
+                    if not (r.text or "").strip():
+                        continue
+                    iw, ih = inter_wh(r.xyxy, eb)
+                    if iw > min_pixels and ih > min_pixels:
+                        satisfied = True
+                        break
+                if satisfied:
                     continue
                 x0, y0, x1, y1 = eb
                 ocr_regions[p].append(TextRegion(

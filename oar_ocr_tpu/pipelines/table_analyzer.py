@@ -124,10 +124,10 @@ class TableAnalyzer:
         if self.orientation is not None:
             with stage_timer("table.orientation", batch=len(tables)):
                 ori = self.orientation.classify_quads(pages_u8, quads)
-            # class k means the crop is rotated k·90°; upright by
-            # rotating (360 − k·90)° CCW — same convention as
-            # pipelines/preprocess.py (preprocess.rs:111-149)
-            angles = [(360 - int(c) * 90) % 360 for c, _s in ori]
+            # label k·90 uprights by rotating +k·90° CCW — same
+            # convention as pipelines/preprocess.py (PaddleX np.rot90;
+            # preprocess.rs:111-149)
+            angles = [(int(c) * 90) % 360 for c, _s in ori]
 
         # stage 2: SLANet structure for every table, routed per table
         # kind when distinct wired/wireless models are configured

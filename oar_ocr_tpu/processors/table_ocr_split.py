@@ -19,6 +19,8 @@ import math
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Set, Tuple
 
+from .table import bbox_iou as _iou
+
 Box = Tuple[float, float, float, float]
 
 
@@ -53,10 +55,6 @@ def _intersection_area(a: Box, b: Box) -> float:
     return iw * ih
 
 
-def _iou(a: Box, b: Box) -> float:
-    from .table import bbox_iou
-
-    return bbox_iou(a, b)
 
 
 def detect_cross_cell_ocr_boxes(

@@ -203,10 +203,18 @@ def hunyuan_backend(family, **kw) -> FamilyBackend:
 
 @dataclasses.dataclass
 class DocParserConfig:
-    """doc_parser.rs:78-111 DocParserConfig."""
+    """doc_parser.rs:78-111 DocParserConfig.
+
+    ``max_tokens`` diverges from the reference default (4096) on
+    purpose: the reference decode is an EOS-early-exit step loop where
+    a high cap is nearly free, while this runtime decodes a static-trip
+    lax.scan whose cost IS the cap (plus one remote compile per new
+    power-of-two KV bucket). None = each backend's tuned budget
+    (VLMBackend 512, FamilyBackend 256); set it explicitly for regions
+    that genuinely need long generations."""
 
     crop_pad_ratio: float = 0.0            # OpenOCR CropByBoxes adds none
-    max_tokens: int = 4096
+    max_tokens: Optional[int] = None
     skip_auxiliary_regions: bool = True    # header/footer/aside/number
     skip_region_blocks: bool = True        # PP-DocBlockLayout regions
     markdown_ignore_labels: tuple = None   # default set from text_format

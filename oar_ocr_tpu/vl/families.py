@@ -159,7 +159,11 @@ FAMILY_CONFIGS: Dict[str, FamilyConfig] = {
         dflash=DFlashConfig(),
         # V1 resize policy: Hm·(Wm+1) token cap + 2048 long-side clamp
         # (hunyuanocr/processing.rs:97-108; conversion overrides from
-        # config.json — a V1.5 checkpoint sets img_max_tokens=None)
+        # config.json — a V1.5 checkpoint sets img_max_tokens=None).
+        # The pixel budget must exceed the token cap's implied area
+        # (4096 tokens · factor² ≈ 3.2 MPx) or the cap is dead code —
+        # the V1.5 processor budget is 16 MPx (processing.rs:111).
+        min_pixels=32 * 32, max_pixels=16_777_216,
         img_max_tokens=4096, max_image_size=2048),
     "glmocr": FamilyConfig(
         "glmocr",

@@ -82,6 +82,46 @@ def test_rotate_image():
     assert r90[0, 0, 0] == img[0, 3, 0]
 
 
+class _FixedOrientation:
+    """Stub classifier returning one fixed class for every page."""
+
+    def __init__(self, cls):
+        self.cls = cls
+
+    def classify_pages(self, dev, shapes):
+        return [(self.cls, 0.99)] * len(shapes)
+
+
+@pytest.mark.parametrize("cls,k", [(0, 0), (1, 1), (2, 2), (3, 3)])
+def test_orientation_correction_direction(cls, k):
+    """Label k·90 uprights with np.rot90(img, k) — +90k° CCW (PaddleX
+    np.rot90(img, angle//90); preprocess.rs:111-149 class1→rotate270 =
+    90° CCW in the image crate's CW naming, class3→rotate90 = 90° CW).
+    A page that 'is rotated' by label k must come back pixel-identical
+    to the upright original."""
+    upright = np.arange(64 * 96 * 3, dtype=np.uint8).reshape(64, 96, 3)
+    page = np.ascontiguousarray(np.rot90(upright, -k))  # un-upright it
+    pre = DocumentPreprocessor(orientation=_FixedOrientation(cls),
+                               use_orientation=True,
+                               use_rectification=False)
+    out = pre.preprocess([page])[0]
+    assert out.orientation.angle == cls * 90
+    assert np.array_equal(out.image, upright)
+    assert (out.orientation.rotated_w, out.orientation.rotated_h) == (96, 64)
+
+
+def test_rotate_points_back_inverts_correction():
+    """geometry.rs:848 — a point in the corrected frame maps back to
+    the original page frame by inverting the applied CCW rotation."""
+    from oar_ocr_tpu.processors.geometry import rotate_points_back
+
+    # corrected frame 64h×96w produced by a 90° CCW correction of a
+    # 96h×64w page: corrected (x, y) ↔ page (W_p − y, x), W_p = 64
+    pts = np.array([[10.0, 20.0]], np.float32)
+    back = rotate_points_back(pts, 90, rotated_w=96, rotated_h=64)
+    assert np.allclose(back, [[64 - 20, 10]])
+
+
 def test_document_preprocessor_orientation_only(rng):
     pre = DocumentPreprocessor(use_orientation=True, use_rectification=False)
     imgs = [rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)]

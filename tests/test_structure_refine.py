@@ -128,6 +128,24 @@ def test_fallback_ocr_for_textless_blocks(pipe_and_pages, monkeypatch):
     assert (x0, y0, x1, y1) == (10.0, 10.0, 200.0, 100.0)
 
 
+def test_fallback_satisfied_by_earlier_fallback(pipe_and_pages,
+                                                monkeypatch):
+    """Two overlapping textless blocks: the reference appends B1's
+    fallback region BEFORE evaluating B2, so B2 is satisfied by it
+    (structure.rs:1552-1609 per-block loop). The batched superset must
+    discard B2's recognition."""
+    pipe, pages = pipe_and_pages
+    els = [element(LayoutElementType.TEXT, (10, 10, 200, 100)),
+           element(LayoutElementType.TEXT, (150, 10, 380, 100))]
+    far = region(450, 210, 490, 240, "elsewhere")
+    calls = _stub(monkeypatch, pipe.ocr.recognizer, [["one", "two"]])
+
+    out = pipe._refine_ocr_with_layout(pages, 0, (256, 512), [far], els)
+    assert len(calls) == 1 and len(calls[0]) == 2   # superset batched
+    # only B1's result lands; B2 is satisfied by B1's appended region
+    assert [r.text for r in out] == ["elsewhere", "one"]
+
+
 def test_fallback_skipped_when_block_has_text(pipe_and_pages, monkeypatch):
     pipe, pages = pipe_and_pages
     els = [element(LayoutElementType.TEXT, (10, 10, 200, 100))]

@@ -275,6 +275,8 @@ def test_doc_parser_config_defaults():
 
     cfg = DocParserConfig()
     assert cfg.crop_pad_ratio == 0.0
-    assert cfg.max_tokens == 4096
+    # None = backend-tuned budgets; a fixed 4096 cap would cost the full
+    # static lax.scan trip count here (see DocParserConfig docstring)
+    assert cfg.max_tokens is None
     assert cfg.skip_auxiliary_regions and cfg.skip_region_blocks
     assert "footer" in cfg.markdown_ignore_labels
