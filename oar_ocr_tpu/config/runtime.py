@@ -162,12 +162,19 @@ class RuntimeConfig:
     # docs/environment-variables.md); "on"/"off" force it.
     det_sparse_fetch: str = "auto"
     det_sparse_bw_mbps: float = 20.0
+    # Sparse page UPLOAD on degraded h2d links (runtime/page_upload.py):
+    # grayscale-collapse and/or ship only non-constant 32x32 tiles,
+    # rebuilt bit-exactly on device. "auto" activates below the measured
+    # h2d bandwidth EMA threshold; "on"/"off" force it.
+    page_upload: str = "auto"
+    upload_sparse_bw_mbps: float = 150.0
 
     RULES = {
         "compute_dtype": Rule(choices=("bfloat16", "float32")),
         "param_dtype": Rule(choices=("bfloat16", "float32")),
         "output_dtype": Rule(choices=("bfloat16", "float32")),
         "det_sparse_fetch": Rule(choices=("auto", "on", "off")),
+        "page_upload": Rule(choices=("auto", "on", "off")),
     }
 
     def validate(self) -> None:
@@ -187,6 +194,8 @@ class RuntimeConfig:
             updates["use_mesh"] = os.environ["OAR_TPU_MESH"] not in ("0", "")
         if os.environ.get("OAR_TPU_SPARSE_DET"):
             updates["det_sparse_fetch"] = os.environ["OAR_TPU_SPARSE_DET"]
+        if os.environ.get("OAR_TPU_SPARSE_UPLOAD"):
+            updates["page_upload"] = os.environ["OAR_TPU_SPARSE_UPLOAD"]
         if os.environ.get("OAR_TPU_TP"):
             updates["mesh"] = dataclasses.replace(
                 cfg.mesh, n_model=int(os.environ["OAR_TPU_TP"]))

@@ -35,7 +35,7 @@ from ..ops.resize import DetResizeConfig
 from ..processors.db_postprocess import DBPostProcessConfig
 from ..processors.geometry import order_quad_points
 from ..processors.sorting import sort_poly_boxes_indices, sort_quad_boxes_indices
-from ..runtime.runtime import Runtime, stack_padded
+from ..runtime.runtime import Runtime
 from ..utils.tracing import logger, stage_timer
 
 # Detection presets per text type (ocr.rs:314-366): (thresh, box_thresh,
@@ -147,8 +147,8 @@ class OAROCR:
         for start in range(0, len(images), bs):
             chunk = list(range(start, min(start + bs, len(images))))
             with stage_timer("ocr.upload", pages=len(chunk)):
-                pages_dev = self.runtime.put(stack_padded(
-                    [images[i] for i in chunk], (page_h, page_w)))
+                pages_dev = self.runtime.put_pages(
+                    [images[i] for i in chunk], (page_h, page_w))
             det_pending.append((chunk, pages_dev, self.detector.dispatch(
                 pages_dev, [shapes[i] for i in chunk])))
         # Streaming det→rec overlap: as soon as one det batch is

@@ -19,7 +19,7 @@ from ..core.types import Rotation
 from ..models.classification.pp_lcnet import (ImageClassifier,
                                               doc_orientation_classifier)
 from ..models.rectification.uvdoc import UVDocRectifier
-from ..runtime.runtime import Runtime, stack_padded
+from ..runtime.runtime import Runtime
 from ..utils.tracing import stage_timer
 
 
@@ -78,7 +78,7 @@ class DocumentPreprocessor:
             cfg = self.runtime.cfg
             bh = cfg.det_side_buckets.bucket(max(s[0] for s in shapes))
             bw = cfg.det_side_buckets.bucket(max(s[1] for s in shapes))
-            dev = self.runtime.put(stack_padded(list(images), (bh, bw)))
+            dev = self.runtime.put_pages(list(images), (bh, bw))
             with stage_timer("preprocess.orientation", batch=len(images)):
                 results = self.orientation.classify_pages(dev, shapes)
             for page, (cls, _score) in zip(pages, results):

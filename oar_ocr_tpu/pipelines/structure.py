@@ -28,7 +28,7 @@ from ..domain.text_region import TextRegion
 from ..errors import InvalidInputError
 from ..models.detection.layout import LayoutDetector
 from ..processors.layout_sorting import sort_layout_enhanced
-from ..runtime.runtime import Runtime, stack_padded
+from ..runtime.runtime import Runtime
 from ..utils.tracing import stage_timer
 from .ocr import OAROCR, OAROCRBuilder
 from .stitching import ResultStitcher
@@ -97,7 +97,7 @@ class OARStructure:
         ph = cfg.det_side_buckets.bucket(max(s[0] for s in shapes))
         pw = cfg.det_side_buckets.bucket(max(s[1] for s in shapes))
         with stage_timer("structure.upload"):
-            pages = self.runtime.put(stack_padded(list(images), (ph, pw)))
+            pages = self.runtime.put_pages(list(images), (ph, pw))
 
         # --- layout detection in chunks (structure.rs:3296), with the
         # reference's fallback ladder: batched → single-page → empty

@@ -1,0 +1,251 @@
+"""Adaptive sparse page upload for degraded host->device links.
+
+Upload-side counterpart of the sparse det-bitmap FETCH
+(models/detection/detector.py / docs/environment-variables.md link
+notes): the axon tunnel's h2d bandwidth swings from 1.2 GB/s down to
+single-digit MB/s between sessions, and on a slow link the uint8 page
+batch (e.g. 59 MB for 16 A4-ish pages) dominates the whole predict call.
+
+Document pages are mostly constant background, and scanned pages are
+frequently true grayscale (R==G==B). Both are lossless compression
+opportunities the device can undo bit-exactly:
+
+- **grayscale collapse**: when every page in the chunk has identical
+  channels, upload one channel (1/3 of the bytes) and broadcast back to
+  RGB on device;
+- **constant-tile sparsity**: split the padded batch into 32x32 tiles,
+  upload a per-tile base value (the tile min, ~0.1% of the bytes) plus
+  only the non-constant tiles with their flat indices, and reassemble
+  with one scatter + reshape program on device.
+
+Dense upload is kept whenever the measured h2d bandwidth EMA is healthy
+(auto mode), a mesh is active (replicated placement), the page bucket is
+not tile-aligned, or the content is too dense to win. The reconstructed
+array is bit-identical to ``stack_padded`` + ``device_put`` — asserted
+by tests/test_sparse_upload.py.
+
+No reference counterpart: the reference is an in-process library
+(oar-ocr-core feeds ORT host pointers); this is TPU-tunnel serving
+economics, same family as the sparse det fetch.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+TILE = 32
+# engage sparse only when it beats the best dense option by this factor
+# (covers the host analysis cost and the scatter program's device time)
+_WIN_RATIO = 0.8
+# re-measure the h2d link when the EMA is older than this
+_PROBE_INTERVAL_S = 45.0
+# payloads below this are RTT-dominated; don't feed them to the EMA
+_MIN_MEASURE_BYTES = 256 * 1024
+
+# jit signatures that have already compiled once (first call would time
+# a multi-minute remote compile into the bandwidth EMA otherwise)
+_warm_signatures: set = set()
+
+
+def _sampled_gray(im: np.ndarray) -> bool:
+    """Cheap early-out: strided sample before the full channel compare."""
+    s = im[::64, ::64]
+    return bool(np.array_equal(s[:, :, 0], s[:, :, 1])
+                and np.array_equal(s[:, :, 1], s[:, :, 2]))
+
+
+def _all_gray(images: Sequence[np.ndarray]) -> bool:
+    for im in images:
+        if im.ndim != 3 or im.shape[2] != 3:
+            return False
+        if not _sampled_gray(im):
+            return False
+    for im in images:
+        if not (np.array_equal(im[:, :, 0], im[:, :, 1])
+                and np.array_equal(im[:, :, 1], im[:, :, 2])):
+            return False
+    return True
+
+
+def _tile_buckets(total: int) -> Tuple[int, ...]:
+    """Small occupancy bucket table (fractions of the tile count) so the
+    scatter program compiles a handful of times per page bucket."""
+    fracs = (1 / 32, 1 / 16, 1 / 8, 1 / 4, 3 / 8, 1 / 2, 3 / 4)
+    return tuple(sorted({max(1, math.ceil(total * f)) for f in fracs}))
+
+
+def _rebuild(base, tiles, idx):
+    """Device-side reassembly: broadcast per-tile base values, scatter the
+    occupied tiles, restore (B, H, W, 3) page layout. Bit-exact."""
+    import jax.numpy as jnp
+
+    b, nth, ntw, c = base.shape
+    n = b * nth * ntw
+    grid = jnp.broadcast_to(base.reshape(n, 1, 1, c), (n, TILE, TILE, c))
+    grid = grid.at[idx].set(tiles)
+    pages = (grid.reshape(b, nth, ntw, TILE, TILE, c)
+             .transpose(0, 1, 3, 2, 4, 5)
+             .reshape(b, nth * TILE, ntw * TILE, c))
+    if c == 1:
+        pages = jnp.broadcast_to(pages, pages.shape[:3] + (3,))
+    return pages
+
+
+def _gray_to_rgb(x):
+    import jax.numpy as jnp
+
+    return jnp.broadcast_to(x, x.shape[:3] + (3,))
+
+
+_jit_rebuild = None
+_jit_gray = None
+
+
+def _jits():
+    global _jit_rebuild, _jit_gray
+    if _jit_rebuild is None:
+        import jax
+
+        _jit_rebuild = jax.jit(_rebuild)
+        _jit_gray = jax.jit(_gray_to_rgb)
+    return _jit_rebuild, _jit_gray
+
+
+def _commit_probe(runtime, dev, signature) -> bool:
+    """Force the upload (and any rebuild program) to complete by fetching
+    one element. Returns False when this signature is cold (its gather
+    program hasn't compiled yet) — the caller must not time that call."""
+    import jax
+
+    cold = signature not in _warm_signatures
+    _warm_signatures.add(signature)
+    np.asarray(jax.device_get(dev[(0,) * dev.ndim]))
+    return not cold
+
+
+def upload_pages(runtime, images: Sequence[np.ndarray],
+                 target_hw: Tuple[int, int]):
+    """Upload variable-size HWC uint8 pages as one padded (B, H, W, 3)
+    device batch, choosing dense / gray-collapsed / tile-sparse transfer
+    per the link policy. Drop-in for
+    ``runtime.put(stack_padded(images, target_hw))``."""
+    from .runtime import stack_padded
+
+    cfg = runtime.cfg
+    h, w = target_hw
+    mode = cfg.page_upload
+    dense_bytes = len(images) * h * w * 3
+
+    adaptive = (mode != "off" and runtime.mesh is None
+                and h % TILE == 0 and w % TILE == 0)
+    if adaptive and mode == "auto":
+        bw = runtime.h2d_mbps
+        adaptive = bw is not None and bw < cfg.upload_sparse_bw_mbps
+
+    if not adaptive:
+        batch = stack_padded(list(images), (h, w))
+        return _put_dense(runtime, batch)
+
+    gray = _all_gray(images)
+    if gray:
+        batch = stack_padded([im[:, :, 0] for im in images], (h, w))
+    else:
+        batch = stack_padded(list(images), (h, w))
+    plan = _analyze(batch)
+    best_dense = dense_bytes // 3 if gray else dense_bytes
+    if plan is not None and plan[3] < _WIN_RATIO * best_dense:
+        return _put_sparse(runtime, plan, gray)
+    if gray:
+        return _put_gray(runtime, batch)
+    return _put_dense(runtime, batch)
+
+
+def _analyze(batch: np.ndarray):
+    """Per-tile constancy analysis on the padded (B, H, W[, C]) batch.
+    Returns (base, tiles, idx, payload_bytes) or None when the content is
+    too dense for the largest occupancy bucket."""
+    if batch.ndim == 3:
+        batch = batch[..., None]
+    b, h, w, c = batch.shape
+    nth, ntw = h // TILE, w // TILE
+    t = batch.reshape(b, nth, TILE, ntw, TILE, c)
+    tmin = t.min(axis=(2, 4))
+    tmax = t.max(axis=(2, 4))
+    occ = (tmin != tmax).any(axis=-1)           # (B, nth, ntw)
+    n_occ = int(occ.sum())
+    total = b * nth * ntw
+    buckets = _tile_buckets(total)
+    if n_occ > buckets[-1]:
+        return None
+    n_pad = next(s for s in buckets if s >= max(n_occ, 1))
+    bi, ti, tj = np.nonzero(occ)
+    # advanced indexing copies only the occupied tiles (no full transpose)
+    tiles = np.ascontiguousarray(
+        t[bi, ti, :, tj, :, :])                 # (N, TILE, TILE, C)
+    idx = ((bi * nth + ti) * ntw + tj).astype(np.int32)
+    if n_occ == 0:
+        tiles = np.broadcast_to(
+            tmin[0, 0, 0][None, None, None, :],
+            (1, TILE, TILE, c)).copy()
+        idx = np.zeros((1,), np.int32)
+        n_occ = 1
+    if n_pad > n_occ:
+        tiles = np.concatenate(
+            [tiles, np.repeat(tiles[:1], n_pad - n_occ, axis=0)])
+        idx = np.concatenate(
+            [idx, np.repeat(idx[:1], n_pad - n_occ)])
+    payload = tiles.nbytes + tmin.nbytes + idx.nbytes
+    return (tmin, tiles, idx, payload)
+
+
+def _put_sparse(runtime, plan, gray: bool):
+    import jax
+
+    base, tiles, idx, payload = plan
+    rebuild, _ = _jits()
+    t0 = time.perf_counter()
+    dev_base = jax.device_put(base, runtime.device)
+    dev_tiles = jax.device_put(tiles, runtime.device)
+    dev_idx = jax.device_put(idx, runtime.device)
+    out = rebuild(dev_base, dev_tiles, dev_idx)
+    _finish_timed(runtime, out, payload, t0,
+                  ("sparse", base.shape, tiles.shape))
+    return out
+
+
+def _put_gray(runtime, batch: np.ndarray):
+    """Upload a channel-collapsed (B, H, W, 1) batch, broadcast on device."""
+    import jax
+
+    _, gray3 = _jits()
+    t0 = time.perf_counter()
+    dev = jax.device_put(batch, runtime.device)
+    out = gray3(dev)
+    _finish_timed(runtime, out, batch.nbytes, t0, ("gray", batch.shape))
+    return out
+
+
+def _put_dense(runtime, batch: np.ndarray):
+    t0 = time.perf_counter()
+    out = runtime.put(batch)
+    _finish_timed(runtime, out, batch.nbytes, t0, ("dense", batch.shape))
+    return out
+
+
+def _finish_timed(runtime, dev, payload: int, t0: float, signature) -> None:
+    """Opportunistic h2d bandwidth measurement: when the EMA is stale,
+    force the transfer to complete and feed the EMA. Costs one d2h RTT,
+    paid at most once per probe interval; cold jit signatures are never
+    timed (a first call includes a remote compile)."""
+    if runtime.cfg.page_upload == "off" or runtime.mesh is not None:
+        return
+    if payload < _MIN_MEASURE_BYTES:
+        return
+    if not runtime.h2d_stale(_PROBE_INTERVAL_S):
+        return
+    if _commit_probe(runtime, dev, signature):
+        runtime.note_h2d(payload, time.perf_counter() - t0)

@@ -91,6 +91,10 @@ class Runtime:
         # the auto sparse det-bitmap fetch (config det_sparse_fetch)
         self._d2h_mbps: Optional[float] = None
         self._d2h_rtt: Optional[float] = None
+        # h2d bandwidth EMA (MB/s), fed opportunistically by page uploads
+        # — drives the auto sparse page upload (config page_upload)
+        self._h2d_mbps: Optional[float] = None
+        self._h2d_t: float = 0.0
 
     def note_rtt(self, seconds: float) -> None:
         """Record a tiny-fetch round-trip (payload ≈ 0) so bandwidth
@@ -114,6 +118,41 @@ class Runtime:
     @property
     def d2h_mbps(self) -> Optional[float]:
         return self._d2h_mbps
+
+    def note_h2d(self, nbytes: int, seconds: float) -> None:
+        """Record one host→device transfer (measured to completion) for
+        the upload-bandwidth estimate; the d2h RTT EMA is subtracted since
+        forcing completion costs one round trip."""
+        import time as _time
+
+        if nbytes < 64 * 1024 or seconds <= 0:
+            return
+        payload_s = max(seconds - (self._d2h_rtt or 0.0), 1e-4)
+        mbps = nbytes / payload_s / 1e6
+        self._h2d_mbps = (mbps if self._h2d_mbps is None
+                          else 0.7 * self._h2d_mbps + 0.3 * mbps)
+        self._h2d_t = _time.monotonic()
+
+    @property
+    def h2d_mbps(self) -> Optional[float]:
+        return self._h2d_mbps
+
+    def h2d_stale(self, interval_s: float) -> bool:
+        """True when the h2d EMA should be refreshed (never measured, or
+        older than ``interval_s``)."""
+        import time as _time
+
+        return (self._h2d_mbps is None
+                or _time.monotonic() - self._h2d_t > interval_s)
+
+    def put_pages(self, images, target_hw) -> jax.Array:
+        """Upload variable-size HWC uint8 pages as one padded
+        (B, H, W, 3) batch; on a slow h2d link the transfer is
+        grayscale-collapsed and/or tile-sparse, reconstructed bit-exactly
+        on device (runtime/page_upload.py)."""
+        from .page_upload import upload_pages
+
+        return upload_pages(self, images, target_hw)
 
     def det_sparse_active(self) -> bool:
         """Sparse det-bitmap fetch policy (config det_sparse_fetch):

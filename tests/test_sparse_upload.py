@@ -1,0 +1,151 @@
+"""Sparse page upload (runtime/page_upload.py): on a degraded h2d link
+the padded uint8 page batch ships grayscale-collapsed and/or as
+non-constant 32x32 tiles, and the device-side reassembly must be
+BIT-IDENTICAL to ``stack_padded`` + ``device_put`` — every downstream
+stage (det sampler, rec warp gather) reads this buffer."""
+
+import numpy as np
+import pytest
+
+from oar_ocr_tpu.config.runtime import RuntimeConfig
+from oar_ocr_tpu.runtime import page_upload
+from oar_ocr_tpu.runtime.runtime import Runtime, stack_padded
+
+
+def _rt(mode="on", **kw):
+    return Runtime(RuntimeConfig(page_upload=mode, use_mesh=False, **kw))
+
+
+def _doc_pages(rng, n=3, gray=True, hw=(200, 150)):
+    pages = []
+    for i in range(n):
+        h, w = hw[0] + 10 * i, hw[1] + 6 * i
+        img = np.full((h, w, 3), 255, np.uint8)
+        for r in range(4):
+            y = 20 + r * 40
+            v = rng.integers(0, 60, (28, w - 60, 1 if gray else 3),
+                             dtype=np.uint8)
+            img[y:y + 28, 30:w - 30] = v
+        pages.append(img)
+    return pages
+
+
+def _expected(images, hw):
+    return stack_padded(list(images), hw)
+
+
+@pytest.mark.parametrize("gray", [True, False])
+def test_sparse_bit_exact(rng, gray):
+    pages = _doc_pages(rng, gray=gray)
+    hw = (256, 192)
+    out = np.asarray(page_upload.upload_pages(_rt("on"), pages, hw))
+    assert out.dtype == np.uint8
+    assert np.array_equal(out, _expected(pages, hw))
+
+
+def test_all_background_page(rng):
+    pages = [np.full((100, 80, 3), 255, np.uint8)]
+    hw = (128, 96)
+    out = np.asarray(page_upload.upload_pages(_rt("on"), pages, hw))
+    assert np.array_equal(out, _expected(pages, hw))
+
+
+def test_dense_content_falls_back_dense(rng):
+    """Random pages: no constant tiles → the byte-ratio guard keeps the
+    dense transfer, still exact."""
+    pages = [rng.integers(0, 255, (96, 64, 3), dtype=np.uint8)
+             for _ in range(2)]
+    hw = (96, 64)
+    out = np.asarray(page_upload.upload_pages(_rt("on"), pages, hw))
+    assert np.array_equal(out, _expected(pages, hw))
+
+
+def test_gray_random_uses_gray_collapse(rng):
+    """Grayscale but dense content → the R==G==B collapse still applies
+    (1/3 bytes) and reconstructs exactly."""
+    g = rng.integers(0, 255, (96, 64, 1), dtype=np.uint8)
+    pages = [np.repeat(g, 3, axis=2)]
+    hw = (96, 64)
+    out = np.asarray(page_upload.upload_pages(_rt("on"), pages, hw))
+    assert np.array_equal(out, _expected(pages, hw))
+
+
+def test_unaligned_bucket_uses_dense(rng):
+    pages = [np.full((50, 40, 3), 255, np.uint8)]
+    pages[0][10:30, 5:35] = 17
+    hw = (70, 50)  # not multiples of 32
+    out = np.asarray(page_upload.upload_pages(_rt("on"), pages, hw))
+    assert np.array_equal(out, _expected(pages, hw))
+
+
+def test_mode_off_is_dense_put(rng, monkeypatch):
+    rt = _rt("off")
+    called = {}
+    monkeypatch.setattr(page_upload, "_analyze",
+                        lambda *a: called.setdefault("analyze", True))
+    pages = _doc_pages(rng, n=1)
+    out = np.asarray(page_upload.upload_pages(rt, pages, (256, 192)))
+    assert "analyze" not in called
+    assert np.array_equal(out, _expected(pages, (256, 192)))
+
+
+def test_auto_policy_follows_h2d_ema(rng, monkeypatch):
+    rt = _rt("auto", upload_sparse_bw_mbps=150.0)
+    seen = []
+    real = page_upload._analyze
+    monkeypatch.setattr(page_upload, "_analyze",
+                        lambda b: seen.append(1) or real(b))
+    pages = _doc_pages(rng, n=1)
+    hw = (256, 192)
+    # no estimate yet → dense (and the first upload feeds the EMA)
+    out = np.asarray(page_upload.upload_pages(rt, pages, hw))
+    assert not seen
+    assert np.array_equal(out, _expected(pages, hw))
+    # slow link → sparse path engages
+    rt._h2d_mbps = 5.0
+    monkeypatch.setattr(rt, "h2d_stale", lambda s: False)
+    out = np.asarray(page_upload.upload_pages(rt, pages, hw))
+    assert seen
+    assert np.array_equal(out, _expected(pages, hw))
+    # healthy link → back to dense
+    seen.clear()
+    rt._h2d_mbps = 900.0
+    out = np.asarray(page_upload.upload_pages(rt, pages, hw))
+    assert not seen
+
+
+def test_note_h2d_ema_and_staleness():
+    rt = _rt("auto")
+    assert rt.h2d_stale(45.0)
+    rt.note_rtt(0.001)
+    rt.note_h2d(10_000_000, 0.101)      # ~100 MB/s
+    assert rt.h2d_mbps == pytest.approx(100.0, rel=0.02)
+    assert not rt.h2d_stale(45.0)
+    rt.note_h2d(10_000_000, 0.011)      # ~1 GB/s sample moves the EMA up
+    assert rt.h2d_mbps > 300.0
+
+
+def test_predict_sparse_matches_dense(rng):
+    """Pipeline-level equality: OAROCR.predict with forced sparse upload
+    returns identical boxes/texts to the dense upload."""
+    from oar_ocr_tpu.pipelines.ocr import OAROCRBuilder
+
+    img = np.full((240, 320, 3), 255, np.uint8)
+    img[40:70, 30:290] = rng.integers(0, 60)
+    img[120:150, 30:160] = rng.integers(0, 60)
+
+    def run(mode):
+        rt = Runtime(RuntimeConfig(page_upload=mode, use_mesh=False))
+        pipe = (OAROCRBuilder("general").with_runtime(rt)
+                .with_det_config(box_thresh=0.05, thresh=0.45).build())
+        return pipe.predict([img, img.copy()])
+
+    dense = run("off")
+    sparse = run("on")
+    assert len(dense) == len(sparse) == 2
+    for d, s in zip(dense, sparse):
+        assert len(d.regions) == len(s.regions)
+        for rd, rs in zip(d.regions, s.regions):
+            assert np.allclose(rd.box, rs.box)
+            assert rd.text == rs.text
+            assert rd.confidence == pytest.approx(rs.confidence)
