@@ -38,16 +38,43 @@ def bench_gated_delta(t: int = 2048, runs: int = 3):
         print(f"gated-delta {name:16s} T={t}: {best * 1e3:8.1f} ms")
 
 
+def bench_spec_delta(n: int = 48):
+    """Greedy vs n-gram-speculative decode on the hybrid delta stack
+    (ExactVLM.generate_speculative — the combination the reference
+    avoids; output is greedy-exact, only latency differs)."""
+    import numpy as np
+
+    from oar_ocr_tpu.vl.exact_models import ovis_exact
+
+    img = np.random.default_rng(0).integers(0, 255, (24, 40, 3),
+                                            dtype=np.uint8)
+    m = ovis_exact(tiny=True)
+    m.generate([img], max_new_tokens=n)                  # compile
+    m.generate_speculative([img], max_new_tokens=n)      # compile
+    t0 = time.perf_counter()
+    m.generate([img], max_new_tokens=n)
+    tg = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    m.generate_speculative([img], max_new_tokens=n)
+    ts = time.perf_counter() - t0
+    print(f"ovis hybrid greedy: {tg * 1e3:8.1f} ms for {n} tokens")
+    print(f"ovis hybrid n-gram-spec: {ts * 1e3:8.1f} ms (greedy-exact)")
+
+
 def main():
     args = parse_args("VL micro-benchmark",
                       family=dict(default="hunyuanocr",
                                   help="hunyuanocr|glmocr|mineru|"
-                                       "ovisocr2|monkeyocrv2|gated-delta"),
+                                       "ovisocr2|monkeyocrv2|gated-delta|"
+                                       "spec-delta"),
                       tokens=dict(default="32", help="decode length"))
     from oar_ocr_tpu.vl import families as fam
 
     if args.family == "gated-delta":
         bench_gated_delta()
+        return
+    if args.family == "spec-delta":
+        bench_spec_delta()
         return
 
     classes = {"hunyuanocr": fam.HunyuanOCR, "glmocr": fam.GLMOCR,

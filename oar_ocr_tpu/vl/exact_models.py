@@ -26,6 +26,7 @@ configs are the published-checkpoint presets in llm_decoders.py.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
@@ -183,6 +184,24 @@ class ExactVLMModule(nn.Module):
         cache = cache.advance(t)
         logits = self.lm_head(hidden).astype(jnp.float32)
         return logits, cache, dstate, conv_state
+
+    def decode_block_spec(self, tok_ids, position_ids, cache, pos,
+                          dstate, conv_state):
+        """Causal verify block that returns PER-STEP recurrent states
+        (L, B, T, …) from every linear-attention layer, so the caller can
+        resume decoding from the last accepted draft position — the
+        delta-layer analog of the KV cache's trim_to rollback (the
+        combination the reference avoids; vl/speculative.py docstring).
+        The cache comes back advanced by T; trim after verification."""
+        b, t = tok_ids.shape
+        embeds = self.text.embed(tok_ids)
+        mask = self._block_mask(cache, t, False)
+        hidden, cache, step_ds, step_cs = self.text(
+            embeds, position_ids, cache, pos, mask, dstate, conv_state,
+            True)
+        cache = cache.advance(t)
+        logits = self.lm_head(hidden).astype(jnp.float32)
+        return logits, cache, step_ds, step_cs
 
     def init_all(self, tower_args, ids, position_ids):
         img = self.encode_image(*tower_args)
@@ -447,6 +466,115 @@ class ExactVLM:
                     break
                 ids_out.append(int(v_))
             out.append(self.tokenizer.decode(ids_out))
+        return out
+
+    # ------------------ speculative generation (batch-1) ------------------
+    def _spec_round_impl(self, params, tok, cache, dstate, conv, hist,
+                         hist_len, npos, *, k: int, ngram: int):
+        """One n-gram-draft → verify → rollback round. The KV cache rolls
+        back by a length trim; the delta layers roll back by resuming from
+        the verify block's per-step states at the accepted position
+        (decode_block_spec) — the combination the reference avoids
+        (vl/speculative.py module docstring)."""
+        from .speculative import ngram_draft, verify_draft
+
+        b = tok.shape[0]
+        drafts = ngram_draft(hist, hist_len, k=k, n=ngram)   # (B, K)
+        block = jnp.concatenate([tok[:, None], drafts], 1)   # (B, K+1)
+        if self.spec.text_cfg.rope_kind == "mrope":
+            pids = jnp.broadcast_to(
+                npos[None, :, None] + jnp.arange(k + 1)[None, None, :],
+                (3, b, k + 1))
+        else:
+            pids = npos[:, None] + jnp.arange(k + 1)[None, :]
+        prev_len = cache.length
+        logits, cache, step_ds, step_cs = self.module.apply(
+            params, block, pids, cache, prev_len[0], dstate, conv,
+            method=ExactVLMModule.decode_block_spec)
+        res = verify_draft(drafts, logits)
+        a0 = res.accepted[0]                                 # batch-1
+        cache = cache.trim_to(prev_len[0] + 1 + a0)
+        dstate = jnp.take(step_ds, a0, axis=2)   # states after step a0
+        conv = jnp.take(step_cs, a0, axis=2)
+        next_tok = jnp.take_along_axis(res.next_tokens,
+                                       res.accepted[:, None], axis=1)[:, 0]
+        return (res.next_tokens, res.accepted, next_tok, cache, dstate,
+                conv)
+
+    def generate_speculative(self, images: Sequence[np.ndarray],
+                             instruction: str = "OCR:", *,
+                             max_new_tokens: int = 64, draft_k: int = 6,
+                             ngram: int = 2) -> List[str]:
+        """Greedy-exact speculative decoding for ANY exact stack —
+        including hybrid delta-layer decoders (OvisOCR2), which the
+        reference decodes strictly greedily (ovisocr2/model.rs has no
+        speculative path). Draft source is training-free n-gram prompt
+        lookup (vl/speculative.ngram_draft); every emitted token is a
+        target argmax, so output matches :meth:`generate` token for token
+        and only latency differs. Batch-1 per image, matching the
+        reference's speculative-decode focus (hpd_parsing/model.rs)."""
+        import os
+
+        if os.environ.get("OAR_TPU_DISABLE_SPECULATION"):
+            return self.generate(images, instruction,
+                                 max_new_tokens=max_new_tokens)
+        c = self.spec.text_cfg
+        spec_round = jax.jit(functools.partial(
+            self._spec_round_impl, k=draft_k, ngram=ngram))
+        prefill = jax.jit(functools.partial(
+            self.module.apply, method=ExactVLMModule.prefill))
+        out: List[str] = []
+        for image in images:
+            embeds, pids_np, t = self._prepare_prompt(image, instruction)
+            capacity = decoder_cache_capacity(
+                t, max_new_tokens + draft_k + 1)
+            cache = KVCache.create(c.layers, 1, c.kv_heads, capacity,
+                                   c.head_dim, dtype=embeds.dtype)
+            mask = jnp.broadcast_to(create_causal_mask(t), (1, 1, t, t))
+            mask = jnp.concatenate(
+                [mask, jnp.zeros((1, 1, t, capacity - t), bool)], -1)
+            dstate, conv = self._empty_states(self.params, 1)
+            pids = jnp.asarray(pids_np)
+            logits, cache, dstate, conv = prefill(
+                self.params, embeds, pids, cache, mask, dstate, conv)
+            cache = cache.advance(t)
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)   # (1,)
+            if pids.ndim == 3:
+                npos = jnp.max(pids, axis=(0, 2)) + 1
+            else:
+                npos = jnp.max(pids, axis=-1) + 1
+
+            # token history for the drafter: prompt TEXT tokens (image
+            # pads would only propose more image tokens) + generated
+            prompt_ids = list(self.tokenizer.encode(instruction))
+            hist_cap = int(decoder_cache_capacity(
+                len(prompt_ids) + 1, max_new_tokens + draft_k + 1))
+            hist = np.full((1, hist_cap), -1, np.int32)
+            hist[0, :len(prompt_ids)] = prompt_ids
+            hlen = len(prompt_ids)
+            ids: List[int] = [int(tok[0])]
+            hist[0, hlen] = ids[0]
+            hlen += 1
+            while len(ids) < max_new_tokens and ids[-1] != c.eos_id:
+                emitted, acc, tok, cache, dstate, conv = spec_round(
+                    self.params, tok, cache, dstate, conv,
+                    jnp.asarray(hist),
+                    jnp.asarray([hlen], np.int32), npos)
+                n_acc = int(acc[0])
+                for v in np.asarray(emitted)[0, : n_acc + 1].tolist():
+                    ids.append(int(v))
+                    if hlen < hist_cap:
+                        hist[0, hlen] = int(v)
+                        hlen += 1
+                    if v == c.eos_id or len(ids) >= max_new_tokens:
+                        break
+                npos = npos + 1 + n_acc
+            row = []
+            for v in ids:
+                if v == c.eos_id:
+                    break
+                row.append(int(v))
+            out.append(self.tokenizer.decode(row))
         return out
 
 

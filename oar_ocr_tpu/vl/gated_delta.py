@@ -29,8 +29,16 @@ def gated_delta_rule(
     initial_state: jax.Array | None = None,   # (B, H, Dk, Dv)
     *,
     return_state: bool = False,
+    return_all_states: bool = False,
 ):
-    """Full-sequence gated delta rule → (B, H, T, Dv) [, final state]."""
+    """Full-sequence gated delta rule → (B, H, T, Dv) [, final state].
+
+    ``return_all_states`` additionally returns EVERY per-step state
+    (B, T, H, Dk, Dv) — states[:, j] is the state after folding input j.
+    This is the speculative-rollback hook (vl/speculative.py): a verify
+    block of K+1 tokens keeps all intermediate states so the orchestrator
+    can resume from the last *accepted* position, which a length-trim
+    (the KV-cache rollback) cannot express for a recurrent state."""
 
     b, h, t, dk = q.shape
     dv = v.shape[-1]
@@ -44,7 +52,7 @@ def gated_delta_rule(
             s - bt[..., None, None] * jnp.einsum("bhk,bhv->bhkv", kt, ks))
         s = s + bt[..., None, None] * jnp.einsum("bhk,bhv->bhkv", kt, vt)
         o = jnp.einsum("bhkv,bhk->bhv", s, qt)
-        return s, o
+        return s, ((o, s) if return_all_states else o)
 
     s0 = (initial_state.astype(jnp.float32) if initial_state is not None
           else jnp.zeros((b, h, dk, dv), jnp.float32))
@@ -54,7 +62,12 @@ def gated_delta_rule(
           alpha.transpose(2, 0, 1).astype(jnp.float32),
           beta.transpose(2, 0, 1).astype(jnp.float32))
     s_final, out = jax.lax.scan(step, s0, xs)
+    if return_all_states:
+        out, states = out
+        states = states.transpose(1, 0, 2, 3, 4)         # (B, T, H, Dk, Dv)
     out = out.transpose(1, 2, 0, 3).astype(q.dtype)      # (B, H, T, Dv)
+    if return_all_states:
+        return out, states
     if return_state:
         return out, s_final
     return out

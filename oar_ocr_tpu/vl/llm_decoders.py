@@ -196,15 +196,20 @@ class GatedDeltaNetLayer(nn.Module):
     gate (norm · silu(z)) before out_proj (ovisocr2/text.rs:160-330,
     Qwen3-Next GatedDeltaNet).
 
-    Not speculative-rollback-capable: the recurrent (dstate, conv_state)
-    folds tokens in irreversibly, unlike a KV cache whose length can be
-    trimmed (vl/speculative.py module docstring). The reference likewise
-    never combines delta layers with speculation."""
+    Speculative rollback: the recurrent (dstate, conv_state) folds tokens
+    in irreversibly, so a KV-style length trim cannot undo a rejected
+    draft. ``collect_states=True`` (the verify-block path,
+    exact_models.decode_block_spec) therefore returns the PER-STEP states
+    — (B, T, Hv, d, d) and (B, T, K−1, conv_dim) — so the orchestrator can
+    resume from the last accepted position exactly. The reference AVOIDS
+    this combination (none of its speculative families contain delta
+    layers, vl/speculative.py module docstring); here it is solved, which
+    is what lets OvisOCR2's hybrid stack ride speculative decoding."""
 
     cfg: UnifiedLMConfig
 
     @nn.compact
-    def __call__(self, x, dstate, conv_state):
+    def __call__(self, x, dstate, conv_state, collect_states: bool = False):
         from .gated_delta import gated_delta_rule, gated_delta_rule_chunked
 
         c = self.cfg
@@ -269,12 +274,30 @@ class GatedDeltaNetLayer(nn.Module):
         # back to the sequential scan (kill-switch convention).
         import os as _os
 
-        rule = (gated_delta_rule
-                if t <= 1 or _os.environ.get("OAR_TPU_NO_CHUNKED_DELTA")
-                else gated_delta_rule_chunked)
-        o, s_final = rule(
-            qh, kh, vh, alpha.transpose(0, 2, 1), beta.transpose(0, 2, 1),
-            initial_state=dstate, return_state=True)
+        if collect_states:
+            # verify-block path: per-step states for speculative rollback
+            # (sequential rule — numerically identical to the decode_step
+            # path, so greedy-exactness holds across block sizes)
+            o, steps = gated_delta_rule(
+                qh, kh, vh, alpha.transpose(0, 2, 1),
+                beta.transpose(0, 2, 1), initial_state=dstate,
+                return_all_states=True)                 # (B, T, Hv, d, d)
+            if c.conv_kernel > 1:
+                # conv state after step j = the K−1 raw qkv rows ending
+                # at j — exactly windows[:, j, 1:] (already materialized)
+                step_convs = windows[:, :, 1:, :]       # (B, T, K−1, C)
+            else:
+                step_convs = jnp.broadcast_to(
+                    conv_state[:, None], (b, t) + conv_state.shape[1:])
+            s_final, new_conv_state = steps, step_convs
+        else:
+            rule = (gated_delta_rule
+                    if t <= 1 or _os.environ.get("OAR_TPU_NO_CHUNKED_DELTA")
+                    else gated_delta_rule_chunked)
+            o, s_final = rule(
+                qh, kh, vh, alpha.transpose(0, 2, 1),
+                beta.transpose(0, 2, 1),
+                initial_state=dstate, return_state=True)
         o = o.transpose(0, 2, 1, 3)                         # (B, T, Hv, d)
         gate = z.reshape(b, t, hv, d)
         o = RMSNorm(eps=c.rms_eps, name="norm")(o.astype(x.dtype))
@@ -309,12 +332,14 @@ class UnifiedLayer(nn.Module):
     layer_idx: int
 
     @nn.compact
-    def __call__(self, x, cos, sin, cache, pos, mask, dstate, conv_state):
+    def __call__(self, x, cos, sin, cache, pos, mask, dstate, conv_state,
+                 collect_states: bool = False):
         c = self.cfg
         h = RMSNorm(eps=c.rms_eps, name="input_layernorm")(x)
         if c.kind(self.layer_idx) == "linear_attention":
             attn, dstate, conv_state = GatedDeltaNetLayer(
-                c, name="linear_attn")(h, dstate, conv_state)
+                c, name="linear_attn")(h, dstate, conv_state,
+                                       collect_states)
         else:
             attn, cache = UnifiedAttention(c, self.layer_idx,
                                            name="self_attn")(
@@ -358,7 +383,8 @@ class UnifiedDecoder(nn.Module):
         return self.embed_tokens(ids)
 
     def __call__(self, embeds, position_ids, cache: KVCache, pos, mask,
-                 dstate=None, conv_state=None):
+                 dstate=None, conv_state=None,
+                 collect_states: bool = False):
         c = self.cfg
         _ = self.embed_tokens.embedding     # materialize the table param
         cos, sin = _rope_tables(c, position_ids)
@@ -367,11 +393,29 @@ class UnifiedDecoder(nn.Module):
         if dstate is None or conv_state is None:
             dstate, conv_state = self.empty_states(embeds.shape[0])
         x = embeds
+        b, t = embeds.shape[:2]
+        step_ds, step_cs = [], []
         for i, layer in enumerate(self.decoder_layers):
             x, cache, ds_i, cs_i = layer(
-                x, cos, sin, cache, pos, mask, dstate[i], conv_state[i])
-            dstate = dstate.at[i].set(ds_i)
-            conv_state = conv_state.at[i].set(cs_i)
+                x, cos, sin, cache, pos, mask, dstate[i], conv_state[i],
+                collect_states)
+            if collect_states:
+                # per-step states (B, T, …); full-attention layers carry
+                # their (unused) input state unchanged across every step
+                if ds_i.ndim == dstate[i].ndim:
+                    ds_i = jnp.broadcast_to(ds_i[:, None],
+                                            (b, t) + ds_i.shape[1:])
+                    cs_i = jnp.broadcast_to(cs_i[:, None],
+                                            (b, t) + cs_i.shape[1:])
+                step_ds.append(ds_i)
+                step_cs.append(cs_i)
+            else:
+                dstate = dstate.at[i].set(ds_i)
+                conv_state = conv_state.at[i].set(cs_i)
+        if collect_states:
+            # (L, B, T, …): index [:, :, j] = resume states after step j
+            dstate = jnp.stack(step_ds)
+            conv_state = jnp.stack(step_cs)
         return self.final_norm(x), cache, dstate, conv_state
 
 

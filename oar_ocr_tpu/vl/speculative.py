@@ -15,15 +15,25 @@ rolls back via a length reset (vl/kv_cache.KVCache.trim_to) — the
 speculative-rollback design the reference builds its ``TrimmableKvCache``
 around. Family-specific draft networks plug in as callables.
 
-Speculation ∧ linear-attention incompatibility: rollback here is a KV
-*length* reset, which full-attention caches support for free. A
-GatedDeltaNet layer (llm_decoders.GatedDeltaNetLayer — OvisOCR2's hybrid)
-instead folds every token into a recurrent (dstate, conv_state) that a
-length reset cannot undo; supporting it would need per-round state
-snapshots. The reference AVOIDS rather than solves this — none of its
+Speculation ∧ linear-attention: rollback here is a KV *length* reset,
+which full-attention caches support for free. A GatedDeltaNet layer
+(llm_decoders.GatedDeltaNetLayer — OvisOCR2's hybrid) instead folds every
+token into a recurrent (dstate, conv_state) that a length reset cannot
+undo. The reference AVOIDS rather than solves this — none of its
 speculative families (GLM MTP, Hunyuan DFlash) contain delta layers, and
-Ovis decodes greedily — so this module requires pure-attention stacks and
-delta-layer models must not be routed through it.
+Ovis decodes greedily. Here it IS solved: the verify block collects
+per-step recurrent states (gated_delta_rule ``return_all_states`` →
+UnifiedDecoder ``collect_states`` → exact_models.decode_block_spec) and
+the orchestrator resumes from the state at the last accepted position —
+so hybrid delta stacks ride speculation too (ExactVLM.generate_speculative).
+
+Hybrid stacks have no trained draft head (Ovis ships none), so their
+draft source is :func:`ngram_draft` — training-free prompt-lookup
+drafting (match the last n-gram against the already-committed tokens and
+propose the continuation). OCR output is highly self-repetitive (table
+markup, repeated field names), which is exactly where n-gram lookup
+shines; greedy exactness is preserved regardless of draft quality because
+every emitted token comes from the target's own argmax (verify_draft).
 """
 
 from __future__ import annotations
@@ -79,6 +89,40 @@ def rollback_cache(cache: KVCache, committed_length: jax.Array) -> KVCache:
     """Discard speculated cache entries beyond the committed length
     (kv_trim.rs trim_to semantics)."""
     return cache.trim_to(committed_length)
+
+
+def ngram_draft(hist: jax.Array, length: jax.Array, *, k: int,
+                n: int = 2) -> jax.Array:
+    """Training-free prompt-lookup drafting (jit-safe, static shapes).
+
+    ``hist`` (B, CAP) int32 holds the committed token stream (prompt text
+    + generated so far), ``length`` (B,) its live prefix length. Finds the
+    most recent EARLIER occurrence of the trailing ``n``-gram and proposes
+    the ``k`` tokens that followed it; rows with no match draft the last
+    token repeated (harmless — wrong drafts are simply rejected by
+    verify_draft, so exactness never depends on draft quality)."""
+
+    b, cap = hist.shape
+    starts = jnp.maximum(length - n, 0)                      # (B,)
+    gram = jax.vmap(
+        lambda h, s: jax.lax.dynamic_slice(h, (s,), (n,)))(hist, starts)
+    w = max(cap - n, 1)
+    i = jnp.arange(w)                                        # window starts
+    wins = hist[:, i[:, None] + jnp.arange(n)[None]]         # (B, W, n)
+    match = (wins == gram[:, None, :]).all(-1)               # (B, W)
+    # a usable window ends strictly before the trailing gram itself and
+    # has at least one committed continuation token
+    valid = (i[None, :] + n) <= (length[:, None] - 1)
+    score = jnp.where(match & valid, i[None, :] + 1, 0)
+    best = jnp.max(score, axis=1)                            # 0 = no match
+    has = best > 0
+    cont = jnp.where(has, best - 1 + n, 0)                   # continuation
+    drafts = jax.vmap(
+        lambda h, s: jax.lax.dynamic_slice(h, (s,), (k,)))(hist, cont)
+    last = jnp.take_along_axis(
+        hist, jnp.maximum(length - 1, 0)[:, None], axis=1)   # (B, 1)
+    return jnp.where(has[:, None], drafts,
+                     jnp.broadcast_to(last, (b, k))).astype(jnp.int32)
 
 
 class MTPDraftState(NamedTuple):
