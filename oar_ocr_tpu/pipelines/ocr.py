@@ -60,6 +60,21 @@ class OAROCRConfig:
     max_side_len: int = 4000
 
 
+@dataclass
+class _PredictState:
+    """In-flight state between :meth:`OAROCR.predict_dispatch` (uploads +
+    det dispatches issued) and :meth:`OAROCR.predict_collect`."""
+
+    images: Sequence[np.ndarray]
+    results: List[OAROCRResult]
+    shapes: List = None
+    unscaled_shapes: List = None
+    orig_shapes: List = None
+    page_scales: List = None
+    pre_pages: Optional[List] = None
+    det_pending: List = dataclasses.field(default_factory=list)
+
+
 class OAROCR:
     """The assembled pipeline. Use :class:`OAROCRBuilder` to construct."""
 
@@ -86,11 +101,30 @@ class OAROCR:
             r.source_path = p
         return results
 
-    def predict(self, images: Sequence[np.ndarray]) -> List[OAROCRResult]:
-        """Run det+rec on a list of HWC uint8 RGB images."""
+    def predict(self, images: Sequence[np.ndarray], *,
+                pages_dev=None) -> List[OAROCRResult]:
+        """Run det+rec on a list of HWC uint8 RGB images.
+
+        ``pages_dev``: optional already-uploaded padded (B, H, W, 3) uint8
+        device batch covering ``images`` in order (OARStructure shares its
+        page upload this way — structure.rs:2821's cross-page precompute
+        shares loaded pages; a multi-page structure predict crosses the
+        link once). Per-chunk det batches become device-side slices
+        instead of fresh uploads. Requires no preprocessor and pages that
+        fit ``max_side_len`` (the caller uploaded them at native size)."""
+        state = self.predict_dispatch(images, pages_dev=pages_dev)
+        return self.predict_collect(state)
+
+    def predict_dispatch(self, images: Sequence[np.ndarray], *,
+                         pages_dev=None) -> "_PredictState":
+        """Phase 1 of :meth:`predict`: validate, preprocess, upload page
+        chunks and dispatch every detection batch. Returns an opaque state
+        for :meth:`predict_collect`. Splitting the phases lets a serving
+        loop overlap batch N+1's upload+det dispatch with batch N's
+        rec/collect (serving/engine.py double-buffering)."""
 
         if not images:
-            return []
+            return _PredictState(images=[], results=[])
         for im in images:
             if im.ndim != 3 or im.shape[2] != 3 or im.dtype != np.uint8:
                 raise InvalidInputError(
@@ -104,6 +138,7 @@ class OAROCR:
         if self.preprocessor is not None:
             pre_pages = self.preprocessor.preprocess(images)
             images = [p.image for p in pre_pages]
+            pages_dev = None        # preprocessing changed the pixels
 
         # --- enforce max_side_len (ocr.rs caps at max_side_limit): pages
         # larger than the biggest det bucket would otherwise overflow
@@ -115,6 +150,7 @@ class OAROCR:
         if any(max(s) > limit for s in unscaled_shapes):
             import cv2
 
+            pages_dev = None        # downscale changes the pixels
             scaled = []
             for i, im in enumerate(images):
                 side = max(im.shape[:2])
@@ -140,17 +176,44 @@ class OAROCR:
         results: List[OAROCRResult] = [
             OAROCRResult(width=s[1], height=s[0]) for s in unscaled_shapes
         ]
-        per_page_boxes: List[List[np.ndarray]] = [[] for _ in images]
-        per_page_scores: List[List[float]] = [[] for _ in images]
         bs = self.cfg.image_batch_size
+        if pages_dev is not None and tuple(pages_dev.shape[1:3]) != (
+                page_h, page_w):
+            pages_dev = None        # caller's bucket disagrees; re-upload
         det_pending = []   # (chunk page ids, pages_dev, det handle)
         for start in range(0, len(images), bs):
             chunk = list(range(start, min(start + bs, len(images))))
-            with stage_timer("ocr.upload", pages=len(chunk)):
-                pages_dev = self.runtime.put_pages(
-                    [images[i] for i in chunk], (page_h, page_w))
-            det_pending.append((chunk, pages_dev, self.detector.dispatch(
-                pages_dev, [shapes[i] for i in chunk])))
+            if pages_dev is not None:
+                # device-side slice of the shared upload: no host bytes
+                # move; the slice fuses into the det program's prologue
+                chunk_dev = pages_dev[start:start + len(chunk)]
+            else:
+                with stage_timer("ocr.upload", pages=len(chunk)):
+                    chunk_dev = self.runtime.put_pages(
+                        [images[i] for i in chunk], (page_h, page_w))
+            det_pending.append((chunk, chunk_dev, self.detector.dispatch(
+                chunk_dev, [shapes[i] for i in chunk])))
+        return _PredictState(
+            images=images, results=results, shapes=shapes,
+            unscaled_shapes=unscaled_shapes, orig_shapes=orig_shapes,
+            page_scales=page_scales, pre_pages=pre_pages,
+            det_pending=det_pending)
+
+    def predict_collect(self, state: "_PredictState") -> List[OAROCRResult]:
+        """Phase 2 of :meth:`predict`: collect detection, pool + dispatch
+        + collect recognition, assemble results."""
+        if not state.images:
+            return state.results
+        images = state.images
+        shapes = state.shapes
+        unscaled_shapes = state.unscaled_shapes
+        orig_shapes = state.orig_shapes
+        page_scales = state.page_scales
+        pre_pages = state.pre_pages
+        results = state.results
+        det_pending = state.det_pending
+        per_page_boxes: List[List[np.ndarray]] = [[] for _ in images]
+        per_page_scores: List[List[float]] = [[] for _ in images]
         # Streaming det→rec overlap: as soon as one det batch is
         # postprocessed, its pages' crops are pooled, ratio-sorted and the
         # rec chunks DISPATCHED — so the host geometry of later det batches

@@ -7,9 +7,14 @@ pages :1914) → seal text → reading-order sort (:2077 xycut_enhanced) →
 overall OCR (cross-page pooled :2821) → table analysis (:2604) → stitching
 (:2800) → StructureResult with markdown/HTML/JSON export.
 
-Stage order and batching follow the reference call stack (SURVEY §3.2);
-every device stage reuses the shared uploaded page batch, so a multi-page
-document crosses PCIe once.
+Stage order and batching follow the reference call stack (SURVEY §3.2).
+The page batch is uploaded ONCE per predict and shared by every
+page-frame stage — layout, overall OCR (pages_dev pass-through into
+OAROCR.predict), OCR refinement, table analysis and the table-cell OCR
+split. Only crop-frame stages (formula crops, seal OCR's poly detection
+on crops) ship their own small crop batches, because they resample at a
+different resolution than the page frame. Verified by
+tests/test_structure_pipeline.py's upload-count test.
 """
 
 from __future__ import annotations
@@ -175,8 +180,12 @@ class OARStructure:
         # --- overall OCR, pooled across pages (structure.rs:2821) ---
         ocr_regions: List[List[TextRegion]] = [[] for _ in images]
         if self.ocr is not None and self.cfg.use_overall_ocr:
+            # share the already-uploaded page batch: overall OCR slices
+            # det chunks from it on device instead of re-uploading
+            # (structure.rs:2821 cross-page precompute sharing)
             with stage_timer("structure.overall_ocr"):
-                ocr_results = self.ocr.predict(list(images))
+                ocr_results = self.ocr.predict(list(images),
+                                               pages_dev=pages)
             for page_i, r in enumerate(ocr_results):
                 ocr_regions[page_i] = r.regions
             # refine against layout blocks (structure.rs:2484, :3209 —

@@ -6,9 +6,11 @@ a pre-assembled Vec). On TPU the economics invert — a single jitted batch
 amortizes the dispatch round trip and keeps the MXU fed — so production
 serving wants REQUEST-level batching: independent callers submit single
 pages, the engine coalesces them into device-sized batches under a
-latency deadline, and the pipeline's internal dispatch/collect overlap
-(pipelines/ocr.py) double-buffers uploads against compute across
-consecutive batches.
+latency deadline, and consecutive batches are DOUBLE-BUFFERED through
+the pipeline's dispatch/collect split (pipelines/ocr.py
+predict_dispatch/predict_collect): batch N+1's page upload + detection
+dispatch is issued BEFORE batch N's recognition/collect runs, so the
+device chews on N+1's det convs while the host fetches and assembles N.
 
 Design:
 - one consumer thread owns all JAX dispatch (single-dispatcher rule);
@@ -16,9 +18,15 @@ Design:
   ``max_batch_size`` more or until ``max_wait_ms`` from the first
   request's arrival, whichever is first (deadline micro-batching, the
   standard serving shape of e.g. TF-Serving/Triton schedulers);
+- two-deep pipelining: while a dispatched batch is in flight, the next
+  batch is formed WITHOUT waiting (whatever is queued right now) and
+  dispatched; only then is the in-flight batch collected. When the queue
+  is empty the in-flight batch is collected immediately — an idle engine
+  adds zero latency;
 - a failing batch falls back to per-request prediction so one bad input
   cannot poison its co-batched neighbours (the pipeline-level analog of
   the reference's batched→per-image detection ladder, ocr.rs:576-588).
+  Pipelines without the dispatch/collect split run sequentially.
 """
 
 from __future__ import annotations
@@ -125,6 +133,11 @@ class ServingEngine:
                  *, validate: Optional[Callable[[Any], None]] = None):
         self.pipeline = pipeline
         self.cfg = cfg
+        # double-buffer across batches when the pipeline exposes the
+        # dispatch/collect split (OAROCR does; bare predictors don't)
+        self._can_pipeline = (
+            callable(getattr(pipeline, "predict_dispatch", None))
+            and callable(getattr(pipeline, "predict_collect", None)))
         self._validate = validate if validate is not None \
             else self._default_validate
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue(
@@ -216,12 +229,44 @@ class ServingEngine:
             batch.append(item)
         return batch, False
 
+    def _take_batch_nowait(self):
+        """Non-blocking batch formation: coalesce whatever is queued RIGHT
+        NOW (up to the size cap), never waiting. Used while a dispatched
+        batch is in flight — if nothing is queued, the caller collects the
+        in-flight batch instead of stalling it behind an idle wait."""
+        batch = []
+        while len(batch) < self.cfg.max_batch_size:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                return batch, False
+            if item is None:
+                return batch, True
+            batch.append(item)
+        return batch, False
+
     def _run(self) -> None:
         shutting_down = False
+        pending = None              # (requests, dispatched state)
         while not shutting_down:
-            batch, shutting_down = self._take_batch()
+            if pending is None:
+                batch, shutting_down = self._take_batch()
+            else:
+                batch, shutting_down = self._take_batch_nowait()
+                if not batch and not shutting_down:
+                    self._collect_pending(pending)
+                    pending = None
+                    continue
             if batch:
-                self._execute(batch)
+                if self._can_pipeline:
+                    nxt = self._dispatch_batch(batch)
+                    if pending is not None:
+                        self._collect_pending(pending)
+                    pending = nxt
+                else:
+                    self._execute(batch)
+        if pending is not None:
+            self._collect_pending(pending)
         # defensive: fail anything that slipped in (should be impossible
         # given the sentinel-last invariant)
         while True:
@@ -233,26 +278,27 @@ class ServingEngine:
                 item.completion._future.set_exception(
                     InvalidInputError("engine is closed"))
 
-    def _execute(self, batch: List[_Request]) -> None:
-        try:
-            results = self.pipeline.predict([r.image for r in batch])
-            if len(results) != len(batch):
-                raise InvalidInputError(
-                    "pipeline returned wrong result count",
-                    expected=len(batch), got=len(results))
-            for r, res in zip(batch, results):
+    def _deliver(self, batch: List[_Request], results) -> None:
+        if len(results) != len(batch):
+            raise InvalidInputError(
+                "pipeline returned wrong result count",
+                expected=len(batch), got=len(results))
+        for r, res in zip(batch, results):
+            r.completion._future.set_result(res)
+
+    def _fallback_per_request(self, batch: List[_Request]) -> None:
+        """batched→per-request isolation ladder (ocr.rs:576-588):
+        one bad input must not fail its co-batched neighbours."""
+        for r in batch:
+            try:
+                (res,) = self.pipeline.predict([r.image])
                 r.completion._future.set_result(res)
-        except Exception:
-            # batched→per-request isolation ladder (ocr.rs:576-588):
-            # one bad input must not fail its co-batched neighbours
-            for r in batch:
-                try:
-                    (res,) = self.pipeline.predict([r.image])
-                    r.completion._future.set_result(res)
-                except Exception as per_exc:  # noqa: BLE001
-                    r.completion._future.set_exception(per_exc)
-                    with self._stats_lock:
-                        self._stats.failures += 1
+            except Exception as per_exc:  # noqa: BLE001
+                r.completion._future.set_exception(per_exc)
+                with self._stats_lock:
+                    self._stats.failures += 1
+
+    def _note_batch(self, batch: List[_Request]) -> None:
         with self._stats_lock:
             self._stats.batches += 1
             self._stats.batched_requests += len(batch)
@@ -261,3 +307,32 @@ class ServingEngine:
                 self._stats.latencies_ms.append(
                     (now - r.completion._t_submit) * 1e3)
             del self._stats.latencies_ms[:-1000]
+
+    def _dispatch_batch(self, batch: List[_Request]):
+        """Issue uploads + detection dispatches for a batch; returns the
+        in-flight (requests, state) pair, or None when dispatch itself
+        failed (the batch is then resolved via the per-request ladder)."""
+        try:
+            state = self.pipeline.predict_dispatch(
+                [r.image for r in batch])
+            return (batch, state)
+        except Exception:  # noqa: BLE001
+            self._fallback_per_request(batch)
+            self._note_batch(batch)
+            return None
+
+    def _collect_pending(self, pending) -> None:
+        batch, state = pending
+        try:
+            self._deliver(batch, self.pipeline.predict_collect(state))
+        except Exception:  # noqa: BLE001
+            self._fallback_per_request(batch)
+        self._note_batch(batch)
+
+    def _execute(self, batch: List[_Request]) -> None:
+        try:
+            self._deliver(batch,
+                          self.pipeline.predict([r.image for r in batch]))
+        except Exception:  # noqa: BLE001
+            self._fallback_per_request(batch)
+        self._note_batch(batch)

@@ -188,10 +188,12 @@ class ExactVLMModule(nn.Module):
     def decode_block_spec(self, tok_ids, position_ids, cache, pos,
                           dstate, conv_state):
         """Causal verify block that returns PER-STEP recurrent states
-        (L, B, T, …) from every linear-attention layer, so the caller can
-        resume decoding from the last accepted draft position — the
-        delta-layer analog of the KV cache's trim_to rollback (the
-        combination the reference avoids; vl/speculative.py docstring).
+        (Ld, B, T, …) from the linear-attention layers only (rows ordered
+        by cfg.delta_layers()), so the caller can resume decoding from the
+        last accepted draft position — the delta-layer analog of the KV
+        cache's trim_to rollback (the combination the reference avoids;
+        vl/speculative.py docstring). Full-attention layers' states pass
+        through the block unchanged and are NOT duplicated over T.
         The cache comes back advanced by T; trim after verification."""
         b, t = tok_ids.shape
         embeds = self.text.embed(tok_ids)
@@ -257,6 +259,20 @@ class ExactVLM:
                             static_argnames=("max_new", "capacity"))
         self._encode = jax.jit(lambda p, *a: self.module.apply(
             p, *a, method=ExactVLMModule.encode_image))
+        # per-instance cache of jitted callables: building a FRESH jax.jit
+        # wrapper inside generate() would discard the trace cache every
+        # call (each wrapper retraces + re-lowers — expensive through the
+        # remote-compile tunnel) and defeat microbench warmup
+        self._jits: dict = {}
+
+    def _cached_jit(self, key, factory):
+        """Return a jitted callable cached on ``key`` (build via
+        ``factory`` on first use). Keys must capture every static that
+        changes the trace (e.g. draft_k, ngram)."""
+        fn = self._jits.get(key)
+        if fn is None:
+            fn = self._jits[key] = factory()
+        return fn
 
     # -------------------- tower preprocessing --------------------
     def _tower_inputs(self, image: np.ndarray):
@@ -494,8 +510,14 @@ class ExactVLM:
         res = verify_draft(drafts, logits)
         a0 = res.accepted[0]                                 # batch-1
         cache = cache.trim_to(prev_len[0] + 1 + a0)
-        dstate = jnp.take(step_ds, a0, axis=2)   # states after step a0
-        conv = jnp.take(step_cs, a0, axis=2)
+        # resume states after step a0: step_ds holds DELTA layers only
+        # (Ld, B, T, …); scatter the selection back into the full (L, B, …)
+        # carry — full-attention rows pass through the block unchanged
+        delta = self.spec.text_cfg.delta_layers()
+        if delta:
+            idx = jnp.asarray(delta, jnp.int32)
+            dstate = dstate.at[idx].set(jnp.take(step_ds, a0, axis=2))
+            conv = conv.at[idx].set(jnp.take(step_cs, a0, axis=2))
         next_tok = jnp.take_along_axis(res.next_tokens,
                                        res.accepted[:, None], axis=1)[:, 0]
         return (res.next_tokens, res.accepted, next_tok, cache, dstate,
@@ -519,10 +541,14 @@ class ExactVLM:
             return self.generate(images, instruction,
                                  max_new_tokens=max_new_tokens)
         c = self.spec.text_cfg
-        spec_round = jax.jit(functools.partial(
-            self._spec_round_impl, k=draft_k, ngram=ngram))
-        prefill = jax.jit(functools.partial(
-            self.module.apply, method=ExactVLMModule.prefill))
+        spec_round = self._cached_jit(
+            ("spec_round", draft_k, ngram),
+            lambda: jax.jit(functools.partial(
+                self._spec_round_impl, k=draft_k, ngram=ngram)))
+        prefill = self._cached_jit(
+            "prefill",
+            lambda: jax.jit(functools.partial(
+                self.module.apply, method=ExactVLMModule.prefill)))
         out: List[str] = []
         for image in images:
             embeds, pids_np, t = self._prepare_prompt(image, instruction)
@@ -687,12 +713,20 @@ class SdarDiffusionExact(ExactVLM):
 
         c = self.spec.text_cfg
         mask_tok = c.vocab_size - self.MASK_TOKEN_OFFSET
-        bidir = jax.jit(functools.partial(
-            self.module.apply, method=ExactVLMModule.decode_block_bidir))
-        commit = jax.jit(functools.partial(
-            self.module.apply, method=ExactVLMModule.decode_block_causal))
-        prefill = jax.jit(functools.partial(
-            self.module.apply, method=ExactVLMModule.prefill))
+        bidir = self._cached_jit(
+            "decode_block_bidir",
+            lambda: jax.jit(functools.partial(
+                self.module.apply,
+                method=ExactVLMModule.decode_block_bidir)))
+        commit = self._cached_jit(
+            "decode_block_causal",
+            lambda: jax.jit(functools.partial(
+                self.module.apply,
+                method=ExactVLMModule.decode_block_causal)))
+        prefill = self._cached_jit(
+            "prefill",
+            lambda: jax.jit(functools.partial(
+                self.module.apply, method=ExactVLMModule.prefill)))
         out = []
         for image in images:
             embeds, pids, t = self._prepare_prompt(image, instruction)
@@ -835,9 +869,13 @@ class GlmSpeculativeExact(ExactVLM):
 
         c = self.spec.text_cfg
         k = self.draft_k
-        prefill = jax.jit(functools.partial(
-            self.module.apply, method=ExactVLMModule.prefill))
-        rnd = jax.jit(functools.partial(self._spec_round, k=k))
+        prefill = self._cached_jit(
+            "prefill",
+            lambda: jax.jit(functools.partial(
+                self.module.apply, method=ExactVLMModule.prefill)))
+        rnd = self._cached_jit(
+            ("mtp_round", k),
+            lambda: jax.jit(functools.partial(self._spec_round, k=k)))
         out = []
         for image in images:
             embeds, pids, t = self._prepare_prompt(image, instruction)
@@ -929,8 +967,10 @@ class HpdForkExact(ExactVLM):
         from .hpd_scheduler import HpdSchedulerConfig
 
         c = self.spec.text_cfg
-        prefill = jax.jit(functools.partial(
-            self.module.apply, method=ExactVLMModule.prefill_hidden))
+        prefill = self._cached_jit(
+            "prefill_hidden",
+            lambda: jax.jit(functools.partial(
+                self.module.apply, method=ExactVLMModule.prefill_hidden)))
         embeds, pids, t = self._prepare_prompt(image, instruction)
         capacity = decoder_cache_capacity(t + max_new_tokens,
                                           max_new_tokens)

@@ -78,6 +78,11 @@ class UnifiedLMConfig:
             return "full_attention"
         return self.layer_types[i % len(self.layer_types)]
 
+    def delta_layers(self) -> Tuple[int, ...]:
+        """Indices of the linear-attention (gated-delta) layers."""
+        return tuple(i for i in range(self.layers)
+                     if self.kind(i) == "linear_attention")
+
 
 # Published-config presets (dims are config.json data; flags are the
 # architecture facts the reference encodes)
@@ -400,22 +405,29 @@ class UnifiedDecoder(nn.Module):
                 x, cos, sin, cache, pos, mask, dstate[i], conv_state[i],
                 collect_states)
             if collect_states:
-                # per-step states (B, T, …); full-attention layers carry
-                # their (unused) input state unchanged across every step
-                if ds_i.ndim == dstate[i].ndim:
-                    ds_i = jnp.broadcast_to(ds_i[:, None],
-                                            (b, t) + ds_i.shape[1:])
-                    cs_i = jnp.broadcast_to(cs_i[:, None],
-                                            (b, t) + cs_i.shape[1:])
-                step_ds.append(ds_i)
-                step_cs.append(cs_i)
+                # per-step states (B, T, …) from DELTA layers only —
+                # full-attention layers pass their (unused) input state
+                # through unchanged, and broadcasting that constant over T
+                # would materialize a multi-hundred-MB transient at real
+                # dims (48 layers × 32 heads × 128² f32); the caller
+                # scatters the selection back by cfg.delta_layers() index
+                if c.kind(i) == "linear_attention":
+                    step_ds.append(ds_i)
+                    step_cs.append(cs_i)
             else:
                 dstate = dstate.at[i].set(ds_i)
                 conv_state = conv_state.at[i].set(cs_i)
         if collect_states:
-            # (L, B, T, …): index [:, :, j] = resume states after step j
-            dstate = jnp.stack(step_ds)
-            conv_state = jnp.stack(step_cs)
+            # (Ld, B, T, …): index [:, :, j] = resume states after step j,
+            # rows ordered by cfg.delta_layers()
+            if step_ds:
+                dstate = jnp.stack(step_ds)
+                conv_state = jnp.stack(step_cs)
+            else:
+                dstate = jnp.zeros((0, b, t) + dstate.shape[2:],
+                                   dstate.dtype)
+                conv_state = jnp.zeros((0, b, t) + conv_state.shape[2:],
+                                       conv_state.dtype)
         return self.final_norm(x), cache, dstate, conv_state
 
 

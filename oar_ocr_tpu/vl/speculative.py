@@ -121,8 +121,13 @@ def ngram_draft(hist: jax.Array, length: jax.Array, *, k: int,
         lambda h, s: jax.lax.dynamic_slice(h, (s,), (k,)))(hist, cont)
     last = jnp.take_along_axis(
         hist, jnp.maximum(length - 1, 0)[:, None], axis=1)   # (B, 1)
-    return jnp.where(has[:, None], drafts,
-                     jnp.broadcast_to(last, (b, k))).astype(jnp.int32)
+    drafts = jnp.where(has[:, None], drafts,
+                       jnp.broadcast_to(last, (b, k)))
+    # a matched continuation that extends past `length` reads -1 history
+    # padding; clamp to the last committed token so the verify block never
+    # embeds an out-of-vocab id (a wrong draft is simply rejected)
+    drafts = jnp.where(drafts < 0, jnp.broadcast_to(last, (b, k)), drafts)
+    return drafts.astype(jnp.int32)
 
 
 class MTPDraftState(NamedTuple):

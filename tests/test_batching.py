@@ -8,6 +8,8 @@ from oar_ocr_tpu.core.batch import (DEFAULT_ASPECT_BUCKETS,
                                     ShapeCompatibilityStrategy)
 from oar_ocr_tpu.ops.ctc import pred_reverse
 
+pytestmark = pytest.mark.fast
+
 
 class TestDynamicBatcher:
     def test_exact_grouping(self):

@@ -3,6 +3,8 @@ import pytest
 
 from oar_ocr_tpu.domain.structure import LayoutElementType
 from oar_ocr_tpu.vl.doc_parser import (DocParser, RecognitionTask,
+
+pytestmark = pytest.mark.fast
                                        task_for_element)
 
 

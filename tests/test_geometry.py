@@ -2,6 +2,8 @@ import numpy as np
 import pytest
 
 from oar_ocr_tpu.processors.geometry import (AABB, approx_poly_dp,
+
+pytestmark = pytest.mark.fast
                                              boxes_iou_matrix, min_area_rect,
                                              order_quad_points, polygon_area,
                                              polygon_perimeter, quad_crop_size,

@@ -5,6 +5,9 @@ k-means combination and overlap removal."""
 import numpy as np
 
 from oar_ocr_tpu.processors.layout_utils import (
+import pytest
+
+pytestmark = pytest.mark.fast
     LayoutBox, associate_ocr_with_layout, calculate_ioa_smaller,
     combine_rectangles_kmeans, get_overlap_boxes_idx,
     get_overlap_removal_indices, reconcile_table_cells,

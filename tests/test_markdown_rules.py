@@ -22,6 +22,8 @@ from oar_ocr_tpu.domain.markdown import (clean_ocr_text,
                                          semantic_title_level_and_format,
                                          simplify_table_html)
 from oar_ocr_tpu.domain.structure import (LayoutElement, LayoutElementType,
+
+pytestmark = pytest.mark.fast
                                           StructureResult, TableResult)
 
 

@@ -164,3 +164,94 @@ def test_close_during_inflight_resolves_everything():
     t.join()
     for h in handles:               # accepted => must resolve, no hangs
         h.result(timeout=10)
+
+
+class SplitPipeline(RecordingPipeline):
+    """Fake dispatch/collect pipeline simulating async device work:
+    dispatch stamps a ready-time (the "device" finishes device_s after
+    dispatch, concurrently with host work); collect blocks until then.
+    A sequential predict costs the full device_s per batch, so a
+    double-buffering consumer overlaps batch N+1's device time with
+    batch N's collect wait."""
+
+    def __init__(self, device_s: float = 0.05, **kw):
+        super().__init__(**kw)
+        self.device_s = device_s
+        self.dispatches = 0
+        self.collects = 0
+        self.events = []                 # ("d", n) / ("c", n) order probe
+
+    def predict_dispatch(self, images):
+        self.dispatches += 1
+        self.events.append(("d", self.dispatches))
+        out = self.predict(images)       # host-side compute (cheap here)
+        return {"ready_at": time.perf_counter() + self.device_s,
+                "out": out, "n": self.dispatches}
+
+    def predict_collect(self, state):
+        self.collects += 1
+        self.events.append(("c", state["n"]))
+        wait = state["ready_at"] - time.perf_counter()
+        if wait > 0:
+            time.sleep(wait)             # "device" still busy
+        return state["out"]
+
+
+def test_double_buffer_overlaps_batches():
+    """VERDICT r3 item 3: consecutive engine batches must double-buffer —
+    batch N+1's dispatch precedes batch N's collect, and throughput beats
+    sequential back-to-back predict by >=1.2x on the same load."""
+    n_req, device_s = 6, 0.05
+    imgs = [_img(i) for i in range(n_req)]
+
+    # sequential baseline: dispatch+collect back-to-back per request
+    seq = SplitPipeline(device_s=device_s)
+    t0 = time.perf_counter()
+    for im in imgs:
+        seq.predict_collect(seq.predict_dispatch([im]))
+    t_seq = time.perf_counter() - t0
+
+    pipe = SplitPipeline(device_s=device_s)
+    # max_batch_size=1 forces one batch per request: the overlap across
+    # batches is the thing under test, not coalescing
+    with ServingEngine(pipe, ServingConfig(max_batch_size=1,
+                                           max_wait_ms=0)) as eng:
+        t0 = time.perf_counter()
+        handles = [eng.submit(im) for im in imgs]
+        results = [h.result(timeout=10) for h in handles]
+        t_pipe = time.perf_counter() - t0
+
+    assert results == [int(im.sum()) for im in imgs]
+    assert pipe.dispatches == n_req and pipe.collects == n_req
+    # the order probe: some dispatch k+1 happened before collect k
+    d_pos = {n: i for i, (kind, n) in enumerate(pipe.events) if kind == "d"}
+    c_pos = {n: i for i, (kind, n) in enumerate(pipe.events) if kind == "c"}
+    assert any(d_pos[k + 1] < c_pos[k] for k in range(1, n_req)), \
+        pipe.events
+    assert t_seq / t_pipe >= 1.2, (t_seq, t_pipe)
+
+
+def test_collect_failure_falls_back_per_request():
+    class FailingCollect(SplitPipeline):
+        def predict_collect(self, state):
+            raise RuntimeError("device fell over")
+
+    pipe = FailingCollect(device_s=0.0)
+    with ServingEngine(pipe, ServingConfig(max_batch_size=4,
+                                           max_wait_ms=5)) as eng:
+        handles = [eng.submit(_img(i)) for i in range(4)]
+        results = [h.result(timeout=10) for h in handles]
+    # per-request ladder re-ran plain predict() for every request
+    assert results == [int(_img(i).sum()) for i in range(4)]
+
+
+def test_idle_engine_collects_immediately():
+    """A lone request must not wait for a successor batch before its
+    in-flight state is collected."""
+    pipe = SplitPipeline(device_s=0.01)
+    with ServingEngine(pipe, ServingConfig(max_wait_ms=1)) as eng:
+        t0 = time.perf_counter()
+        res = eng.predict(_img(5), timeout=5)
+        dt = time.perf_counter() - t0
+    assert res == int(_img(5).sum())
+    assert dt < 1.0

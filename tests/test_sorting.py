@@ -1,6 +1,9 @@
 import numpy as np
 
 from oar_ocr_tpu.processors.sorting import (SortDirection, sort_by_xycut,
+import pytest
+
+pytestmark = pytest.mark.fast
                                             sort_quad_boxes,
                                             sort_quad_boxes_indices)
 

@@ -11,6 +11,8 @@ from oar_ocr_tpu.config.runtime import RuntimeConfig
 from oar_ocr_tpu.runtime import page_upload
 from oar_ocr_tpu.runtime.runtime import Runtime, stack_padded
 
+pytestmark = pytest.mark.fast
+
 
 def _rt(mode="on", **kw):
     return Runtime(RuntimeConfig(page_upload=mode, use_mesh=False, **kw))

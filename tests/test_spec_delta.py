@@ -110,7 +110,11 @@ def test_decode_block_spec_states_match_sequential():
     logits_b, cache_b, step_ds, step_cs = m.module.apply(
         m.params, toks, pids, cache_b, jnp.int32(0), ds0, cv0,
         method=ExactVLMModule.decode_block_spec)
-    assert step_ds.shape[2] == 4 and step_cs.shape[2] == 4
+    # per-step states cover the DELTA layers only (full-attention rows
+    # pass through unchanged and are not duplicated over T)
+    delta = list(c.delta_layers())
+    assert step_ds.shape[0] == len(delta) and step_ds.shape[2] == 4
+    assert step_cs.shape[0] == len(delta) and step_cs.shape[2] == 4
 
     # sequential decode_step over the same tokens
     cache_s, ds, cv = fresh()
@@ -120,10 +124,10 @@ def test_decode_block_spec_states_match_sequential():
             m.params, toks[:, j], pj, cache_s, jnp.int32(j), ds, cv,
             method=ExactVLMModule.decode_step)
         np.testing.assert_allclose(
-            np.asarray(step_ds[:, :, j]), np.asarray(ds),
+            np.asarray(step_ds[:, :, j]), np.asarray(ds)[delta],
             rtol=0, atol=1e-5)
         np.testing.assert_allclose(
-            np.asarray(step_cs[:, :, j]), np.asarray(cv),
+            np.asarray(step_cs[:, :, j]), np.asarray(cv)[delta],
             rtol=0, atol=1e-5)
         np.testing.assert_allclose(np.asarray(logits_b[:, j]),
                                    np.asarray(logits_j),

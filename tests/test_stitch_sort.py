@@ -5,6 +5,8 @@ from oar_ocr_tpu.domain.structure import LayoutElement, LayoutElementType
 from oar_ocr_tpu.domain.text_region import TextRegion
 from oar_ocr_tpu.pipelines.stitching import ResultStitcher, StitchConfig
 from oar_ocr_tpu.processors.layout_sorting import (OrderLabel,
+
+pytestmark = pytest.mark.fast
                                                    sort_layout_enhanced)
 
 

@@ -8,6 +8,9 @@ from oar_ocr_tpu.domain.text_region import TextRegion
 from oar_ocr_tpu.pipelines.stitching import (StitchConfig, is_overlapping,
                                              sort_and_join_texts)
 from oar_ocr_tpu.processors.table import (
+import pytest
+
+pytestmark = pytest.mark.fast
     TableCell, collect_cell_texts_for_tokens, compose_matched_cell_text,
     find_row_start_index, match_table_and_ocr_by_iou_distance,
     match_table_cells_with_structure_rows, normalize_checkbox_symbols,

@@ -2,6 +2,8 @@ import numpy as np
 import pytest
 
 from oar_ocr_tpu.domain.structure import (LayoutElement, LayoutElementType,
+
+pytestmark = pytest.mark.fast
                                           PageContinuationFlags,
                                           StructureResult, TableResult,
                                           concatenate_markdown_pages,

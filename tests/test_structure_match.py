@@ -6,6 +6,9 @@ import numpy as np
 from oar_ocr_tpu.domain.structure import (LayoutElement, LayoutElementType,
                                           StructureResult, TableResult)
 from oar_ocr_tpu.utils.structure_match import (MatchThresholds, match_region)
+import pytest
+
+pytestmark = pytest.mark.fast
 
 T = LayoutElementType
 

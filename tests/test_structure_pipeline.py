@@ -220,3 +220,36 @@ def test_cell_detection_on_rotated_table():
     pts = mapped.reshape(-1, 2, 2)
     mapped_xyxy = np.concatenate([pts.min(1), pts.max(1)], axis=1)
     np.testing.assert_allclose(mapped_xyxy, rel1, atol=1e-3)
+
+
+def test_structure_single_upload(rng, monkeypatch):
+    """A multi-page structure predict uploads the page batch exactly ONCE
+    (VERDICT r3 item 2): overall OCR slices its det chunks from the shared
+    device batch instead of re-uploading per chunk (structure.rs:2821's
+    cross-page precompute sharing loaded pages)."""
+    from oar_ocr_tpu.pipelines.ocr import OAROCRBuilder
+    from oar_ocr_tpu.runtime.runtime import Runtime
+
+    ocr = OAROCRBuilder("general").build()
+    layout = LayoutDetector("picodet-s_layout_3cls", score_thresh=0.01)
+    pipe = OARStructure(layout=layout, ocr=ocr, tables=None,
+                        formulas=None, seal_ocr=None,
+                        cfg=OARStructureConfig(
+                            use_tables=False, use_formulas=False,
+                            use_seals=False))
+
+    calls = []
+    orig = Runtime.put_pages
+
+    def counted(self, images, hw):
+        calls.append(len(images))
+        return orig(self, images, hw)
+
+    monkeypatch.setattr(Runtime, "put_pages", counted)
+    img = np.full((200, 300, 3), 255, np.uint8)
+    img[40:60, 30:200] = 20
+    img2 = np.full((160, 240, 3), 255, np.uint8)
+    img2[50:70, 20:180] = 20
+    res = pipe.predict([img, img2, img])
+    assert len(res) == 3
+    assert calls == [3], f"expected one 3-page upload, saw {calls}"

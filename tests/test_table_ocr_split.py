@@ -12,6 +12,9 @@ from oar_ocr_tpu.pipelines.stitching import (ResultStitcher, StitchConfig,
                                              stitch_tables)
 from oar_ocr_tpu.processors.table import TableCell
 from oar_ocr_tpu.processors.table_ocr_split import (
+import pytest
+
+pytestmark = pytest.mark.fast
     SplitConfig, create_expanded_ocr_for_table, detect_cross_cell_ocr_boxes,
     split_ocr_box_at_cell_boundaries, split_text_by_ratio)
 

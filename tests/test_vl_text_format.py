@@ -10,6 +10,8 @@ import pytest
 from oar_ocr_tpu.domain.structure import (LayoutElement, LayoutElementType,
                                           TableResult)
 from oar_ocr_tpu.vl.text_format import (
+
+pytestmark = pytest.mark.fast
     DEFAULT_MARKDOWN_IGNORE_LABELS, _find_shortest_repeating_substring,
     clean_special_tokens, collapse_consecutive_spaces, fix_latex_brackets,
     format_formula, format_table, format_text,

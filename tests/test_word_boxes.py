@@ -3,6 +3,8 @@ import pytest
 
 from oar_ocr_tpu.processors.word_boxes import word_boxes
 
+pytestmark = pytest.mark.fast
+
 
 def _identity_matrix(offset_x=0.0, offset_y=0.0):
     m = np.eye(3, dtype=np.float32)
