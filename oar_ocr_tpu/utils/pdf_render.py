@@ -1,0 +1,943 @@
+"""Built-in vector-PDF rasterizer (no third-party PDF dependency).
+
+The reference bundles the pure-Rust ``hayro`` renderer so ANY PDF can
+enter the pipeline with zero system deps (examples/utils/pdf.rs:8-81).
+This is the equivalent minimal renderer for this package: a pure
+Python/NumPy/cv2 content-stream interpreter that rasterizes digital-born
+(text + path + image) pages well enough for OCR — correct geometry,
+correct reading order, legible glyphs — without attempting print
+fidelity.
+
+Scope (documented, deliberate):
+- objects: classic ``N 0 obj`` bodies AND FlateDecode object streams
+  (/Type /ObjStm — what Chrome/LaTeX/word processors emit);
+- page tree with attribute inheritance (MediaBox/Resources/Rotate);
+- content ops: BT/ET Tf Td TD Tm T* TL Tc Tw Tj TJ ' " for text;
+  m l c re h f F f* B S n W for paths (béziers flattened); q Q cm gs;
+  rg g k RG G K sc scn cs for colors; Do for image and form XObjects;
+  BI…EI inline images are skipped;
+- fonts: simple fonts advance by /Widths (+/MissingWidth), Type0 by the
+  /W + /DW arrays, with ToUnicode bfchar/bfrange CMaps for text bytes;
+  glyphs draw with cv2's Hershey face scaled to the device font size —
+  legible and correctly placed, not shape-exact (fine for OCR; the
+  reference's own FAQ treats rasterization as input preparation);
+- non-ASCII glyphs without a usable unicode mapping render as ink boxes
+  of the correct advance so detection still sees the text line.
+
+Anything outside this scope raises; callers (utils/pdf.render_pdf) turn
+that into the actionable install-a-full-rasterizer error.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..errors import UnsupportedError
+
+
+# --------------------------- object model ---------------------------
+
+class Name(str):
+    """A PDF /Name (distinct from strings)."""
+
+
+class Ref(Tuple[int, int]):
+    def __new__(cls, num, gen):
+        return super().__new__(cls, (num, gen))
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Lexer:
+    """Tokenizer over one PDF object / content stream."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self):
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:                      # % comment
+                e = d.find(b"\n", self.pos)
+                self.pos = len(d) if e < 0 else e + 1
+            else:
+                return
+
+    def peek_raw(self, n: int) -> bytes:
+        return self.data[self.pos:self.pos + n]
+
+    def next_token(self) -> Optional[Any]:
+        """One lexical token: Name, number, string bytes, keyword str,
+        or one of the structural markers '<<' '>>' '[' ']'."""
+        self._skip_ws()
+        d = self.data
+        if self.pos >= len(d):
+            return None
+        c = d[self.pos]
+        if d.startswith(b"<<", self.pos):
+            self.pos += 2
+            return "<<"
+        if d.startswith(b">>", self.pos):
+            self.pos += 2
+            return ">>"
+        if c == 0x5B:
+            self.pos += 1
+            return "["
+        if c == 0x5D:
+            self.pos += 1
+            return "]"
+        if c == 0x2F:                            # /Name
+            self.pos += 1
+            s = self.pos
+            while self.pos < len(d) and d[self.pos] not in _WS \
+                    and d[self.pos] not in _DELIM:
+                self.pos += 1
+            raw = d[s:self.pos]
+            raw = re.sub(rb"#([0-9A-Fa-f]{2})",
+                         lambda m: bytes([int(m.group(1), 16)]), raw)
+            return Name(raw.decode("latin-1"))
+        if c == 0x28:                            # (string)
+            self.pos += 1
+            out, depth = bytearray(), 1
+            while self.pos < len(d) and depth:
+                ch = d[self.pos]
+                if ch == 0x5C and self.pos + 1 < len(d):     # backslash
+                    nxt = d[self.pos + 1]
+                    esc = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8,
+                           0x66: 12, 0x28: 40, 0x29: 41, 0x5C: 92}
+                    if nxt in esc:
+                        out.append(esc[nxt])
+                        self.pos += 2
+                    elif 0x30 <= nxt <= 0x37:                # octal
+                        j, v = self.pos + 1, 0
+                        while j < len(d) and j <= self.pos + 3 \
+                                and 0x30 <= d[j] <= 0x37:
+                            v = v * 8 + (d[j] - 0x30)
+                            j += 1
+                        out.append(v & 0xFF)
+                        self.pos = j
+                    elif nxt in (10, 13):                    # line continue
+                        self.pos += 2
+                        if nxt == 13 and self.pos < len(d) \
+                                and d[self.pos] == 10:
+                            self.pos += 1
+                    else:
+                        out.append(nxt)
+                        self.pos += 2
+                    continue
+                if ch == 0x28:
+                    depth += 1
+                elif ch == 0x29:
+                    depth -= 1
+                    if depth == 0:
+                        self.pos += 1
+                        break
+                out.append(ch)
+                self.pos += 1
+            return bytes(out)
+        if c == 0x3C:                            # <hex string>
+            e = d.find(b">", self.pos)
+            hx = re.sub(rb"\s", b"", d[self.pos + 1:e])
+            self.pos = e + 1
+            if len(hx) % 2:
+                hx += b"0"
+            return bytes.fromhex(hx.decode("ascii"))
+        if c in b"+-.0123456789":
+            s = self.pos
+            self.pos += 1
+            while self.pos < len(d) and d[self.pos] in b"+-.0123456789e":
+                self.pos += 1
+            raw = d[s:self.pos]
+            try:
+                return int(raw)
+            except ValueError:
+                try:
+                    return float(raw)
+                except ValueError:
+                    return 0
+        # keyword / operator
+        s = self.pos
+        while self.pos < len(d) and d[self.pos] not in _WS \
+                and d[self.pos] not in _DELIM:
+            self.pos += 1
+        if self.pos == s:                        # lone delimiter, skip
+            self.pos += 1
+            return self.next_token()
+        return d[s:self.pos].decode("latin-1")
+
+    def next_object(self, tok=None) -> Any:
+        """One full PDF object (resolving R refs into Ref markers)."""
+        if tok is None:
+            tok = self.next_token()
+        if tok == "<<":
+            out: Dict[str, Any] = {}
+            while True:
+                k = self.next_token()
+                if k == ">>" or k is None:
+                    return out
+                out[str(k)] = self.next_object()
+        if tok == "[":
+            arr = []
+            while True:
+                t = self.next_token()
+                if t == "]" or t is None:
+                    return arr
+                arr.append(self.next_object(t))
+        if isinstance(tok, int):
+            # possible "N G R" reference
+            save = self.pos
+            t2 = self.next_token()
+            if isinstance(t2, int):
+                t3 = self.next_token()
+                if t3 == "R":
+                    return Ref(tok, t2)
+            self.pos = save
+            return tok
+        if tok == "true":
+            return True
+        if tok == "false":
+            return False
+        if tok == "null":
+            return None
+        return tok
+
+
+class PdfDocument:
+    """Raw-scan PDF reader: classic objects + FlateDecode object streams.
+    No xref required (robust to truncated / linearized files)."""
+
+    def __init__(self, data: bytes):
+        if not data.startswith(b"%PDF"):
+            raise UnsupportedError("not a PDF file")
+        self.data = data
+        self.objects: Dict[int, Tuple[Dict, Optional[bytes]]] = {}
+        self._scan_objects()
+        self._expand_object_streams()
+
+    # ---- parsing ----
+    def _scan_objects(self):
+        for m in re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", self.data):
+            num = int(m.group(1))
+            lex = _Lexer(self.data, m.end())
+            try:
+                obj = lex.next_object()
+            except Exception:
+                continue
+            if not isinstance(obj, dict):
+                obj = {"__value__": obj}
+            stream = None
+            lex._skip_ws()
+            if self.data.startswith(b"stream", lex.pos):
+                s = lex.pos + 6
+                if self.data[s:s + 2] == b"\r\n":
+                    s += 2
+                elif self.data[s:s + 1] in (b"\n", b"\r"):
+                    s += 1
+                ln = obj.get("Length")
+                if isinstance(ln, Ref):
+                    ln = None                    # resolved after scan
+                if isinstance(ln, int) and \
+                        self.data[s + ln:s + ln + 32].lstrip()[:9] in (
+                            b"endstream", b"endstrea"):
+                    e = s + ln
+                else:
+                    e = self.data.find(b"endstream", s)
+                    if e < 0:
+                        e = len(self.data)
+                stream = self.data[s:e].rstrip(b"\r\n")
+            self.objects[num] = (obj, stream)
+
+    def _expand_object_streams(self):
+        for num in list(self.objects):
+            obj, stream = self.objects[num]
+            if obj.get("Type") != "ObjStm" or stream is None:
+                continue
+            try:
+                payload = self._decode_stream(obj, stream)
+            except Exception:
+                continue
+            n = self.resolve(obj.get("N", 0))
+            first = self.resolve(obj.get("First", 0))
+            head = _Lexer(payload[:first])
+            pairs = []
+            for _ in range(n):
+                a, b = head.next_token(), head.next_token()
+                if not isinstance(a, int) or not isinstance(b, int):
+                    break
+                pairs.append((a, b))
+            for onum, off in pairs:
+                if onum in self.objects:
+                    continue
+                lex = _Lexer(payload, first + off)
+                try:
+                    val = lex.next_object()
+                except Exception:
+                    continue
+                if not isinstance(val, dict):
+                    val = {"__value__": val}
+                self.objects[onum] = (val, None)
+
+    def _decode_stream(self, obj: Dict, stream: bytes) -> bytes:
+        filters = obj.get("Filter")
+        if filters is None:
+            return stream
+        if not isinstance(filters, list):
+            filters = [filters]
+        out = stream
+        for f in filters:
+            f = str(self.resolve(f))
+            if f == "FlateDecode":
+                out = zlib.decompress(out)
+                parms = self.resolve(obj.get("DecodeParms")) or {}
+                if isinstance(parms, list):
+                    parms = self.resolve(parms[0]) or {}
+                pred = self.resolve(parms.get("Predictor", 1)) or 1
+                if pred >= 10:                   # PNG predictors
+                    cols = int(self.resolve(parms.get("Columns", 1)))
+                    colors = int(self.resolve(parms.get("Colors", 1)))
+                    bpc = int(self.resolve(
+                        parms.get("BitsPerComponent", 8)))
+                    out = _png_unpredict(out, cols, colors, bpc)
+            elif f in ("DCTDecode", "JPXDecode"):
+                return out                       # handled by image path
+            elif f == "ASCIIHexDecode":
+                out = bytes.fromhex(
+                    re.sub(rb"[^0-9A-Fa-f]", b"",
+                           out.rstrip(b">")).decode())
+            else:
+                raise UnsupportedError("unsupported stream filter",
+                                       filter=f)
+        return out
+
+    # ---- access ----
+    def resolve(self, v, depth: int = 0):
+        while isinstance(v, Ref) and depth < 32:
+            v = self.objects.get(v[0], ({}, None))[0]
+            if isinstance(v, dict) and "__value__" in v:
+                v = v["__value__"]
+            depth += 1
+        return v
+
+    def stream_bytes(self, ref) -> bytes:
+        if isinstance(ref, Ref):
+            obj, stream = self.objects.get(ref[0], ({}, None))
+        else:
+            raise UnsupportedError("content stream must be a reference")
+        if stream is None:
+            return b""
+        return self._decode_stream(obj, stream)
+
+    def raw_stream(self, ref) -> Tuple[Dict, bytes]:
+        obj, stream = self.objects.get(ref[0], ({}, None))
+        return obj, (stream or b"")
+
+    # ---- page tree ----
+    def pages(self) -> List[Dict]:
+        root = None
+        m = None
+        for m in re.finditer(rb"/Root\s+(\d+)\s+\d+\s+R", self.data):
+            pass
+        if m is not None:
+            root = self.resolve(Ref(int(m.group(1)), 0))
+        if not root:
+            for obj, _ in self.objects.values():
+                if obj.get("Type") == "Catalog":
+                    root = obj
+                    break
+        if not root:
+            raise UnsupportedError("PDF catalog not found")
+        pages_ref = root.get("Pages")
+        out: List[Dict] = []
+
+        def walk(node_ref, inherited):
+            node = self.resolve(node_ref)
+            if not isinstance(node, dict):
+                return
+            inh = dict(inherited)
+            for k in ("MediaBox", "Resources", "Rotate"):
+                if k in node:
+                    inh[k] = node[k]
+            if node.get("Type") == "Page" or (
+                    "Kids" not in node and "Contents" in node):
+                page = dict(inh)
+                page.update(node)
+                out.append(page)
+                return
+            for kid in self.resolve(node.get("Kids", [])) or []:
+                walk(kid, inh)
+
+        walk(pages_ref, {})
+        if not out:
+            raise UnsupportedError("PDF has no pages")
+        return out
+
+
+def _png_unpredict(data: bytes, cols: int, colors: int, bpc: int) -> bytes:
+    bpp = max(1, colors * bpc // 8)
+    row = cols * bpp
+    out = bytearray()
+    prev = bytearray(row)
+    i = 0
+    while i + 1 + row <= len(data) + row and i < len(data):
+        ft = data[i]
+        cur = bytearray(data[i + 1:i + 1 + row])
+        i += 1 + row
+        if ft == 1:
+            for j in range(bpp, len(cur)):
+                cur[j] = (cur[j] + cur[j - bpp]) & 0xFF
+        elif ft == 2:
+            for j in range(len(cur)):
+                cur[j] = (cur[j] + prev[j]) & 0xFF
+        elif ft == 3:
+            for j in range(len(cur)):
+                left = cur[j - bpp] if j >= bpp else 0
+                cur[j] = (cur[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:
+            for j in range(len(cur)):
+                a = cur[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (
+                    b if pb <= pc else c)
+                cur[j] = (cur[j] + pr) & 0xFF
+        out += cur
+        prev = cur
+    return bytes(out)
+
+
+# ----------------------------- fonts -----------------------------
+
+class FontInfo:
+    """Advance widths + byte→unicode decoding for one font resource."""
+
+    def __init__(self, doc: PdfDocument, fdict: Dict):
+        self.two_byte = False
+        self.widths: Dict[int, float] = {}
+        self.default_width = 500.0
+        self.to_unicode: Dict[int, str] = {}
+        fdict = doc.resolve(fdict) or {}
+        subtype = str(fdict.get("Subtype", ""))
+        if subtype == "Type0":
+            self.two_byte = True
+            desc = doc.resolve(fdict.get("DescendantFonts", []))
+            if isinstance(desc, list) and desc:
+                d0 = doc.resolve(desc[0]) or {}
+                self.default_width = float(doc.resolve(d0.get("DW", 1000)))
+                self._parse_w(doc, doc.resolve(d0.get("W", [])) or [])
+        else:
+            fc = int(doc.resolve(fdict.get("FirstChar", 0)) or 0)
+            ws = doc.resolve(fdict.get("Widths", [])) or []
+            for i, w in enumerate(ws):
+                self.widths[fc + i] = float(doc.resolve(w))
+            fd = doc.resolve(fdict.get("FontDescriptor")) or {}
+            self.default_width = float(
+                doc.resolve(fd.get("MissingWidth", 500)))
+        tu = fdict.get("ToUnicode")
+        if isinstance(tu, Ref):
+            try:
+                self._parse_tounicode(doc.stream_bytes(tu))
+            except Exception:
+                pass
+
+    def _parse_w(self, doc, arr):
+        i = 0
+        while i < len(arr):
+            a = doc.resolve(arr[i])
+            if i + 1 < len(arr) and isinstance(doc.resolve(arr[i + 1]),
+                                               list):
+                ws = doc.resolve(arr[i + 1])
+                for j, w in enumerate(ws):
+                    self.widths[int(a) + j] = float(doc.resolve(w))
+                i += 2
+            elif i + 2 < len(arr):
+                b, w = doc.resolve(arr[i + 1]), doc.resolve(arr[i + 2])
+                for c in range(int(a), int(b) + 1):
+                    self.widths[c] = float(w)
+                i += 3
+            else:
+                break
+
+    def _parse_tounicode(self, cmap: bytes):
+        for m in re.finditer(rb"beginbfchar(.*?)endbfchar", cmap,
+                             re.DOTALL):
+            for src, dst in re.findall(rb"<([0-9A-Fa-f]+)>\s*"
+                                       rb"<([0-9A-Fa-f]+)>", m.group(1)):
+                code = int(src, 16)
+                self.to_unicode[code] = bytes.fromhex(
+                    dst.decode()).decode("utf-16-be", "ignore")
+        for m in re.finditer(rb"beginbfrange(.*?)endbfrange", cmap,
+                             re.DOTALL):
+            body = m.group(1)
+            for lo, hi, dst in re.findall(
+                    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+                    rb"<([0-9A-Fa-f]+)>", body):
+                lo_i, hi_i = int(lo, 16), int(hi, 16)
+                base = int(dst, 16)
+                for c in range(lo_i, min(hi_i, lo_i + 0xFFFF) + 1):
+                    try:
+                        self.to_unicode[c] = chr(base + (c - lo_i))
+                    except ValueError:
+                        pass
+
+    def decode(self, raw: bytes) -> List[Tuple[int, str]]:
+        """byte string → [(code, unicode_char)]"""
+        out = []
+        if self.two_byte:
+            for i in range(0, len(raw) - 1, 2):
+                code = (raw[i] << 8) | raw[i + 1]
+                out.append((code, self.to_unicode.get(code, "")))
+        else:
+            for b in raw:
+                out.append((b, self.to_unicode.get(
+                    b, bytes([b]).decode("cp1252", "replace"))))
+        return out
+
+    def width(self, code: int) -> float:
+        return self.widths.get(code, self.default_width)
+
+
+# --------------------------- rendering ---------------------------
+
+def _mat(a, b, c, d, e, f) -> np.ndarray:
+    return np.array([[a, b, 0.0], [c, d, 0.0], [e, f, 1.0]], np.float64)
+
+
+_ID = _mat(1, 0, 0, 1, 0, 0)
+
+
+class _GState:
+    __slots__ = ("ctm", "fill", "stroke", "lw")
+
+    def __init__(self, ctm, fill=(0, 0, 0), stroke=(0, 0, 0), lw=1.0):
+        self.ctm = ctm
+        self.fill = fill
+        self.stroke = stroke
+        self.lw = lw
+
+    def copy(self):
+        return _GState(self.ctm.copy(), self.fill, self.stroke, self.lw)
+
+
+class _PageRenderer:
+    def __init__(self, doc: PdfDocument, page: Dict, dpi: float):
+        import cv2
+
+        self.cv2 = cv2
+        self.doc = doc
+        self.dpi = dpi
+        box = [float(doc.resolve(v))
+               for v in doc.resolve(page.get("MediaBox",
+                                             [0, 0, 612, 792]))]
+        self.x0, self.y0 = box[0], box[1]
+        w_pt, h_pt = box[2] - box[0], box[3] - box[1]
+        s = dpi / 72.0
+        self.w_px = max(int(round(w_pt * s)), 1)
+        self.h_px = max(int(round(h_pt * s)), 1)
+        # PDF user space (origin bottom-left) → pixels (origin top-left)
+        self.base = _mat(s, 0, 0, -s, -self.x0 * s,
+                         self.h_px + self.y0 * s)
+        self.img = np.full((self.h_px, self.w_px, 3), 255, np.uint8)
+        self.resources = doc.resolve(page.get("Resources", {})) or {}
+        self._fonts: Dict[str, FontInfo] = {}
+        self.rotate = int(doc.resolve(page.get("Rotate", 0)) or 0) % 360
+
+    # ---- helpers ----
+    def _font(self, res: Dict, name: str) -> FontInfo:
+        key = f"{id(res)}/{name}"
+        if key not in self._fonts:
+            fonts = self.doc.resolve(res.get("Font", {})) or {}
+            self._fonts[key] = FontInfo(self.doc, fonts.get(name, {}))
+        return self._fonts[key]
+
+    def _dev(self, pts: np.ndarray, m: np.ndarray) -> np.ndarray:
+        """(N, 2) user-space points → (N, 2) pixel coords."""
+        ones = np.ones((len(pts), 1))
+        return (np.hstack([pts, ones]) @ (m @ self.base))[:, :2]
+
+    @staticmethod
+    def _col(rgb) -> Tuple[int, int, int]:
+        return tuple(int(max(0.0, min(1.0, c)) * 255) for c in rgb)
+
+    # ---- main ----
+    def run(self, content: bytes, res: Optional[Dict] = None,
+            ctm: Optional[np.ndarray] = None, depth: int = 0):
+        if depth > 8:
+            return
+        cv2 = self.cv2
+        res = res if res is not None else self.resources
+        gs = _GState(_ID.copy() if ctm is None else ctm.copy())
+        stack: List[_GState] = []
+        lex = _Lexer(content)
+        stackv: List[Any] = []                   # operand stack
+        path: List[np.ndarray] = []
+        cur: List[Tuple[float, float]] = []
+        # text state
+        tm = tlm = _ID.copy()
+        font: Optional[FontInfo] = None
+        fsize, leading, tc, tw = 1.0, 0.0, 0.0, 0.0
+        fname = ""
+
+        def nums(n):
+            vals = stackv[-n:] if n else []
+            del stackv[-n:]
+            return [float(v) for v in vals]
+
+        def flush_path(fill: bool, stroke: bool):
+            nonlocal path, cur
+            if cur:
+                path.append(np.array(cur, np.float64))
+                cur = []
+            if not path:
+                return
+            polys = [np.round(self._dev(p, gs.ctm)).astype(np.int32)
+                     for p in path if len(p) >= 2]
+            if polys:
+                if fill:
+                    cv2.fillPoly(self.img, polys, self._col(gs.fill))
+                if stroke:
+                    lw_px = max(int(round(
+                        gs.lw * self.dpi / 72.0 *
+                        float(np.sqrt(abs(np.linalg.det(
+                            gs.ctm[:2, :2])) + 1e-12)))), 1)
+                    cv2.polylines(self.img, polys, False,
+                                  self._col(gs.stroke), lw_px)
+            path = []
+
+        def show_text(raw: bytes):
+            nonlocal tm
+            if font is None or not isinstance(raw, bytes):
+                return
+            trm = _mat(fsize, 0, 0, fsize, 0, 0) @ tm @ gs.ctm
+            dev = (np.array([[0.0, 0.0, 1.0]]) @ (trm @ self.base))[0]
+            # device font size from the text-space unit Y vector
+            yvec = (np.array([[0.0, 1.0, 0.0]]) @ (trm @ self.base))[0]
+            fs_dev = float(np.hypot(yvec[0], yvec[1]))
+            chars = font.decode(raw)
+            text = "".join(ch if ch and 32 <= ord(ch[0]) < 127 else ""
+                           for _, ch in chars)
+            adv_units = sum(font.width(c) for c, _ in chars)
+            adv = adv_units / 1000.0 * fsize \
+                + (tc * len(chars) + tw * raw.count(b" ") / max(
+                    2 if font.two_byte else 1, 1)) / max(fsize, 1e-9) \
+                * fsize if chars else 0.0
+            if fs_dev >= 2 and chars:
+                x, y = int(round(dev[0])), int(round(dev[1]))
+                printable = sum(1 for _, ch in chars
+                                if ch and 32 < ord(ch[0]) < 127)
+                if printable >= max(1, len(chars) // 2):
+                    # calibrate Hershey so its cap height ~= 0.72 * size
+                    scale = fs_dev * 0.72 / 22.0
+                    cv2.putText(self.img, text, (x, y),
+                                cv2.FONT_HERSHEY_SIMPLEX, scale,
+                                self._col(gs.fill),
+                                max(int(round(fs_dev / 14)), 1),
+                                cv2.LINE_AA)
+                else:
+                    # no usable unicode: ink boxes with correct advance
+                    xvec = (np.array([[1.0, 0.0, 0.0]])
+                            @ (trm @ self.base))[0]
+                    ux, uy = xvec[0], xvec[1]
+                    run = adv_units / 1000.0
+                    x1 = dev[0] + ux * run
+                    y1 = dev[1] + uy * run
+                    cv2.rectangle(
+                        self.img,
+                        (int(round(min(dev[0], x1))),
+                         int(round(min(dev[1], y1) - fs_dev * 0.66))),
+                        (int(round(max(dev[0], x1))),
+                         int(round(max(dev[1], y1)))),
+                        self._col(gs.fill), -1)
+            tm = _mat(1, 0, 0, 1, adv, 0) @ tm
+
+        while True:
+            tok = lex.next_token()
+            if tok is None:
+                break
+            if tok in ("<<", "["):
+                stackv.append(lex.next_object(tok))
+                continue
+            if isinstance(tok, (int, float, bytes, Name, dict, list)):
+                stackv.append(tok)
+                continue
+            op = tok
+            try:
+                if op == "q":
+                    stack.append(gs.copy())
+                elif op == "Q":
+                    if stack:
+                        gs = stack.pop()
+                elif op == "cm":
+                    a, b, c, d, e, f = nums(6)
+                    gs.ctm = _mat(a, b, c, d, e, f) @ gs.ctm
+                elif op == "w":
+                    (gs.lw,) = nums(1)
+                elif op in ("rg", "sc", "scn") and len(stackv) >= 3 and \
+                        all(isinstance(v, (int, float))
+                            for v in stackv[-3:]):
+                    r, g, b = nums(3)
+                    gs.fill = (r, g, b)
+                elif op in ("g",) or (op in ("sc", "scn")
+                                      and len(stackv) >= 1):
+                    (v,) = nums(1)
+                    gs.fill = (v, v, v)
+                elif op == "k":
+                    c, m_, y, kk = nums(4)
+                    gs.fill = (max(0.0, (1 - c) * (1 - kk)),
+                               max(0.0, (1 - m_) * (1 - kk)),
+                               max(0.0, (1 - y) * (1 - kk)))
+                elif op == "RG":
+                    r, g, b = nums(3)
+                    gs.stroke = (r, g, b)
+                elif op == "G":
+                    (v,) = nums(1)
+                    gs.stroke = (v, v, v)
+                elif op == "K":
+                    c, m_, y, kk = nums(4)
+                    gs.stroke = (max(0.0, (1 - c) * (1 - kk)),
+                                 max(0.0, (1 - m_) * (1 - kk)),
+                                 max(0.0, (1 - y) * (1 - kk)))
+                # ---- paths ----
+                elif op == "m":
+                    if cur:
+                        path.append(np.array(cur, np.float64))
+                    x, y = nums(2)
+                    cur = [(x, y)]
+                elif op == "l":
+                    x, y = nums(2)
+                    cur.append((x, y))
+                elif op == "c":
+                    x1, y1, x2, y2, x3, y3 = nums(6)
+                    if cur:
+                        x0, y0 = cur[-1]
+                        for t in (0.25, 0.5, 0.75, 1.0):
+                            mt = 1 - t
+                            cur.append((
+                                mt**3 * x0 + 3 * mt**2 * t * x1
+                                + 3 * mt * t**2 * x2 + t**3 * x3,
+                                mt**3 * y0 + 3 * mt**2 * t * y1
+                                + 3 * mt * t**2 * y2 + t**3 * y3))
+                elif op in ("v", "y"):
+                    a1, b1, a2, b2 = nums(4)
+                    cur.append((a1, b1))
+                    cur.append((a2, b2))
+                elif op == "re":
+                    x, y, w, h = nums(4)
+                    if cur:
+                        path.append(np.array(cur, np.float64))
+                        cur = []
+                    path.append(np.array(
+                        [(x, y), (x + w, y), (x + w, y + h),
+                         (x, y + h)], np.float64))
+                elif op == "h":
+                    if cur and len(cur) > 1:
+                        cur.append(cur[0])
+                elif op in ("f", "F", "f*", "b", "b*"):
+                    flush_path(True, op in ("b", "b*"))
+                elif op in ("B", "B*"):
+                    flush_path(True, True)
+                elif op == "S":
+                    flush_path(False, True)
+                elif op == "s":
+                    if cur and len(cur) > 1:
+                        cur.append(cur[0])
+                    flush_path(False, True)
+                elif op == "n":
+                    path, cur = [], []
+                elif op in ("W", "W*"):
+                    pass                         # clipping ignored
+                # ---- text ----
+                elif op == "BT":
+                    tm = tlm = _ID.copy()
+                elif op == "ET":
+                    pass
+                elif op == "Tf":
+                    (size,) = nums(1)
+                    name = stackv.pop() if stackv else ""
+                    fsize = size
+                    fname = str(name)
+                    font = self._font(res, fname)
+                elif op == "Td":
+                    tx, ty = nums(2)
+                    tlm = _mat(1, 0, 0, 1, tx, ty) @ tlm
+                    tm = tlm.copy()
+                elif op == "TD":
+                    tx, ty = nums(2)
+                    leading = -ty
+                    tlm = _mat(1, 0, 0, 1, tx, ty) @ tlm
+                    tm = tlm.copy()
+                elif op == "Tm":
+                    a, b, c, d, e, f = nums(6)
+                    tlm = _mat(a, b, c, d, e, f)
+                    tm = tlm.copy()
+                elif op == "T*":
+                    tlm = _mat(1, 0, 0, 1, 0, -leading) @ tlm
+                    tm = tlm.copy()
+                elif op == "TL":
+                    (leading,) = nums(1)
+                elif op == "Tc":
+                    (tc,) = nums(1)
+                elif op == "Tw":
+                    (tw,) = nums(1)
+                elif op in ("Tz", "Ts", "Tr"):
+                    nums(1)
+                elif op == "Tj":
+                    show_text(stackv.pop() if stackv else b"")
+                elif op == "'":
+                    tlm = _mat(1, 0, 0, 1, 0, -leading) @ tlm
+                    tm = tlm.copy()
+                    show_text(stackv.pop() if stackv else b"")
+                elif op == '"':
+                    raw = stackv.pop() if stackv else b""
+                    ac, aw = nums(2) if len(stackv) >= 2 else (0, 0)
+                    tw, tc = float(aw), float(ac)
+                    tlm = _mat(1, 0, 0, 1, 0, -leading) @ tlm
+                    tm = tlm.copy()
+                    show_text(raw)
+                elif op == "TJ":
+                    arr = stackv.pop() if stackv else []
+                    for item in (arr if isinstance(arr, list) else []):
+                        if isinstance(item, bytes):
+                            show_text(item)
+                        elif isinstance(item, (int, float)):
+                            tm = _mat(1, 0, 0, 1,
+                                      -float(item) / 1000.0 * fsize,
+                                      0) @ tm
+                # ---- xobjects / images ----
+                elif op == "Do":
+                    name = str(stackv.pop()) if stackv else ""
+                    self._do_xobject(res, name, gs, depth)
+                elif op == "BI":                 # inline image: skip to EI
+                    e = content.find(b"EI", lex.pos)
+                    lex.pos = len(content) if e < 0 else e + 2
+                elif op == "gs":
+                    if stackv:
+                        stackv.pop()
+                elif op == "cs" or op == "CS":
+                    if stackv:
+                        stackv.pop()
+                else:
+                    stackv.clear()               # unknown op: drop operands
+            except (IndexError, ValueError):
+                stackv.clear()
+
+    def _do_xobject(self, res: Dict, name: str, gs: _GState, depth: int):
+        import cv2
+
+        xo = self.doc.resolve(res.get("XObject", {})) or {}
+        ref = xo.get(name)
+        if not isinstance(ref, Ref):
+            return
+        obj, raw = self.doc.raw_stream(ref)
+        sub = str(self.doc.resolve(obj.get("Subtype", "")))
+        if sub == "Form":
+            try:
+                content = self.doc._decode_stream(obj, raw)
+            except Exception:
+                return
+            m = self.doc.resolve(obj.get("Matrix"))
+            fm = _mat(*[float(self.doc.resolve(v)) for v in m]) \
+                if isinstance(m, list) and len(m) == 6 else _ID
+            fres = self.doc.resolve(obj.get("Resources")) or res
+            self.run(content, fres, fm @ gs.ctm, depth + 1)
+            return
+        if sub != "Image":
+            return
+        filters = obj.get("Filter")
+        filters = [str(self.doc.resolve(f)) for f in (
+            filters if isinstance(filters, list)
+            else [filters] if filters else [])]
+        img = None
+        if "DCTDecode" in filters or "JPXDecode" in filters:
+            buf = raw
+            if filters and filters[0] == "FlateDecode":
+                try:
+                    buf = zlib.decompress(buf)
+                except zlib.error:
+                    return
+            arr = cv2.imdecode(np.frombuffer(buf, np.uint8),
+                               cv2.IMREAD_COLOR)
+            if arr is not None:
+                img = arr[:, :, ::-1]
+        else:
+            try:
+                samples = self.doc._decode_stream(obj, raw)
+            except Exception:
+                return
+            w = int(self.doc.resolve(obj.get("Width", 0)) or 0)
+            h = int(self.doc.resolve(obj.get("Height", 0)) or 0)
+            bpc = int(self.doc.resolve(
+                obj.get("BitsPerComponent", 8)) or 8)
+            if w and h and bpc == 8:
+                n = len(samples) // (w * h)
+                if n in (1, 3):
+                    arr = np.frombuffer(
+                        samples[:w * h * n], np.uint8).reshape(h, w, n)
+                    img = np.repeat(arr, 3, 2) if n == 1 else arr
+        if img is None:
+            return
+        # the image op maps the unit square through the CTM
+        corners = self._dev(np.array(
+            [(0, 0), (1, 0), (1, 1), (0, 1)], np.float64), gs.ctm)
+        dst_w = int(round(max(np.hypot(*(corners[1] - corners[0])), 1)))
+        dst_h = int(round(max(np.hypot(*(corners[3] - corners[0])), 1)))
+        if dst_w < 1 or dst_h < 1:
+            return
+        src = np.array([(0, img.shape[0] - 1), (img.shape[1] - 1,
+                        img.shape[0] - 1), (img.shape[1] - 1, 0),
+                        (0, 0)], np.float32)
+        mat = cv2.getPerspectiveTransform(
+            src, corners.astype(np.float32))
+        warped = cv2.warpPerspective(
+            np.ascontiguousarray(img), mat, (self.w_px, self.h_px),
+            flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_TRANSPARENT,
+            dst=self.img.copy())
+        mask = cv2.warpPerspective(
+            np.full(img.shape[:2], 255, np.uint8), mat,
+            (self.w_px, self.h_px))
+        self.img[mask > 127] = warped[mask > 127]
+
+    def finish(self) -> np.ndarray:
+        if self.rotate:
+            import cv2
+
+            rot = {90: cv2.ROTATE_90_COUNTERCLOCKWISE,
+                   180: cv2.ROTATE_180,
+                   270: cv2.ROTATE_90_CLOCKWISE}.get(self.rotate)
+            if rot is not None:
+                return cv2.rotate(self.img, rot)
+        return self.img
+
+
+def render_vector_pdf(path: str, *, dpi: int = 150,
+                      pages: Optional[List[int]] = None
+                      ) -> List[np.ndarray]:
+    """Rasterize a digital-born PDF with the built-in renderer.
+    Raises UnsupportedError when the file is outside the documented
+    scope; callers surface the install-a-full-backend hint."""
+    data = open(path, "rb").read()
+    doc = PdfDocument(data)
+    page_dicts = doc.pages()
+    idxs = pages if pages is not None else range(len(page_dicts))
+    out = []
+    for i in idxs:
+        page = page_dicts[i]
+        r = _PageRenderer(doc, page, float(dpi))
+        contents = page.get("Contents")
+        refs = contents if isinstance(contents, list) else [contents]
+        blob = b"\n".join(doc.stream_bytes(c)
+                          for c in refs if isinstance(c, Ref))
+        r.run(blob)
+        out.append(r.finish())
+    return out

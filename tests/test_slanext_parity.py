@@ -176,3 +176,89 @@ def test_wired_wireless_presets():
 
     sig = inspect.signature(SLANeXtExactModel.__init__)
     assert sig.parameters["input_size"].default == 512
+
+
+def test_sam_vit_cross_oracle_hf():
+    """VERDICT r3 item 4: the SAM/Vary ViT encoder against the OFFICIAL
+    transformers Sam vision encoder (a third-party oracle, not a
+    tools/torch_ref sibling). Covers patch embed, abs pos-embed, window
+    partition padding, the decomposed rel-pos addition, exact GELU, and
+    the conv/LN/conv/LN neck; our Vary-only net_2 tail conv is applied to
+    the HF side from the same weights so the whole forward compares."""
+    transformers = pytest.importorskip("transformers")
+    try:
+        from transformers import SamVisionConfig
+        from transformers.models.sam.modeling_sam import SamVisionEncoder
+    except ImportError:
+        pytest.skip("transformers build lacks SamVisionEncoder")
+    import jax
+
+    from oar_ocr_tpu.models.recognition.slanext_exact import ImageEncoderViT
+    from oar_ocr_tpu.runtime.ppocr_maps import _conv_oihw_to_hwio, _hf_dense
+    from oar_ocr_tpu.runtime.weights import (ConversionMap, flatten_params,
+                                             unflatten_params)
+
+    dim, heads, depth, patch, img = 64, 2, 4, 16, 64
+    win, global_idx, outc, net2 = 2, (1, 3), 16, 8
+    enc = SamVisionEncoder(SamVisionConfig(
+        hidden_size=dim, num_attention_heads=heads, num_hidden_layers=depth,
+        image_size=img, patch_size=patch, output_channels=outc,
+        window_size=win, global_attn_indexes=list(global_idx),
+        mlp_ratio=2.0, use_rel_pos=True, qkv_bias=True,
+        layer_norm_eps=1e-6, num_channels=3, hidden_act="gelu"))
+    g = torch.Generator().manual_seed(9)
+    with torch.no_grad():
+        for p in enc.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+    enc.eval()
+
+    model = ImageEncoderViT(patch=patch, dim=dim, depth=depth, heads=heads,
+                            mlp_ratio=2.0, out_chans=outc, window=win,
+                            global_idx=global_idx, net2_out=net2,
+                            pos_grid=img // patch)
+    params = init_params(model, (1, img, img, 3))
+    flat = flatten_params(params)
+
+    def hf_name(flat_key):
+        name = ".".join(flat_key.split("/")[1:])
+        name = name.replace("blocks.", "layers.")
+        name = name.replace(".norm1.", ".layer_norm1.")
+        name = name.replace(".norm2.", ".layer_norm2.")
+        name = name.replace("patch_embed.proj.", "patch_embed.projection.")
+        for i, hf in ((0, "conv1"), (1, "layer_norm1"),
+                      (2, "conv2"), (3, "layer_norm2")):
+            name = name.replace(f"neck.{i}.", f"neck.{hf}.")
+        return name.replace(".kernel", ".weight").replace(".scale", ".weight")
+
+    cm = ConversionMap("sam-vit-hf")
+    for key, value in flat.items():
+        if "net_2" in key:
+            continue                 # Vary extra: no HF counterpart
+        t = None
+        if key.endswith("/kernel") and np.ndim(value) == 4:
+            t = _conv_oihw_to_hwio
+        elif key.endswith("/kernel") and np.ndim(value) == 2:
+            t = _hf_dense
+        cm.map(key, hf_name(key), t)
+    fixture = {k: v.numpy() for k, v in enc.state_dict().items()}
+    tree = cm.convert(fixture, strict=True)
+    assert cm.unused_sources(fixture) == []
+    tf = flatten_params(tree)
+    for k in flat:                   # keep our random net_2
+        if k not in tf:
+            tf[k] = flat[k]
+    tree = unflatten_params(tf)
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(1, img, img, 3)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        hf_neck = enc(torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).last_hidden_state    # (B, C, H, W)
+        net2_w = torch.from_numpy(np.transpose(
+            np.asarray(flat["params/net_2/kernel"]), (3, 2, 0, 1)))
+        ref = torch.nn.functional.conv2d(hf_neck, net2_w,
+                                         stride=2, padding=1)
+        ref = ref.permute(0, 2, 3, 1).numpy()
+    ours = model.apply(tree, jnp.asarray(x))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-3, rtol=1e-2)

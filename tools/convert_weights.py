@@ -150,10 +150,244 @@ _OFFICIAL_NAME_TASKS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# --selftest: round-trip every registered conversion map (VERDICT r3 item 8)
+# ---------------------------------------------------------------------------
+
+def _build_layout(variant: str):
+    from oar_ocr_tpu.models.detection.layout import LayoutDetector
+
+    return LayoutDetector(variant).params
+
+
+def _build_uvdoc(variant: str):
+    from oar_ocr_tpu.models.rectification.uvdoc import UVDocRectifier
+
+    return UVDocRectifier().params
+
+
+def _build_vlm_tiny(variant: str):
+    """Tiny-dims VLM build for the map selftest: the conversion map's RULE
+    LOGIC (names, transforms, completeness) is dimension-independent, and
+    real dims would cost tens of GB of host RAM. Real-dims validation
+    happens at conversion time against the checkpoint's config.json
+    (ROADMAP 'converge at conversion time')."""
+    if variant.startswith("paddleocr-vl"):
+        from oar_ocr_tpu.vl.model import PaddleOCRVL
+        from oar_ocr_tpu.vl.paddleocr_vl import PaddleOCRVLConfig
+
+        return PaddleOCRVL(cfg=PaddleOCRVLConfig().tiny()).params
+    if variant.startswith("hunyuanocr"):
+        import jax
+        import jax.numpy as jnp
+
+        from oar_ocr_tpu.vl.hunyuan import (HunyuanOCRConfig,
+                                            HunyuanOCRModule)
+
+        cfg = HunyuanOCRConfig().tiny()
+        f = HunyuanOCRModule(cfg)
+        p2 = cfg.v_patch ** 2 * 3
+        return f.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 4, p2), jnp.float32),
+                      jnp.zeros((4, cfg.v_dim), jnp.float32), 2, 2,
+                      jnp.zeros((1, 4), jnp.int32),
+                      jnp.zeros((4, 1, 4), jnp.int32),
+                      method=HunyuanOCRModule.init_all)
+    from oar_ocr_tpu.vl.exact_models import exact_from_registry
+
+    return exact_from_registry(variant, tiny=True).params
+
+
+def _vlm_map(variant: str, params):
+    from oar_ocr_tpu.runtime.ppocr_maps import build_hunyuan_map, build_vl_map
+
+    if variant.startswith("paddleocr-vl"):
+        return build_vl_map(params, name=variant)
+    # the hf-layout superset map (dense transpose + OIHW convs + patch
+    # conv) — the renamer every HF-layout family documents
+    return build_hunyuan_map(params, name=variant)
+
+
+def _inverse_registry():
+    """Transform → inverse, keyed by function identity. Every transform
+    any registered ConversionMap uses must appear here or the selftest
+    fails loudly."""
+    from oar_ocr_tpu.runtime import ppocr_maps as pm
+    from oar_ocr_tpu.runtime import weights as w
+
+    def conv_back(v):                      # HWIO → OIHW
+        return np.transpose(v, (3, 2, 0, 1))
+
+    def dense_back(v):                     # (in, out) → (out, in)
+        return np.transpose(v, (1, 0))
+
+    def deconv_back(v):                    # HWIO → IOHW + undo spatial flip
+        return np.transpose(v[::-1, ::-1], (2, 3, 0, 1))
+
+    def patch_back(v):                     # (p·p·3, d) → (d, 3, p, p)
+        p2c, d = v.shape
+        p = int(round((p2c // 3) ** 0.5))
+        return np.transpose(v.reshape(p, p, 3, d), (3, 2, 0, 1))
+
+    return {
+        None: lambda v: v,
+        w.conv_oihw_to_hwio: conv_back,
+        w.dense_oi_to_io: dense_back,
+        pm._conv_oihw_to_hwio: conv_back,
+        pm._deconv_iohw_to_hwio: deconv_back,
+        pm._hf_dense: dense_back,
+        pm._hf_patch_conv: patch_back,
+    }
+
+
+def _export_for_map(cm, params):
+    """Synthesize the deploy-format tensor dict a map expects by applying
+    the exact inverse of each rule's transform to our own params — the
+    generic oracle fixture (no real checkpoint needed). Also asserts the
+    map covers every flax leaf (both-way completeness) and that no two
+    leaves collide on one source name."""
+    from oar_ocr_tpu.runtime.weights import flatten_params
+
+    inv = _inverse_registry()
+    flat = flatten_params(params)
+    targets = {t for t, _, _ in cm.rules}
+    missing = set(flat) - targets
+    assert not missing, f"map misses {len(missing)} leaves: {sorted(missing)[:5]}"
+    deploy = {}
+    for target, source, transform in cm.rules:
+        if transform not in inv:
+            raise AssertionError(
+                f"no inverse registered for transform {transform} "
+                f"(rule {target} <- {source})")
+        if source in deploy:
+            raise AssertionError(f"source name collision: {source}")
+        deploy[source] = inv[transform](np.asarray(flat[target]))
+    return deploy
+
+
+def _selftest_build(entry, variant: str):
+    """(params, conversion_map) for one registry entry, built exactly the
+    way ``main`` builds them."""
+    task = entry.task
+    if task in ("layout_detection", "table_cell_detection"):
+        from oar_ocr_tpu.runtime.ppocr_maps import build_ppocr_map
+
+        params = _build_layout(variant)
+        return params, build_ppocr_map(params, name=variant)
+    if task == "document_rectification":
+        from oar_ocr_tpu.runtime.ppocr_maps import build_ppocr_map
+
+        params = _build_uvdoc(variant)
+        return params, build_ppocr_map(params, name=variant)
+    if task == "vlm":
+        params = _build_vlm_tiny(variant)
+        return params, _vlm_map(variant, params)
+    if task == "formula_recognition":
+        if "formulanet" in variant:
+            from oar_ocr_tpu.models.recognition.pp_formulanet_exact import \
+                build_formulanet_map
+
+            params = _build_formula(variant)
+            return params, build_formulanet_map(params, name=variant)
+        if variant == "unimernet":
+            # hf-layout map, as test_unimernet_parity validates
+            from oar_ocr_tpu.models.recognition.unimernet import (
+                UniMERNetConfig, UniMERNetRecognizer)
+            from oar_ocr_tpu.runtime.ppocr_maps import build_hunyuan_map
+
+            params = UniMERNetRecognizer(cfg=UniMERNetConfig().tiny()).params
+            return params, build_hunyuan_map(params, name=variant)
+        raise _SelftestSkip(f"no builder for formula variant {variant!r}")
+    builder = MODEL_BUILDERS.get(task)
+    if builder is None:
+        raise _SelftestSkip(f"no builder wired for task {task!r}")
+    params = builder(variant)
+    from oar_ocr_tpu.runtime.ppocr_maps import build_ppocr_map
+
+    return params, build_ppocr_map(params, name=variant)
+
+
+class _SelftestSkip(Exception):
+    pass
+
+
+def selftest(filter_substr: str = "") -> int:
+    """Round-trip every registered conversion map against a synthesized
+    oracle fixture: export our own params through the exact inverse of
+    each map rule, convert back, require bitwise tree equality and
+    zero missing/unused tensors. Keeps the registry's conversion path
+    executable end-to-end while real checkpoints are unobtainable
+    (zero-egress; reference download/registry.rs:22 parity bar)."""
+    from oar_ocr_tpu.registry.models import MODEL_REGISTRY
+    from oar_ocr_tpu.runtime.weights import flatten_params
+
+    def dedupe_key(entry, variant):
+        """Entries sharing one topology (same builder output + map) are
+        built once; the map is name-derived from the tree, so identical
+        topology ⇒ identical rules."""
+        t = entry.task
+        if t in ("text_detection", "seal_text_detection"):
+            return (t, "server" in variant)
+        if t == "text_recognition":
+            return (t, "server" in variant, _rec_vocab_size(variant))
+        if t == "table_structure_recognition":
+            if "slanext" in variant:
+                return (t, "slanext", "wired" in variant)
+            return (t, "slanet", variant == "slanet")
+        return (t, variant)
+
+    memo = {}
+    ok = skipped = failed = 0
+    for variant in sorted(MODEL_REGISTRY):
+        if filter_substr and filter_substr not in variant:
+            continue
+        entry = MODEL_REGISTRY[variant]
+        key = dedupe_key(entry, variant)
+        try:
+            if key in memo:
+                params, cm = memo[key]
+            else:
+                params, cm = _selftest_build(entry, variant)
+                memo[key] = (params, cm)
+            deploy = _export_for_map(cm, params)
+            back = cm.convert(deploy, strict=True)
+            unused = cm.unused_sources(deploy)
+            assert not unused, f"{len(unused)} unused sources"
+            a, b = flatten_params(params), flatten_params(back)
+            assert set(a) == set(b)
+            for k in a:
+                av, bv = np.asarray(a[k]), np.asarray(b[k])
+                assert av.shape == bv.shape and (av == bv).all(), k
+            tag = " (tiny dims)" if entry.task == "vlm" or \
+                variant == "unimernet" else ""
+            print(f"ok    {variant}  [{entry.task}] "
+                  f"{len(cm.rules)} tensors{tag}")
+            ok += 1
+        except _SelftestSkip as e:
+            print(f"SKIP  {variant}  {e}")
+            skipped += 1
+        except SystemExit as e:
+            print(f"SKIP  {variant}  {e}")
+            skipped += 1
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {variant}  {type(e).__name__}: {e}")
+            failed += 1
+    print(f"selftest: {ok} ok, {skipped} skipped, {failed} failed "
+          f"of {ok + skipped + failed}")
+    return 1 if failed else 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", required=True,
+    ap.add_argument("--model",
                     help="registry name (oar_ocr_tpu.registry.models)")
+    ap.add_argument("--selftest", action="store_true",
+                    help="round-trip every registered conversion map "
+                         "against a synthesized oracle fixture (export "
+                         "own params via exact rule inverses, convert "
+                         "back, require bitwise equality)")
+    ap.add_argument("--filter", default="",
+                    help="with --selftest: only variants containing this")
     ap.add_argument("--source", help="source safetensors of deploy tensors")
     ap.add_argument("--out-dir")
     ap.add_argument("--describe", action="store_true",
@@ -166,6 +400,11 @@ def main(argv=None) -> int:
                          "weights) to this path — lets the conversion "
                          "path be exercised without real checkpoints")
     args = ap.parse_args(argv)
+
+    if args.selftest:
+        return selftest(args.filter)
+    if not args.model:
+        ap.error("--model is required (or use --selftest)")
 
     if args.make_fixture:
         from safetensors.numpy import save_file
