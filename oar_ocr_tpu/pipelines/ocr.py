@@ -305,11 +305,18 @@ class OAROCR:
             if pool:
                 _dispatch_pool(pool, pages_dev, host_chunk)
 
+        first_collect = True
         for chunk, pages_dev, handle in det_pending:
             try:
                 cand = self.detector.collect_candidates(handle)
             except Exception:
                 cand = ("error", handle)
+            if first_collect:
+                # batch 0's bitmap fetch depends on page chunk 0's
+                # upload: its completion bounds the upload duration —
+                # the free h2d bandwidth observation (runtime.py)
+                self.runtime.h2d_checkpoint()
+                first_collect = False
             if staged[0] is not None:
                 _consume(*staged[0])
             staged[0] = (chunk, pages_dev, cand)

@@ -116,6 +116,10 @@ class OARStructure:
             try:
                 layout_boxes.extend(self.layout.detect(
                     pages, [shapes[i] for i in idx], page_indices=idx))
+                if s == 0:
+                    # first layout fetch depends on the page upload: free
+                    # h2d bandwidth observation (runtime.h2d_checkpoint)
+                    self.runtime.h2d_checkpoint()
             except Exception:
                 for page_i in idx:
                     try:

@@ -41,14 +41,9 @@ TILE = 32
 # engage sparse only when it beats the best dense option by this factor
 # (covers the host analysis cost and the scatter program's device time)
 _WIN_RATIO = 0.8
-# re-measure the h2d link when the EMA is older than this
-_PROBE_INTERVAL_S = 45.0
-# payloads below this are RTT-dominated; don't feed them to the EMA
-_MIN_MEASURE_BYTES = 256 * 1024
-
-# jit signatures that have already compiled once (first call would time
-# a multi-minute remote compile into the bandwidth EMA otherwise)
-_warm_signatures: set = set()
+# every Nth sparse upload goes dense so a recovered link is noticed (the
+# det-sparse every-16th full-transfer pattern, detector.py:223)
+_DENSE_RECOVERY_EVERY = 16
 
 
 def _sampled_gray(im: np.ndarray) -> bool:
@@ -115,16 +110,6 @@ def _jits():
     return _jit_rebuild, _jit_gray
 
 
-def _commit_probe(runtime, dev, signature) -> bool:
-    """Force the upload (and any rebuild program) to complete by fetching
-    one element. Returns False when this signature is cold (its gather
-    program hasn't compiled yet) — the caller must not time that call."""
-    import jax
-
-    cold = signature not in _warm_signatures
-    _warm_signatures.add(signature)
-    np.asarray(jax.device_get(dev[(0,) * dev.ndim]))
-    return not cold
 
 
 def upload_pages(runtime, images: Sequence[np.ndarray],
@@ -145,17 +130,27 @@ def upload_pages(runtime, images: Sequence[np.ndarray],
     if adaptive and mode == "auto":
         bw = runtime.h2d_mbps
         adaptive = bw is not None and bw < cfg.upload_sparse_bw_mbps
+        if adaptive:
+            # periodic dense upload: the only way a recovered link can be
+            # noticed without a blocking probe — its h2d_checkpoint
+            # observation raises the EMA back above the threshold
+            runtime._h2d_sparse_n += 1
+            if runtime._h2d_sparse_n % _DENSE_RECOVERY_EVERY == 0:
+                adaptive = False
 
     if not adaptive:
         batch = stack_padded(list(images), (h, w))
         return _put_dense(runtime, batch)
 
-    gray = _all_gray(images)
-    if gray:
-        batch = stack_padded([im[:, :, 0] for im in images], (h, w))
-    else:
-        batch = stack_padded(list(images), (h, w))
-    plan = _analyze(batch)
+    from ..utils.tracing import stage_timer
+
+    with stage_timer("upload.analyze", pages=len(images)):
+        gray = _all_gray(images)
+        if gray:
+            batch = stack_padded([im[:, :, 0] for im in images], (h, w))
+        else:
+            batch = stack_padded(list(images), (h, w))
+        plan = _analyze(batch)
     best_dense = dense_bytes // 3 if gray else dense_bytes
     if plan is not None and plan[3] < _WIN_RATIO * best_dense:
         return _put_sparse(runtime, plan, gray)
@@ -237,15 +232,13 @@ def _put_dense(runtime, batch: np.ndarray):
 
 
 def _finish_timed(runtime, dev, payload: int, t0: float, signature) -> None:
-    """Opportunistic h2d bandwidth measurement: when the EMA is stale,
-    force the transfer to complete and feed the EMA. Costs one d2h RTT,
-    paid at most once per probe interval; cold jit signatures are never
-    timed (a first call includes a remote compile)."""
+    """Register the transfer for FREE bandwidth observation
+    (Runtime.note_upload_start → h2d_checkpoint): the pipeline times the
+    window to its first dependent d2h fetch — which predict pays anyway —
+    instead of issuing any completion fetch. A blocking probe here cost a
+    link-serialized chunk upload per stale interval (835 ms measured on a
+    degraded tunnel — the r3 BENCH first-iteration cliff)."""
     if runtime.cfg.page_upload == "off" or runtime.mesh is not None:
         return
-    if payload < _MIN_MEASURE_BYTES:
-        return
-    if not runtime.h2d_stale(_PROBE_INTERVAL_S):
-        return
-    if _commit_probe(runtime, dev, signature):
-        runtime.note_h2d(payload, time.perf_counter() - t0)
+    runtime.touch()
+    runtime.note_upload_start(payload, t0)

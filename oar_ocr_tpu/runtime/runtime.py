@@ -95,10 +95,57 @@ class Runtime:
         # — drives the auto sparse page upload (config page_upload)
         self._h2d_mbps: Optional[float] = None
         self._h2d_t: float = 0.0
+        # free h2d bandwidth observation (runtime/page_upload.py →
+        # h2d_checkpoint): (payload, t0) of the first sizable upload in
+        # the current predict window. NO dedicated completion fetch is
+        # ever issued — a blocking probe cost ~835 ms per stale interval
+        # on a degraded tunnel (the r3 BENCH first-iteration cliff,
+        # measured); instead the window to the first DEPENDENT d2h fetch
+        # (which predict pays anyway) bounds the bandwidth.
+        self._h2d_obs = None
+        self._h2d_sparse_n = 0    # periodic dense recovery counter
+        # link keepalive: the remote tunnel drops its session after idle
+        # and the first post-idle transfer pays a multi-second reconnect
+        # (measured: 10.4 s for a small upload after 50 s idle). A tiny
+        # background ping every few seconds keeps the session warm.
+        self._last_activity = 0.0
+        if (self.device.platform in ("tpu", "axon")
+                and not os.environ.get("OAR_TPU_NO_KEEPALIVE")):
+            self._start_keepalive()
+
+    KEEPALIVE_IDLE_S = 8.0
+
+    def touch(self) -> None:
+        """Record link activity (transfers refresh the keepalive clock)."""
+        import time as _time
+
+        self._last_activity = _time.monotonic()
+
+    def _start_keepalive(self) -> None:
+        def ping_loop():
+            import time as _time
+
+            payload = np.zeros((8,), np.uint8)
+            while True:
+                _time.sleep(self.KEEPALIVE_IDLE_S / 2)
+                if (_time.monotonic() - self._last_activity
+                        < self.KEEPALIVE_IDLE_S):
+                    continue
+                try:
+                    dev = jax.device_put(payload, self.device)
+                    np.asarray(jax.device_get(dev))
+                except Exception:       # pragma: no cover - device gone
+                    return
+                self.touch()
+
+        t = threading.Thread(target=ping_loop, daemon=True,
+                             name="oar-link-keepalive")
+        t.start()
 
     def note_rtt(self, seconds: float) -> None:
         """Record a tiny-fetch round-trip (payload ≈ 0) so bandwidth
         estimates can subtract the fixed link latency."""
+        self.touch()
         if seconds <= 0:
             return
         self._d2h_rtt = (seconds if self._d2h_rtt is None
@@ -108,9 +155,15 @@ class Runtime:
         """Record one device→host transfer for the bandwidth estimate.
         Small transfers are RTT-dominated and skipped; the RTT EMA is
         subtracted so payload bandwidth is measured, not latency."""
+        self.touch()
         if nbytes < 64 * 1024 or seconds <= 0:
             return
-        payload_s = max(seconds - (self._d2h_rtt or 0.0), 1e-4)
+        # bound the RTT subtraction: when the whole fetch is
+        # RTT-dominated, (seconds - rtt) → ~0 and the division produced
+        # absurd multi-GB/s readings that kept the sparse det fetch OFF
+        # on degraded links (r4 diag: EMA 9216 MB/s while the real link
+        # moved ~10 MB/s). Attribute at most 3/4 of the time to latency.
+        payload_s = max(seconds - (self._d2h_rtt or 0.0), 0.25 * seconds)
         mbps = nbytes / payload_s / 1e6
         self._d2h_mbps = (mbps if self._d2h_mbps is None
                           else 0.7 * self._d2h_mbps + 0.3 * mbps)
@@ -127,7 +180,8 @@ class Runtime:
 
         if nbytes < 64 * 1024 or seconds <= 0:
             return
-        payload_s = max(seconds - (self._d2h_rtt or 0.0), 1e-4)
+        # same bounded RTT subtraction as note_d2h
+        payload_s = max(seconds - (self._d2h_rtt or 0.0), 0.25 * seconds)
         mbps = nbytes / payload_s / 1e6
         self._h2d_mbps = (mbps if self._h2d_mbps is None
                           else 0.7 * self._h2d_mbps + 0.3 * mbps)
@@ -144,6 +198,46 @@ class Runtime:
 
         return (self._h2d_mbps is None
                 or _time.monotonic() - self._h2d_t > interval_s)
+
+    def note_upload_start(self, payload: int, t0: float) -> None:
+        """Register the FIRST sizable upload of the current predict
+        window for free bandwidth observation (h2d_checkpoint)."""
+        if self._h2d_obs is None and payload >= 4 * 1024 * 1024:
+            self._h2d_obs = (payload, t0)
+
+    def h2d_checkpoint(self) -> None:
+        """Feed the h2d bandwidth estimate from work predict pays anyway.
+
+        Called by the pipelines right after the first d2h fetch that
+        DEPENDS on the registered upload returns (the det bitmap fetch of
+        batch 0 depends on page chunk 0). The elapsed window bounds the
+        upload duration from above, so payload/elapsed LOWER-bounds the
+        bandwidth:
+        - big payload + long window (≥8 MB, >0.5 s): the upload dominated
+          the window — treat as a real measurement (can lower the EMA,
+          the degraded-link switch);
+        - otherwise: upward-only (can only raise the EMA — a loose bound
+          must not drag a healthy estimate down).
+        No fetch is ever issued for measurement (the r3 cliff fix); link
+        recovery while sparse is detected by the periodic dense upload
+        (runtime/page_upload.py, the det-sparse every-16th pattern)."""
+        obs = self._h2d_obs
+        if obs is None:
+            return
+        self._h2d_obs = None
+        payload, t0 = obs
+        import time as _time
+
+        elapsed = _time.perf_counter() - t0
+        if elapsed <= 0:
+            return
+        bound = payload / elapsed / 1e6
+        if payload >= 8 * 1024 * 1024 and elapsed > 0.5:
+            self.note_h2d(payload, elapsed)
+        elif self._h2d_mbps is None or bound > self._h2d_mbps:
+            self.note_h2d(payload, elapsed)
+        else:
+            self._h2d_t = _time.monotonic()   # link observed; not stale
 
     def put_pages(self, images, target_hw) -> jax.Array:
         """Upload variable-size HWC uint8 pages as one padded
@@ -310,10 +404,34 @@ class ModelRuntime:
 
 
 def init_params(module, example_shape, *, seed: int = 0, dtype=jnp.float32):
-    """Initialize a flax module's params for an example input shape."""
-    rng = jax.random.PRNGKey(seed)
-    x = jnp.zeros(example_shape, dtype)
-    return module.init(rng, x)
+    """Initialize a flax module's params for an example input shape.
+
+    Runs on the CPU backend: eager `module.init` dispatches dozens of
+    tiny one-op programs, and on the remote-compile TPU tunnel each cold
+    op costs minutes (docs/environment-variables.md). XLA's RNG is
+    bit-deterministic across backends, so the values are identical; the
+    tree is transferred when the caller places it (put_params)."""
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:                     # no CPU backend registered
+        cpu = None
+    if cpu is None:
+        rng = jax.random.PRNGKey(seed)
+        return module.init(rng, jnp.zeros(example_shape, dtype))
+    # XLA:CPU AOT cache entries are machine-feature-pinned (SIGILL risk
+    # across hosts — CLAUDE.md); keep the persistent cache, enabled for
+    # the TPU programs, away from these throwaway CPU compiles
+    prev_cache = jax.config.jax_compilation_cache_dir
+    try:
+        if prev_cache:
+            jax.config.update("jax_compilation_cache_dir", None)
+        with jax.default_device(cpu):
+            rng = jax.random.PRNGKey(seed)
+            x = jnp.zeros(example_shape, dtype)
+            return module.init(rng, x)
+    finally:
+        if prev_cache:
+            jax.config.update("jax_compilation_cache_dir", prev_cache)
 
 
 def init_params_fast(module, example_shape, *, seed: int = 0,
