@@ -1,0 +1,102 @@
+"""Link-policy runtime behaviors (r4 cliff fixes): free h2d bandwidth
+observation (no blocking probes), bounded RTT subtraction, periodic
+dense recovery while sparse uploads are active."""
+
+import time
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.fast
+
+from oar_ocr_tpu.runtime.runtime import Runtime  # noqa: E402
+
+
+@pytest.fixture()
+def rt():
+    from oar_ocr_tpu.config.runtime import RuntimeConfig
+
+    return Runtime(RuntimeConfig())
+
+
+def test_h2d_checkpoint_upward_only_on_loose_bound(rt):
+    """A short window only LOWER-bounds bandwidth: it must raise the
+    estimate, never drag a healthy one down."""
+    rt._h2d_mbps = 500.0
+    rt.note_upload_start(16 * 1024 * 1024, time.perf_counter() - 0.1)
+    rt.h2d_checkpoint()
+    # 16MB/0.1s = 160MB/s < 500 -> loose bound ignored (but refreshed)
+    assert rt.h2d_mbps == 500.0
+
+    rt.note_upload_start(64 * 1024 * 1024, time.perf_counter() - 0.05)
+    rt.h2d_checkpoint()
+    # 64MB/0.05s = 1280MB/s > 500 -> bound raises the estimate
+    assert rt.h2d_mbps > 500.0
+
+
+def test_h2d_checkpoint_measures_when_upload_dominates(rt):
+    """A big payload over a long window is upload-dominated: treated as a
+    real measurement that CAN lower the EMA (degraded-link switch)."""
+    rt._h2d_mbps = 500.0
+    rt.note_upload_start(16 * 1024 * 1024, time.perf_counter() - 1.0)
+    rt.h2d_checkpoint()
+    assert rt.h2d_mbps < 500.0      # ~16 MB/s measured
+
+
+def test_h2d_checkpoint_one_shot_and_floor(rt):
+    rt.note_upload_start(1024, time.perf_counter())   # below 4MB floor
+    assert rt._h2d_obs is None
+    rt.note_upload_start(8 * 1024 * 1024, time.perf_counter())
+    first = rt._h2d_obs
+    rt.note_upload_start(32 * 1024 * 1024, time.perf_counter())
+    assert rt._h2d_obs is first     # first observation wins
+    rt.h2d_checkpoint()
+    assert rt._h2d_obs is None
+    rt.h2d_checkpoint()             # idempotent when empty
+
+
+def test_note_d2h_bounded_rtt_subtraction(rt):
+    """RTT-dominated fetches must not produce absurd bandwidth readings
+    (r4 diag: 9 GB/s EMAs kept the sparse det fetch off on a 10 MB/s
+    link). At most 3/4 of the time is attributed to latency."""
+    rt.note_rtt(0.1)
+    rt.note_d2h(1_200_000, 0.105)   # barely above the RTT
+    # payload_s floored at 0.25*0.105 -> <= ~46 MB/s, not multi-GB/s
+    assert rt.d2h_mbps < 100.0
+
+
+def test_sparse_upload_periodic_dense_recovery(monkeypatch):
+    """Every 16th sparse-eligible upload goes dense so a recovered link
+    can be observed (no blocking probe exists to notice it)."""
+    from oar_ocr_tpu.config.runtime import RuntimeConfig
+    from oar_ocr_tpu.runtime import page_upload as P
+
+    rt = Runtime(RuntimeConfig(page_upload="auto"))
+    rt._h2d_mbps = 5.0              # degraded -> sparse eligible
+    rt._h2d_t = time.monotonic()
+    pages = [np.full((64, 64, 3), 255, np.uint8) for _ in range(2)]
+    pages[0][10:20, 10:40] = 3      # sparse-friendly content
+
+    paths = []
+    monkeypatch.setattr(P, "_put_dense",
+                        lambda rt_, b: paths.append("dense"))
+    monkeypatch.setattr(P, "_put_sparse",
+                        lambda rt_, plan, g: paths.append("sparse"))
+    monkeypatch.setattr(P, "_put_gray",
+                        lambda rt_, b: paths.append("gray"))
+    for _ in range(32):
+        P.upload_pages(rt, pages, (64, 64))
+    dense_n = sum(1 for p in paths if p == "dense")
+    assert dense_n == 2, paths      # exactly every 16th call
+    assert all(p != "dense" for i, p in enumerate(paths)
+               if (i + 1) % 16)
+
+
+def test_no_keepalive_thread_on_cpu():
+    import threading
+
+    from oar_ocr_tpu.config.runtime import RuntimeConfig
+
+    Runtime(RuntimeConfig())
+    names = [t.name for t in threading.enumerate()]
+    assert "oar-link-keepalive" not in names
