@@ -43,16 +43,25 @@ PEAK_TFLOPS = 197.0
 _REGION_DIMS = [(700, 28), (420, 26), (180, 24), (760, 34), (260, 22)]
 
 # Per-stage grouping of utils/tracing METRICS keys (the names the
-# pipeline's stage_timer calls emit) → breakdown rows.
+# pipeline's stage_timer calls emit) → breakdown rows. MAIN-thread rows
+# sum to ≈ wall time; LINK rows run on the runtime's link thread and
+# OVERLAP the main-thread rows (link totals exceeding the matching
+# *_wait rows is the overlap working, not double counting).
 _STAGE_GROUPS = {
     "upload": ("ocr.upload",),
     "det_dispatch": ("det.dispatch",),
-    "det_fetch": ("det.device",),
-    "det_host": ("det.candidates", "det.scores", "det.finalize",
+    "det_wait": ("det.wait",),
+    "det_host": ("det.candidates", "det.finalize",
                  "det.postprocess_host", "det.poly_scores"),
+    "scores_wait": ("det.scores_wait",),
     "rec_dispatch": ("rec.dispatch", "rec.dispatch_sep", "rec.host_warp"),
-    "rec_fetch": ("rec.device",),
+    "rec_wait": ("rec.wait",),
     "ctc_decode": ("rec.decode",),
+}
+_LINK_GROUPS = {
+    "det_fetch": ("det.device",),
+    "scores_fetch": ("det.scores",),
+    "rec_fetch": ("rec.device",),
 }
 
 
@@ -94,15 +103,41 @@ def _device_flops(pipe, n_regions: int) -> float:
     return det + rec
 
 
-def _breakdown(summary) -> dict:
+def _breakdown(summary, groups) -> dict:
     out = {}
     accounted = 0.0
-    for row, keys in _STAGE_GROUPS.items():
+    for row, keys in groups.items():
         tot = sum(summary[k][1] for k in keys if k in summary)
         out[row] = round(tot * 1e3, 1)
         accounted += tot
     out["_accounted_ms"] = round(accounted * 1e3, 1)
     return out
+
+
+def _link_floor_ms(rt, n_iters: int, d2h_bytes: int, d2h_fetches: int,
+                   h2d_bytes: int) -> dict:
+    """Lower-bound per-iteration link cost from MEASURED traffic and the
+    runtime's bandwidth/RTT EMAs: every byte must cross the tunnel and
+    every d2h fetch pays the fixed RTT. The tunnel is full-duplex
+    (uploads ride concurrently with fetches — measured: wall < h2d+d2h
+    on degraded links), so the floor is max(h2d, d2h + RTTs). wall ≈
+    max(floor, host CPU) when the overlap machinery works; wall >> floor
+    on a healthy link means host-side waste instead. EMAs are coarse
+    (the h2d figure is a lower BOUND from the free-observation window),
+    so treat this as a story-teller, not a precision meter."""
+    rtt = rt._d2h_rtt or 0.0
+    h2d = (h2d_bytes / n_iters) / (rt.h2d_mbps * 1e6) if rt.h2d_mbps else 0.0
+    d2h = (d2h_bytes / n_iters) / (rt.d2h_mbps * 1e6) if rt.d2h_mbps else 0.0
+    rtts = (d2h_fetches / n_iters) * rtt
+    return {
+        "h2d_ms": round(h2d * 1e3, 1),
+        "d2h_ms": round(d2h * 1e3, 1),
+        "rtt_ms": round(rtts * 1e3, 1),
+        "total_ms": round(max(h2d, d2h + rtts) * 1e3, 1),
+        "d2h_fetches_per_iter": round(d2h_fetches / n_iters, 1),
+        "h2d_mb_per_iter": round(h2d_bytes / n_iters / 1e6, 2),
+        "d2h_mb_per_iter": round(d2h_bytes / n_iters / 1e6, 2),
+    }
 
 
 def main():
@@ -127,6 +162,9 @@ def main():
     # N_ITERS timed runs: best + p50 (the tunnel's ambient bandwidth
     # swings 4x between sessions; within a run, p50 is the honest
     # steady-state figure and best the capability figure)
+    rt = pipe.runtime
+    d2h_b0, d2h_n0 = rt.d2h_bytes_total, rt.d2h_fetch_count
+    h2d_b0 = rt.h2d_bytes_total
     times, summaries = [], []
     for _ in range(N_ITERS):
         METRICS.reset()
@@ -143,8 +181,10 @@ def main():
     med_summary = summaries[times.index(
         sorted(times)[len(times) // 2])]
     flops = _device_flops(pipe, n_regions)
-    rt = pipe.runtime
     pages_per_sec = N_PAGES / best
+    floor = _link_floor_ms(
+        rt, N_ITERS, rt.d2h_bytes_total - d2h_b0,
+        rt.d2h_fetch_count - d2h_n0, rt.h2d_bytes_total - h2d_b0)
     print(json.dumps({
         "metric": "pages_per_sec_det_rec",
         "value": round(pages_per_sec, 2),
@@ -154,11 +194,16 @@ def main():
         "first_iter_ms": round(times[0] * 1e3),
         "best_ms": round(best * 1e3),
         "p50_ms": round(p50 * 1e3),
-        "per_stage_ms": _breakdown(med_summary),
+        "per_stage_ms": _breakdown(med_summary, _STAGE_GROUPS),
+        "link_ms": _breakdown(med_summary, _LINK_GROUPS),
+        "link_floor": floor,
+        "p50_over_floor": (round(p50 * 1e3 / floor["total_ms"], 2)
+                           if floor["total_ms"] else None),
         "mfu": round(flops / p50 / (PEAK_TFLOPS * 1e12), 4),
         "device_gflops_est": round(flops / 1e9),
         "h2d_mbps_ema": rt.h2d_mbps and round(rt.h2d_mbps),
         "d2h_mbps_ema": rt.d2h_mbps and round(rt.d2h_mbps),
+        "d2h_rtt_ms_ema": rt._d2h_rtt and round(rt._d2h_rtt * 1e3, 1),
     }))
 
 

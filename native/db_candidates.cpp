@@ -309,9 +309,26 @@ static PyObject* db_candidates(PyObject*, PyObject* args) {
   return result;
 }
 
+}  // namespace
+
+// page-upload analysis entry points (page_tiles.cpp)
+extern "C" {
+PyObject* oar_analyze_pages(PyObject*, PyObject*);
+PyObject* oar_gather_tiles(PyObject*, PyObject*);
+PyObject* oar_stack_pages(PyObject*, PyObject*);
+}
+
+namespace {
+
 static PyMethodDef Methods[] = {
     {"db_candidates", db_candidates, METH_VARARGS,
      "packed bitmap -> DB candidate quads"},
+    {"analyze_pages", oar_analyze_pages, METH_VARARGS,
+     "one-pass gray + per-tile min/occupancy analysis of HWC uint8 pages"},
+    {"gather_tiles", oar_gather_tiles, METH_VARARGS,
+     "copy selected 32x32 tiles (flat indices) out of HWC uint8 pages"},
+    {"stack_pages", oar_stack_pages, METH_VARARGS,
+     "zero-padded (B,H,W,C) stack of HWC uint8 pages (C=1 drops to gray)"},
     {nullptr, nullptr, 0, nullptr},
 };
 

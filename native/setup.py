@@ -13,7 +13,7 @@ setup(
     ext_modules=[
         Extension(
             "oar_native",
-            sources=["db_candidates.cpp"],
+            sources=["db_candidates.cpp", "page_tiles.cpp"],
             extra_compile_args=["-O3", "-std=c++17", "-march=native"],
         )
     ],

@@ -171,17 +171,26 @@ class DBDetector:
         sparse = (self.runtime.det_sparse_active()
                   and pp_cfg.box_type != BoxType.POLY
                   and pp_cfg.score_mode != ScoreMode.SLOW)
-        row_mask = None
+        mask = None
+        mode = None
         if sparse:
-            from ...ops.det_device import row_occupancy_mask
+            from ...ops.det_device import (det_tileable, row_occupancy_mask,
+                                           tile_occupancy_mask)
 
-            row_mask = row_occupancy_mask(packed)
-        target = row_mask if sparse else packed
+            if det_tileable(packed.shape[1], packed.shape[2]):
+                mode, mask = "tile", tile_occupancy_mask(packed)
+            else:
+                mode, mask = "row", row_occupancy_mask(packed)
+        target = mask if sparse else packed
         try:
             target.copy_to_host_async()
         except (AttributeError, NotImplementedError):
             pass
-        return (plans, prob_dev, packed, out_w, row_mask)
+        # hand the blocking fetch to the link thread: the tunnel wait
+        # (GIL-released) overlaps the caller's next upload / host work
+        fetch_fut = self.runtime.io_submit(
+            self._fetch_bitmap_timed, packed, mask, mode)
+        return (plans, prob_dev, packed, out_w, fetch_fut)
 
     def detect(
         self,
@@ -203,30 +212,71 @@ class DBDetector:
         fetch stops paying for its extra round-trip → full fallback."""
         return (out_h // 8, out_h // 4, out_h // 2, 3 * out_h // 4)
 
-    def _fetch_bitmap(self, packed, row_mask) -> np.ndarray:
-        """Bring the bit-packed bitmap to host. With ``row_mask`` set
-        (sparse mode, dispatch decided): read the tiny per-row occupancy
-        mask, gather only occupied rows at the smallest sufficient
-        budget, and scatter them into a zeroed buffer — bit-identical to
-        the full fetch (gather_occupied_rows invariant). Dense batches
-        (> 3/4 rows occupied) fall back to the full transfer. Every
-        fetch feeds the runtime's d2h bandwidth/RTT EMAs so the auto
-        policy adapts as the link changes."""
+    def _fetch_bitmap_timed(self, packed, mask, mode) -> np.ndarray:
+        """Link-thread entry: the full fetch duration lands in the
+        ``det.device`` metric; the main thread's residual wait is
+        ``det.wait`` (collect_candidates)."""
+        with stage_timer("det.device", batch=int(packed.shape[0])):
+            return self._fetch_bitmap(packed, mask, mode)
+
+    @staticmethod
+    def _tile_budgets(nt: int):
+        """Occupied-tile budgets, smallest first; beyond 1/2 the 2-D
+        sparse fetch stops paying for its extra round-trip."""
+        import math
+
+        fr = (1 / 32, 1 / 16, 1 / 8, 1 / 4, 3 / 8, 1 / 2)
+        return tuple(sorted({max(1, math.ceil(nt * f)) for f in fr}))
+
+    def _fetch_bitmap(self, packed, mask, mode) -> np.ndarray:
+        """Bring the bit-packed bitmap to host. With ``mask`` set (sparse
+        mode, dispatch decided): read the tiny occupancy mask, gather
+        only occupied 16×32-px tiles (``mode="tile"``; per-row fallback
+        for non-tileable shapes) at the smallest sufficient budget, and
+        scatter into a zeroed buffer — bit-identical to the full fetch
+        (gather_occupied_* invariant). Dense batches fall back to the
+        full transfer. Every fetch feeds the runtime's d2h bandwidth/RTT
+        EMAs so the auto policy adapts as the link changes."""
         import time as _time
 
         rt = self.runtime
-        if row_mask is not None:
+        if mask is not None:
             # every 16th sparse batch re-measures the link with a full
-            # transfer (rows fetches can be under note_d2h's size floor,
-            # which would freeze the EMA and latch sparse mode after the
-            # link recovers)
+            # transfer (sparse fetches can be under note_d2h's size
+            # floor, which would freeze the EMA and latch sparse mode
+            # after the link recovers)
             self._sparse_count = getattr(self, "_sparse_count", 0) + 1
             if (self._sparse_count % 16 == 0
                     and rt.cfg.det_sparse_fetch == "auto"):
-                row_mask = None
-        if row_mask is not None:
+                mask = None
+        if mask is not None and mode == "tile":
+            from ...ops.det_device import (DET_TILE_H, DET_TILE_W8,
+                                           gather_occupied_tiles)
+
             t0 = _time.perf_counter()
-            mask_np = np.asarray(row_mask)              # (nb, out_h/8)
+            mask_np = np.asarray(mask)               # (nb, ceil(nt/8))
+            rt.note_rtt(_time.perf_counter() - t0)
+            b, out_h, w8 = packed.shape
+            nth, ntw = out_h // DET_TILE_H, w8 // DET_TILE_W8
+            nt = nth * ntw
+            bits = np.unpackbits(mask_np, axis=-1, count=nt)
+            kmax = int(bits.sum(axis=1).max())
+            k = next((bud for bud in self._tile_budgets(nt)
+                      if kmax <= bud), None)
+            if k is not None and 0 < k < nt:
+                tiles_dev, idx_dev = gather_occupied_tiles(packed, k=k)
+                t0 = _time.perf_counter()
+                tiles = np.asarray(tiles_dev)
+                idx = np.asarray(idx_dev)
+                rt.note_d2h(tiles.nbytes, _time.perf_counter() - t0)
+                out_t = np.zeros((b, nt, DET_TILE_H * DET_TILE_W8),
+                                 np.uint8)
+                np.put_along_axis(out_t, idx[:, :, None], tiles, axis=1)
+                return (out_t.reshape(b, nth, ntw, DET_TILE_H, DET_TILE_W8)
+                        .transpose(0, 1, 3, 2, 4).reshape(packed.shape))
+        elif mask is not None:
+            t0 = _time.perf_counter()
+            mask_np = np.asarray(mask)               # (nb, out_h/8)
             rt.note_rtt(_time.perf_counter() - t0)
             out_h = packed.shape[1]
             bits = np.unpackbits(mask_np, axis=-1, count=out_h)
@@ -250,17 +300,16 @@ class DBDetector:
         return packed_np
 
     def collect_candidates(self, handle):
-        """Phase 1 of collect (split so a pipeline can run the NEXT
-        batch's host contour pass while this batch's device scores ride
-        the slow d2h link): fetch the bit-packed bitmaps, extract quad
-        candidates on the host (native C++ fast path), dispatch the
-        device scoring call and start its async host copy. Returns an
-        opaque pending tuple for ``finalize``."""
-        plans, prob_dev, packed, out_w, row_mask = handle
+        """Phase 1 of collect: join the link thread's (already running)
+        bitmap fetch, extract quad candidates on the host (native C++
+        fast path), dispatch the device scoring call and hand its fetch
+        to the link thread too. Returns an opaque pending tuple for
+        ``finalize`` (or ``finalize_geometry``+``finalize_scores``)."""
+        plans, prob_dev, packed, out_w, fetch_fut = handle
         n = len(plans)
         pp_cfg = self.postprocess.cfg
-        with stage_timer("det.device", batch=n):
-            packed_np = self._fetch_bitmap(packed, row_mask)
+        with stage_timer("det.wait", batch=n):
+            packed_np = fetch_fut.result()
 
         if pp_cfg.score_mode == ScoreMode.SLOW:
             # exact contour scoring → host path (rare mode)
@@ -306,7 +355,7 @@ class DBDetector:
                     raw_minis.append(mb.astype(np.float32))
                     cand_img.append(i)
 
-        scores_dev = None
+        scores_fut = None
         k = len(cand_boxes)
         if cand_boxes:
             kb = max(SCORE_BUCKETS.bucket(k), _SCORE_CHUNK)
@@ -320,20 +369,33 @@ class DBDetector:
                 scores_dev.copy_to_host_async()
             except (AttributeError, NotImplementedError):
                 pass
-        return ("pending", plans, raw_minis, per_page_count, scores_dev, k)
+            scores_fut = self.runtime.io_submit(
+                self._fetch_scores, scores_dev, k)
+        return ("pending", plans, raw_minis, per_page_count, scores_fut, k)
+
+    def _fetch_scores(self, scores_dev, k: int) -> np.ndarray:
+        """Link-thread fetch of the per-candidate device scores (a few KB
+        — RTT-bound on the tunnel)."""
+        import time as _time
+
+        with stage_timer("det.scores", k=k):
+            t0 = _time.perf_counter()
+            scores = np.asarray(scores_dev)
+            self.runtime.note_rtt(_time.perf_counter() - t0)
+        return scores[:k]
 
     def finalize(self, pending
                  ) -> List[Tuple[List[np.ndarray], List[float]]]:
-        """Phase 2: fetch the (already in-flight) scores and build the
-        per-page box lists."""
+        """Phase 2: join the (already in-flight) scores fetch and build
+        the per-page box lists."""
         if pending[0] == "done":
             return pending[1]
-        _, plans, raw_minis, per_page_count, scores_dev, k = pending
+        _, plans, raw_minis, per_page_count, scores_fut, k = pending
         results: List[Tuple[List[np.ndarray], List[float]]] = [
             ([], []) for _ in plans]
-        if scores_dev is not None:
-            with stage_timer("det.scores", k=k):
-                scores = np.asarray(scores_dev)[:k]
+        if scores_fut is not None:
+            with stage_timer("det.scores_wait", k=k):
+                scores = scores_fut.result()
 
             with stage_timer("det.finalize", k=k):
                 ci = 0
@@ -352,6 +414,47 @@ class DBDetector:
                             bscores.append(out[1])
                     results[i] = (boxes, bscores)
         return results
+
+    # ----- speculative split (score filter applied after recognition) ---
+    def finalize_geometry(self, pending
+                          ) -> Optional[List[Tuple[List[np.ndarray],
+                                                   List[float]]]]:
+        """Score-free half of :meth:`finalize`: unclip + min-size + scale
+        for EVERY candidate, without waiting on the scores fetch. Returns
+        per-page ``(boxes, candidate_indices)`` so a pipeline can dispatch
+        recognition immediately and drop below-``box_thresh`` boxes when
+        :meth:`finalize_scores` delivers (the scores RTT leaves the
+        critical path; recognition of later-rejected candidates is wasted
+        device compute, which the TPU has to spare — the link is the
+        bottleneck). Returns None for non-speculable pendings ("done"
+        paths: poly / slow-score / fallback)."""
+        if pending[0] != "pending":
+            return None
+        _, plans, raw_minis, per_page_count, scores_fut, k = pending
+        out: List[Tuple[List[np.ndarray], List[float]]] = []
+        with stage_timer("det.finalize", k=k):
+            ci = 0
+            for i, p in enumerate(plans):
+                boxes, idxs = [], []
+                for _ in range(per_page_count[i]):
+                    got = self.postprocess.finalize_quad_geometry(
+                        raw_minis[ci], p.src_w / float(p.dst_w),
+                        p.src_h / float(p.dst_h), p.src_w, p.src_h)
+                    if got is not None:
+                        boxes.append(got)
+                        idxs.append(ci)
+                    ci += 1
+                out.append((boxes, idxs))
+        return out
+
+    def finalize_scores(self, pending) -> np.ndarray:
+        """Join the scores fetch for a speculative pending; indexed by the
+        candidate indices ``finalize_geometry`` returned."""
+        _, _plans, _minis, _counts, scores_fut, k = pending
+        if scores_fut is None:
+            return np.zeros((k,), np.float32)
+        with stage_timer("det.scores_wait", k=k):
+            return scores_fut.result()
 
     MAX_POLY_VERTS = 32
 

@@ -391,18 +391,32 @@ class CTCRecognizer:
             return None, parts
         merged = arrs[0] if len(arrs) == 1 else jnp.concatenate(arrs, 0)
         _copy_async(merged)
-        return merged, parts
+        fut = self.runtime.io_submit(self._fetch_merged, merged)
+        return fut, parts
+
+    def _fetch_merged(self, merged) -> np.ndarray:
+        """Link-thread fetch of one merged rec transfer; feeds the d2h
+        bandwidth EMA (the packed CTC array is one of the two sizable
+        per-iteration d2h payloads, next to the det bitmap)."""
+        import time as _time
+
+        with stage_timer("rec.device", rows=int(merged.shape[0])):
+            t0 = _time.perf_counter()
+            packed_np = np.asarray(merged)
+            self.runtime.note_d2h(packed_np.nbytes,
+                                  _time.perf_counter() - t0)
+        return packed_np
 
     def collect_merged(self, merged_handle):
-        """Fetch one merged transfer and dictionary-decode every chunk in
-        it. Yields ``(tag, plans, decoded)`` with ``decoded`` aligned to
-        ``plans`` order."""
+        """Join one merged transfer (in flight on the link thread) and
+        dictionary-decode every chunk in it. Yields ``(tag, plans,
+        decoded)`` with ``decoded`` aligned to ``plans`` order."""
 
-        merged, parts = merged_handle
-        if merged is None:
+        fut, parts = merged_handle
+        if fut is None:
             return []
-        with stage_timer("rec.device", rows=int(merged.shape[0])):
-            packed_np = np.asarray(merged)
+        with stage_timer("rec.wait"):
+            packed_np = fut.result()
         out = []
         for tag, plans, subs in parts:
             results: List = [None] * len(plans)

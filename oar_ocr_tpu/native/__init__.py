@@ -40,6 +40,16 @@ def _load():
         return None
     if str(_REPO_NATIVE) not in sys.path:
         sys.path.insert(0, str(_REPO_NATIVE))
+    # rebuild a stale binary BEFORE first import (an already-imported C
+    # extension cannot be reloaded in-process)
+    try:
+        so = next(_REPO_NATIVE.glob("oar_native*.so"), None)
+        srcs = list(_REPO_NATIVE.glob("*.cpp")) + [_REPO_NATIVE / "setup.py"]
+        if so is not None and so.stat().st_mtime < max(
+                s.stat().st_mtime for s in srcs if s.exists()):
+            _build()
+    except Exception:
+        pass
     try:
         import oar_native  # type: ignore
 
@@ -74,3 +84,58 @@ def db_candidates(packed: np.ndarray, height: int, width: int,
                             int(max_candidates))
     return [(np.array(t[:8], np.float32).reshape(4, 2), float(t[8]))
             for t in out]
+
+
+def _page_args(images):
+    pages = tuple(np.ascontiguousarray(im, np.uint8) for im in images)
+    hs = tuple(int(p.shape[0]) for p in pages)
+    ws = tuple(int(p.shape[1]) for p in pages)
+    return pages, hs, ws
+
+
+def analyze_pages(images, target_h: int, target_w: int, tile: int
+                  ) -> Optional[Tuple[bool, np.ndarray, np.ndarray]]:
+    """One-pass page-upload analysis (native/page_tiles.cpp): returns
+    (all_gray, per-tile minima (B, nth, ntw, 3) uint8, occupancy
+    (B, nth, ntw) bool) over the zero-padded tile grid, or None when the
+    native module is unavailable (caller falls back to the NumPy path)."""
+    mod = _load()
+    if mod is None or not hasattr(mod, "analyze_pages"):
+        return None
+    pages, hs, ws = _page_args(images)
+    gray, base_b, occ_b = mod.analyze_pages(
+        pages, hs, ws, int(target_h), int(target_w), int(tile))
+    nth, ntw = target_h // tile, target_w // tile
+    b = len(pages)
+    base = np.frombuffer(base_b, np.uint8).reshape(b, nth, ntw, 3)
+    occ = np.frombuffer(occ_b, np.uint8).reshape(b, nth, ntw).astype(bool)
+    return bool(gray), base, occ
+
+
+def gather_tiles(images, target_h: int, target_w: int, tile: int,
+                 idx: np.ndarray, gray: bool) -> Optional[np.ndarray]:
+    """Copy the tiles at flat indices ``idx`` ((b·nth+ti)·ntw+tj) out of
+    the (conceptually padded) page batch → (N, tile, tile, C) uint8."""
+    mod = _load()
+    if mod is None or not hasattr(mod, "gather_tiles"):
+        return None
+    pages, hs, ws = _page_args(images)
+    idx = np.ascontiguousarray(idx, np.int32)
+    out = mod.gather_tiles(pages, hs, ws, int(target_h), int(target_w),
+                           int(tile), idx.tobytes(), int(gray))
+    c = 1 if gray else 3
+    return np.frombuffer(out, np.uint8).reshape(len(idx), tile, tile, c)
+
+
+def stack_pages(images, target_h: int, target_w: int, gray: bool
+                ) -> Optional[np.ndarray]:
+    """Zero-padded (B, H, W, C) stack; C=1 keeps channel 0 (gray pages)."""
+    mod = _load()
+    if mod is None or not hasattr(mod, "stack_pages"):
+        return None
+    pages, hs, ws = _page_args(images)
+    out = mod.stack_pages(pages, hs, ws, int(target_h), int(target_w),
+                          int(gray))
+    c = 1 if gray else 3
+    return np.frombuffer(out, np.uint8).reshape(
+        len(pages), target_h, target_w, c)

@@ -112,6 +112,54 @@ def row_occupancy_mask(packed: jax.Array) -> jax.Array:
     return pack_bits(row_any)
 
 
+# det-bitmap sparse-fetch tile geometry: 16 rows × 4 packed bytes
+# (= 32 px) per tile — 64 bytes, raster-ordered (ti, tj). Text covers
+# ~5-15% of a page's TILES but ~50-80% of its ROWS (every text line
+# occupies full rows), so the 2-D gather ships several times fewer bytes
+# than the row gather at the same budget discipline.
+DET_TILE_H = 16
+DET_TILE_W8 = 4
+
+
+def det_tileable(h: int, w8: int) -> bool:
+    return h % DET_TILE_H == 0 and w8 % DET_TILE_W8 == 0
+
+
+@jax.jit
+def tile_occupancy_mask(packed: jax.Array) -> jax.Array:
+    """(B, H, W/8) packed bitmap → (B, ceil(nT/8)) uint8: bit t set when
+    flat tile t (raster (ti, tj)) has any foreground pixel. Shipped ahead
+    of the bitmap so the host can size a sparse tile fetch."""
+    b, h, w8 = packed.shape
+    nth, ntw = h // DET_TILE_H, w8 // DET_TILE_W8
+    t = packed.reshape(b, nth, DET_TILE_H, ntw, DET_TILE_W8)
+    occ = jnp.any(t != 0, axis=(2, 4))              # (B, nth, ntw)
+    return pack_bits(occ.reshape(b, nth * ntw))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def gather_occupied_tiles(packed: jax.Array, *, k: int):
+    """Gather the first ``k`` tiles of each bitmap ordered
+    occupied-tiles-first (ascending flat index within each class).
+    Returns (tiles (B, k, 64) uint8, idx (B, k) int32 flat tile index).
+
+    With k ≥ the page's occupied-tile count this loses nothing: extra
+    gathered tiles are all-zero, and scattering into a zeroed buffer
+    reproduces the full bitmap bit-exactly (detector._fetch_bitmap)."""
+    b, h, w8 = packed.shape
+    nth, ntw = h // DET_TILE_H, w8 // DET_TILE_W8
+    nt = nth * ntw
+    t = (packed.reshape(b, nth, DET_TILE_H, ntw, DET_TILE_W8)
+         .transpose(0, 1, 3, 2, 4)
+         .reshape(b, nt, DET_TILE_H * DET_TILE_W8))
+    occ = jnp.any(t != 0, axis=-1)                  # (B, nt)
+    score = occ.astype(jnp.int32) * (2 * nt) - jnp.arange(
+        nt, dtype=jnp.int32)[None, :]
+    _, idx = jax.lax.top_k(score, k)                # occupied first, asc
+    tiles = jnp.take_along_axis(t, idx[:, :, None], axis=1)
+    return tiles, idx.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def gather_occupied_rows(packed: jax.Array, *, k: int):
     """Gather the first ``k`` rows of each bitmap ordered

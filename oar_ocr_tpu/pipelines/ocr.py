@@ -219,10 +219,21 @@ class OAROCR:
         # rec chunks DISPATCHED — so the host geometry of later det batches
         # hides behind rec device work (the MAX_POOLED_CROPS flush of
         # ocr.rs:603 applied per det batch). Each det batch's rec
-        # sub-batches are merged into ONE device array whose single d2h
-        # copy starts immediately (one tunnel RTT per det batch); all
-        # merged transfers are collected at the end.
+        # sub-batches are merged into ONE device array fetched on the
+        # runtime's link thread (one tunnel RTT per det batch, overlapped
+        # with the host work of later batches); all merged transfers are
+        # joined at the end.
         rec_merged = []
+        # Speculative det→rec (quad path): recognition dispatches on the
+        # score-FREE candidate geometry and the device-score fetch (one
+        # RTT) leaves the critical path — below-box_thresh candidates are
+        # dropped at assembly, discarding their (device-cheap) rec work.
+        # Bounded so a pathological page can't inflate rec batches.
+        spec_pending: List[Tuple[List[int], tuple]] = []
+        per_page_cand: dict = {}
+        import os as _os
+
+        spec_enabled = not _os.environ.get("OAR_TPU_NO_SPEC_REC")
 
         def _dispatch_pool(pool, pages_dev, host_chunk):
             # textline orientation for this pool (ocr.rs:755-788); crop
@@ -254,11 +265,43 @@ class OAROCR:
                 rec_merged.append(self.recognizer.merge_dispatched(pending))
 
         line_angles: dict = {}
-        # two-phase det collect with one-step lookahead: batch i+1's host
-        # contour pass runs while batch i's device scores ride the d2h
-        # link, and batch i's rec chunks still dispatch before batch
-        # i+2's work (streaming preserved)
-        staged = [None]
+        # candidate-count bound for speculation: beyond ~40 candidates per
+        # page the wasted rec compute on rejected boxes could outweigh the
+        # saved RTT (max_candidates allows 1000/page)
+        SPEC_MAX_CAND_PER_PAGE = 40
+
+        def _consume_spec(chunk, pages_dev, cand) -> bool:
+            """Speculative consume: pool + dispatch rec from score-free
+            geometry. Returns False when this pending can't speculate
+            (poly/slow path, error, too many candidates)."""
+            if (cand[0] != "pending"
+                    or cand[5] > SPEC_MAX_CAND_PER_PAGE * len(chunk)):
+                return False
+            try:
+                geom = self.detector.finalize_geometry(cand)
+            except Exception:
+                return False
+            if geom is None:
+                return False
+            host_chunk = [images[i] for i in chunk]
+            pool: List[Tuple[int, int, CropPlan]] = []
+            for local_i, page_i in enumerate(chunk):
+                boxes, cand_idx = geom[local_i]
+                order = sort_quad_boxes_indices(boxes)
+                per_page_boxes[page_i] = [boxes[i] for i in order]
+                per_page_cand[page_i] = [cand_idx[i] for i in order]
+                for slot_i, box in enumerate(per_page_boxes[page_i]):
+                    quad = order_quad_points(box)
+                    pool.append((page_i, slot_i,
+                                 CropPlan.from_quad(local_i, quad)))
+            while len(pool) > MAX_POOLED_CROPS:
+                _dispatch_pool(pool[:MAX_POOLED_CROPS], pages_dev,
+                               host_chunk)
+                pool = pool[MAX_POOLED_CROPS:]
+            if pool:
+                _dispatch_pool(pool, pages_dev, host_chunk)
+            spec_pending.append((chunk, cand))
+            return True
 
         def _consume(chunk, pages_dev, cand):
             base = chunk[0]
@@ -317,11 +360,8 @@ class OAROCR:
                 # the free h2d bandwidth observation (runtime.py)
                 self.runtime.h2d_checkpoint()
                 first_collect = False
-            if staged[0] is not None:
-                _consume(*staged[0])
-            staged[0] = (chunk, pages_dev, cand)
-        if staged[0] is not None:
-            _consume(*staged[0])
+            if not (spec_enabled and _consume_spec(chunk, pages_dev, cand)):
+                _consume(chunk, pages_dev, cand)
 
         texts: dict = {}
         word_box_map: dict = {}
@@ -339,6 +379,34 @@ class OAROCR:
                             plan.width, max((plan.width + 7) // 8, 1),
                             cols, text)
                         word_box_map[(page_i, region_i)] = wb
+
+        # --- resolve speculative score filters: join the (long-finished)
+        # scores fetches, drop below-box_thresh regions — their rec output
+        # is discarded — and renumber the survivors so region order
+        # matches the non-speculative path exactly ---
+        box_thresh = self.detector.postprocess.cfg.box_thresh
+
+        def _remap(d: dict, page_i: int, n_slots: int, kept: List[int]):
+            old = {s: d.pop((page_i, s)) for s in range(n_slots)
+                   if (page_i, s) in d}
+            for new_i, s in enumerate(kept):
+                if s in old:
+                    d[(page_i, new_i)] = old[s]
+
+        for chunk, cand in spec_pending:
+            scores = self.detector.finalize_scores(cand)
+            for page_i in chunk:
+                cand_idx = per_page_cand.pop(page_i, [])
+                n_slots = len(cand_idx)
+                kept = [s for s in range(n_slots)
+                        if float(scores[cand_idx[s]]) >= box_thresh]
+                per_page_scores[page_i] = [
+                    float(scores[cand_idx[s]]) for s in kept]
+                per_page_boxes[page_i] = [
+                    per_page_boxes[page_i][s] for s in kept]
+                _remap(texts, page_i, n_slots, kept)
+                _remap(word_box_map, page_i, n_slots, kept)
+                _remap(line_angles, page_i, n_slots, kept)
 
         # --- assemble; map geometry back to the ORIGINAL frame when an
         # orientation correction was applied and no rectification broke the

@@ -254,6 +254,18 @@ class DBPostProcess:
 
         if score < self.cfg.box_thresh:
             return None
+        box = self.finalize_quad_geometry(mini_box, width_scale,
+                                          height_scale, dest_w, dest_h)
+        return None if box is None else (box, score)
+
+    def finalize_quad_geometry(self, mini_box: np.ndarray,
+                               width_scale: float, height_scale: float,
+                               dest_w: int, dest_h: int
+                               ) -> Optional[np.ndarray]:
+        """The score-independent half of :meth:`finalize_quad` (unclip,
+        re-minbox, size filter, scale) — the speculative det→rec path
+        runs this for every candidate before the device scores arrive."""
+
         delta = unclip_delta(mini_box, self.cfg.unclip_ratio)
         if delta <= 0:
             return None
@@ -264,8 +276,8 @@ class DBPostProcess:
         box_points, sside = mb2
         if sside < self.cfg.min_size + 2.0:
             return None
-        return (_scale_clamp(box_points, width_scale, height_scale,
-                             dest_w, dest_h), score)
+        return _scale_clamp(box_points, width_scale, height_scale,
+                            dest_w, dest_h)
 
     def _boxes_from_bitmap(self, pred, bitmap, dest_w, dest_h):
         """Quad path (db_bitmap.rs:84-151)."""

@@ -104,6 +104,16 @@ class Runtime:
         # (which predict pays anyway) bounds the bandwidth.
         self._h2d_obs = None
         self._h2d_sparse_n = 0    # periodic dense recovery counter
+        # per-process transfer accounting (bench's link-floor model)
+        self.d2h_bytes_total = 0
+        self.d2h_fetch_count = 0
+        self.h2d_bytes_total = 0
+        self.h2d_put_count = 0
+        # single-worker link executor: all d2h fetches are submitted here
+        # so the (GIL-releasing) tunnel waits overlap main-thread host CPU
+        # work (contours, upload analysis, crop planning). One worker
+        # keeps transfer order deterministic and matches the serial link.
+        self._io = None
         # link keepalive: the remote tunnel drops its session after idle
         # and the first post-idle transfer pays a multi-second reconnect
         # (measured: 10.4 s for a small upload after 50 s idle). A tiny
@@ -112,6 +122,20 @@ class Runtime:
         if (self.device.platform in ("tpu", "axon")
                 and not os.environ.get("OAR_TPU_NO_KEEPALIVE")):
             self._start_keepalive()
+
+    def io_submit(self, fn, *args, **kwargs):
+        """Run ``fn`` on the link thread; returns a ``Future``. Use for
+        every blocking device→host fetch so the transfer (which releases
+        the GIL) overlaps main-thread host work. Exceptions surface at
+        ``Future.result()`` — callers keep their fallback ladders."""
+        ex = self._io
+        if ex is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            ex = ThreadPoolExecutor(max_workers=1,
+                                    thread_name_prefix="oar-link")
+            self._io = ex
+        return ex.submit(fn, *args, **kwargs)
 
     KEEPALIVE_IDLE_S = 8.0
 
@@ -146,6 +170,7 @@ class Runtime:
         """Record a tiny-fetch round-trip (payload ≈ 0) so bandwidth
         estimates can subtract the fixed link latency."""
         self.touch()
+        self.d2h_fetch_count += 1
         if seconds <= 0:
             return
         self._d2h_rtt = (seconds if self._d2h_rtt is None
@@ -156,6 +181,8 @@ class Runtime:
         Small transfers are RTT-dominated and skipped; the RTT EMA is
         subtracted so payload bandwidth is measured, not latency."""
         self.touch()
+        self.d2h_bytes_total += nbytes
+        self.d2h_fetch_count += 1
         if nbytes < 64 * 1024 or seconds <= 0:
             return
         # bound the RTT subtraction: when the whole fetch is

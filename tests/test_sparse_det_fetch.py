@@ -1,8 +1,9 @@
-"""Sparse det-bitmap fetch (ops/det_device.py gather_occupied_rows +
-models/detection/detector.py _fetch_bitmap): on a degraded d2h link only
-the per-row occupancy mask and the occupied rows cross the link, and the
-host reassembly must be BIT-IDENTICAL to the full fetch — the detection
-path is parity-critical (SURVEY §8)."""
+"""Sparse det-bitmap fetch (ops/det_device.py gather_occupied_tiles/rows
++ models/detection/detector.py _fetch_bitmap): on a degraded d2h link
+only a tiny occupancy mask and the occupied 16×32-px tiles (per-row
+fallback for non-tileable shapes) cross the link, and the host
+reassembly must be BIT-IDENTICAL to the full fetch — the detection path
+is parity-critical (SURVEY §8)."""
 
 import dataclasses
 
@@ -11,8 +12,11 @@ import numpy as np
 import pytest
 
 from oar_ocr_tpu.config.runtime import RuntimeConfig
-from oar_ocr_tpu.ops.det_device import (gather_occupied_rows, pack_bits,
-                                        row_occupancy_mask)
+from oar_ocr_tpu.ops.det_device import (DET_TILE_H, DET_TILE_W8,
+                                        gather_occupied_rows,
+                                        gather_occupied_tiles, pack_bits,
+                                        row_occupancy_mask,
+                                        tile_occupancy_mask)
 from oar_ocr_tpu.runtime.runtime import Runtime
 
 
@@ -36,6 +40,48 @@ def test_gather_rows_bit_exact(rng, occupancy):
     for k in (h // 2, 3 * h // 4, h):
         if int(row_keep.sum(axis=1).max()) <= k:
             assert np.array_equal(_reassemble(packed_dev, k), full), k
+
+
+def _reassemble_tiles(packed_dev, k):
+    b, h, w8 = packed_dev.shape
+    nth, ntw = h // DET_TILE_H, w8 // DET_TILE_W8
+    tiles, idx = gather_occupied_tiles(packed_dev, k=k)
+    tiles, idx = np.asarray(tiles), np.asarray(idx)
+    out_t = np.zeros((b, nth * ntw, DET_TILE_H * DET_TILE_W8), np.uint8)
+    np.put_along_axis(out_t, idx[:, :, None], tiles, axis=1)
+    return (out_t.reshape(b, nth, ntw, DET_TILE_H, DET_TILE_W8)
+            .transpose(0, 1, 3, 2, 4).reshape(packed_dev.shape))
+
+
+@pytest.mark.parametrize("occupancy", [0.0, 0.05, 0.3])
+def test_gather_tiles_bit_exact(rng, occupancy):
+    b, h, w = 2, 64, 256                      # w8 = 32 → 4×8 tile grid
+    nth, ntw = h // DET_TILE_H, (w // 8) // DET_TILE_W8
+    nt = nth * ntw
+    tile_keep = rng.random((b, nth, 1, ntw, 1)) < occupancy
+    bitmap = (rng.random((b, h, w)) < 0.4).astype(np.uint8)
+    bitmap = (bitmap.reshape(b, nth, DET_TILE_H, ntw, DET_TILE_W8 * 8)
+              * tile_keep).reshape(b, h, w)
+    packed_dev = pack_bits(jnp.asarray(bitmap))
+    full = np.asarray(packed_dev)
+    n_occ = int(np.unpackbits(
+        np.asarray(tile_occupancy_mask(packed_dev)), axis=-1,
+        count=nt).sum(axis=1).max())
+    for k in (max(n_occ, 1), nt // 2, nt):
+        if n_occ <= k:
+            assert np.array_equal(_reassemble_tiles(packed_dev, k), full), k
+
+
+def test_tile_mask_matches_numpy(rng):
+    b, h, w = 2, 32, 256
+    nth, ntw = h // DET_TILE_H, (w // 8) // DET_TILE_W8
+    bitmap = (rng.random((b, h, w)) < 0.02).astype(np.uint8)
+    packed_dev = pack_bits(jnp.asarray(bitmap))
+    mask = np.asarray(tile_occupancy_mask(packed_dev))
+    bits = np.unpackbits(mask, axis=-1, count=nth * ntw)
+    expect = (bitmap.reshape(b, nth, DET_TILE_H, ntw, DET_TILE_W8 * 8)
+              .any(axis=(2, 4)).reshape(b, -1).astype(np.uint8))
+    assert np.array_equal(bits, expect)
 
 
 def test_row_mask_matches_numpy(rng):
@@ -114,6 +160,30 @@ def test_dense_bitmap_falls_back_to_full(rng, monkeypatch):
     b, h, w = 2, 32, 64
     bitmap = np.ones((b, h, w), np.uint8)          # fully dense
     packed_dev = pack_bits(jnp.asarray(bitmap))
-    mask = row_occupancy_mask(packed_dev)
-    out = det._fetch_bitmap(packed_dev, mask)
+    out = det._fetch_bitmap(packed_dev, row_occupancy_mask(packed_dev),
+                            "row")
+    assert np.array_equal(out, np.asarray(packed_dev))
+    det2 = DBDetector.__new__(DBDetector)
+    det2.runtime = rt
+    b, h, w = 2, 32, 256                           # tileable shape
+    packed_dev = pack_bits(jnp.asarray(np.ones((b, h, w), np.uint8)))
+    out = det2._fetch_bitmap(packed_dev, tile_occupancy_mask(packed_dev),
+                             "tile")
+    assert np.array_equal(out, np.asarray(packed_dev))
+
+
+def test_detector_fetch_tile_sparse_partial(rng):
+    """A partially occupied tileable bitmap goes through the tile-gather
+    path inside _fetch_bitmap and reassembles bit-exactly."""
+    from oar_ocr_tpu.models.detection.detector import DBDetector
+
+    rt = Runtime(RuntimeConfig(det_sparse_fetch="on", use_mesh=False))
+    det = DBDetector.__new__(DBDetector)
+    det.runtime = rt
+    b, h, w = 2, 64, 256
+    bitmap = np.zeros((b, h, w), np.uint8)
+    bitmap[:, 18:30, 40:200] = (rng.random((b, 12, 160)) < 0.5)
+    packed_dev = pack_bits(jnp.asarray(bitmap))
+    out = det._fetch_bitmap(packed_dev, tile_occupancy_mask(packed_dev),
+                            "tile")
     assert np.array_equal(out, np.asarray(packed_dev))

@@ -97,6 +97,9 @@ def test_auto_policy_follows_h2d_ema(rng, monkeypatch):
     real = page_upload._analyze
     monkeypatch.setattr(page_upload, "_analyze",
                         lambda b: seen.append(1) or real(b))
+    real_nat = page_upload._native_plan
+    monkeypatch.setattr(page_upload, "_native_plan",
+                        lambda *a: seen.append(1) or real_nat(*a))
     pages = _doc_pages(rng, n=1)
     hw = (256, 192)
     # no estimate yet → dense (and the first upload feeds the EMA)
