@@ -3,9 +3,9 @@ import pytest
 
 from oar_ocr_tpu.domain.structure import LayoutElementType
 from oar_ocr_tpu.vl.doc_parser import (DocParser, RecognitionTask,
+                                       task_for_element)
 
 pytestmark = pytest.mark.fast
-                                       task_for_element)
 
 
 class StubBackend:

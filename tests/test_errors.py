@@ -8,11 +8,12 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from oar_ocr_tpu.errors import (ConfigError, InferenceError, OCRError,
-
-pytestmark = pytest.mark.fast
                                 ProcessingError, ProcessingStage,
                                 batch_item_error,
                                 format_batch_error_message)
+
+
+pytestmark = pytest.mark.fast
 
 
 def test_staged_processing_constructors():

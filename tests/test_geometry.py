@@ -2,12 +2,13 @@ import numpy as np
 import pytest
 
 from oar_ocr_tpu.processors.geometry import (AABB, approx_poly_dp,
-
-pytestmark = pytest.mark.fast
                                              boxes_iou_matrix, min_area_rect,
                                              order_quad_points, polygon_area,
                                              polygon_perimeter, quad_crop_size,
                                              rotate_points_back)
+
+
+pytestmark = pytest.mark.fast
 
 
 def test_order_quad_points():

@@ -2,17 +2,18 @@
 tests (layout_utils.rs:854-1004) plus coverage for reconciliation,
 k-means combination and overlap removal."""
 
+import pytest
 import numpy as np
 
 from oar_ocr_tpu.processors.layout_utils import (
-import pytest
-
-pytestmark = pytest.mark.fast
     LayoutBox, associate_ocr_with_layout, calculate_ioa_smaller,
     combine_rectangles_kmeans, get_overlap_boxes_idx,
     get_overlap_removal_indices, reconcile_table_cells,
     remove_overlap_blocks, reprocess_table_cells_with_ocr,
     sort_layout_boxes)
+
+
+pytestmark = pytest.mark.fast
 
 
 class TestAssociation:

@@ -22,9 +22,10 @@ from oar_ocr_tpu.domain.markdown import (clean_ocr_text,
                                          semantic_title_level_and_format,
                                          simplify_table_html)
 from oar_ocr_tpu.domain.structure import (LayoutElement, LayoutElementType,
+                                          StructureResult, TableResult)
+
 
 pytestmark = pytest.mark.fast
-                                          StructureResult, TableResult)
 
 
 def _el(t, box, text=None, score=0.9, **kw):

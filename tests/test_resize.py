@@ -3,10 +3,11 @@ import pytest
 
 from oar_ocr_tpu.core.types import LimitType
 from oar_ocr_tpu.ops.resize import (DetResizeConfig, det_resize,
-
-pytestmark = pytest.mark.fast
                                     det_target_size, pad_small_image,
                                     rec_batch_width, rec_crop_width)
+
+
+pytestmark = pytest.mark.fast
 
 
 class TestDetTargetSize:

@@ -1,11 +1,12 @@
+import pytest
 import numpy as np
 
 from oar_ocr_tpu.processors.sorting import (SortDirection, sort_by_xycut,
-import pytest
-
-pytestmark = pytest.mark.fast
                                             sort_quad_boxes,
                                             sort_quad_boxes_indices)
+
+
+pytestmark = pytest.mark.fast
 
 
 def _quad(x0, y0, x1, y1):

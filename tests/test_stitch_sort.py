@@ -5,9 +5,10 @@ from oar_ocr_tpu.domain.structure import LayoutElement, LayoutElementType
 from oar_ocr_tpu.domain.text_region import TextRegion
 from oar_ocr_tpu.pipelines.stitching import ResultStitcher, StitchConfig
 from oar_ocr_tpu.processors.layout_sorting import (OrderLabel,
+                                                   sort_layout_enhanced)
+
 
 pytestmark = pytest.mark.fast
-                                                   sort_layout_enhanced)
 
 
 def _el(t, box, score=0.9):

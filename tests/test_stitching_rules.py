@@ -2,19 +2,20 @@
 reference's own stitching.rs unit tests (:2087-2395) exactly, plus the
 format_line joining behaviors."""
 
+import pytest
 import numpy as np
 
 from oar_ocr_tpu.domain.text_region import TextRegion
 from oar_ocr_tpu.pipelines.stitching import (StitchConfig, is_overlapping,
                                              sort_and_join_texts)
 from oar_ocr_tpu.processors.table import (
-import pytest
-
-pytestmark = pytest.mark.fast
     TableCell, collect_cell_texts_for_tokens, compose_matched_cell_text,
     find_row_start_index, match_table_and_ocr_by_iou_distance,
     match_table_cells_with_structure_rows, normalize_checkbox_symbols,
     normalize_tiny_symbol)
+
+
+pytestmark = pytest.mark.fast
 
 
 def _region(x0, y0, x1, y1, text, conf=0.9, label=None):

@@ -2,8 +2,6 @@ import numpy as np
 import pytest
 
 from oar_ocr_tpu.domain.structure import (LayoutElement, LayoutElementType,
-
-pytestmark = pytest.mark.fast
                                           PageContinuationFlags,
                                           StructureResult, TableResult,
                                           concatenate_markdown_pages,
@@ -11,6 +9,9 @@ pytestmark = pytest.mark.fast
                                           postprocess_markdown,
                                           postprocess_text,
                                           remove_overlapping_elements)
+
+
+pytestmark = pytest.mark.fast
 
 
 def _el(t, box, score=0.9, text=None):

@@ -3,6 +3,7 @@
 suite) and the stitcher's table cell matching (stitching.rs:403
 stitch_tables)."""
 
+import pytest
 import numpy as np
 
 from oar_ocr_tpu.domain.structure import (LayoutElement, LayoutElementType,
@@ -12,11 +13,11 @@ from oar_ocr_tpu.pipelines.stitching import (ResultStitcher, StitchConfig,
                                              stitch_tables)
 from oar_ocr_tpu.processors.table import TableCell
 from oar_ocr_tpu.processors.table_ocr_split import (
-import pytest
-
-pytestmark = pytest.mark.fast
     SplitConfig, create_expanded_ocr_for_table, detect_cross_cell_ocr_boxes,
     split_ocr_box_at_cell_boundaries, split_text_by_ratio)
+
+
+pytestmark = pytest.mark.fast
 
 
 def _quad(x0, y0, x1, y1):

@@ -6,10 +6,11 @@ from oar_ocr_tpu.processors.layout_postprocess import (
     apply_nms_with_merge, associate_ocr_with_layout, remove_overlapping_boxes,
     unclip_boxes)
 from oar_ocr_tpu.utils.image import (BatchLoadPolicy, crop_bounding_box,
-
-pytestmark = pytest.mark.fast
                                      load_image, load_images, mask_regions,
                                      resize_and_pad)
+
+
+pytestmark = pytest.mark.fast
 
 
 def _lb(label, score, box):

@@ -10,13 +10,14 @@ import pytest
 from oar_ocr_tpu.domain.structure import (LayoutElement, LayoutElementType,
                                           TableResult)
 from oar_ocr_tpu.vl.text_format import (
-
-pytestmark = pytest.mark.fast
     DEFAULT_MARKDOWN_IGNORE_LABELS, _find_shortest_repeating_substring,
     clean_special_tokens, collapse_consecutive_spaces, fix_latex_brackets,
     format_formula, format_table, format_text,
     remove_space_before_punctuation, tighten_inline_dollar_math,
     to_markdown, to_markdown_openocr, truncate_repetitive_content)
+
+
+pytestmark = pytest.mark.fast
 
 
 def el(t, text=None, label=None, box=(0, 0, 100, 20), **kw):
