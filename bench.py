@@ -153,8 +153,14 @@ def main():
             .with_batch_sizes(image=8, region=64).build())
     pages_np = _make_pages(rng)
 
-    # warmup / compile
+    # warmup / compile — twice: the first predict seeds the link-bandwidth
+    # EMAs from nothing, so the ADAPTIVE paths (tile-sparse det fetch,
+    # sparse page upload) only engage — and compile — on the next call;
+    # a single warmup left that compile inside the first timed iteration
+    # (the r3 "first-iteration cliff" residual after the idle-reconnect
+    # fixes)
     res = pipe.predict(pages_np)
+    pipe.predict(pages_np)
     n_regions = sum(len(r.regions) for r in res)
     print(f"warmup: {n_regions} regions over {N_PAGES} pages",
           file=sys.stderr)

@@ -380,9 +380,10 @@ class CTCRecognizer:
                 n = len(positions)
                 a = packed[:n]
                 if a.shape[1] < tmax:
+                    # 0xFF bytes ⇒ int16 idx −1 ⇒ keep False (pack_ctc_raw)
                     a = jnp.pad(
                         a, ((0, 0), (0, tmax - a.shape[1]), (0, 0)),
-                        constant_values=-1.0)
+                        constant_values=255)
                 arrs.append(a)
                 subs.append((positions, row, n, packed.shape[1]))
                 row += n

@@ -40,22 +40,32 @@ class CTCRaw(NamedTuple):
 
 
 def pack_ctc_raw(raw: CTCRaw) -> jax.Array:
-    """Fold (indices, probs, keep) into ONE (B, T, 2) f32 array so a chunk
-    costs a single device→host fetch instead of three (the axon tunnel
-    charges ~30 ms RTT per fetch — docs/environment-variables.md).
-    Channel 0 = index where kept else −1 (vocab ≤ 18.7k is exact in f32);
-    channel 1 = prob."""
-    idx = jnp.where(raw.keep, raw.indices, -1).astype(jnp.float32)
-    return jnp.stack([idx, raw.probs], axis=-1)
+    """Fold (indices, probs, keep) into ONE (B, T, 6) uint8 array so a
+    chunk costs a single device→host fetch instead of three (the axon
+    tunnel charges ~30 ms RTT per fetch — docs/environment-variables.md)
+    at 6 B/timestep instead of three f32 planes' 12: bytes 0-1 = index
+    as int16 where kept else −1 (CTC charsets are ≤ 18.7k, well inside
+    int16; CTCLabelDecoder enforces the bound), bytes 2-5 = prob f32
+    bit-exact (the mean-prob confidence must match the host oracle to
+    the ulp). Pad rows with 0xFF: idx −1 ⇒ keep False, prob bytes never
+    read."""
+    idx = jnp.where(raw.keep, raw.indices, -1).astype(jnp.int16)
+    ib = jax.lax.bitcast_convert_type(idx, jnp.uint8)        # (B, T, 2)
+    pb = jax.lax.bitcast_convert_type(
+        raw.probs.astype(jnp.float32), jnp.uint8)            # (B, T, 4)
+    return jnp.concatenate([ib, pb], axis=-1)
 
 
 def unpack_ctc_raw(packed: np.ndarray
                    ) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
     """Host inverse of pack_ctc_raw → (indices, probs, keep) np arrays."""
-    ch0 = packed[..., 0]
-    keep = ch0 >= 0
-    idx = np.where(keep, ch0, 0).astype(np.int32)
-    return idx, packed[..., 1], keep
+    flat = np.ascontiguousarray(packed, np.uint8).reshape(-1, 6)
+    idx16 = flat[:, :2].copy().view(np.int16)[:, 0]
+    prob = flat[:, 2:].copy().view(np.float32)[:, 0]
+    shape = packed.shape[:-1]
+    keep = (idx16 >= 0).reshape(shape)
+    idx = np.where(idx16 >= 0, idx16, 0).astype(np.int32).reshape(shape)
+    return idx, prob.reshape(shape), keep
 
 
 def argmax_last(x: jax.Array, axis: int = -1) -> jax.Array:
@@ -111,6 +121,12 @@ class CTCLabelDecoder:
             chars.append(" ")
         self.charset: List[str] = chars
         self.vocab_size = 1 + len(chars)  # +1 for blank at 0
+        if self.vocab_size > 32767:       # pack_ctc_raw int16 domain
+            from ..errors import InvalidInputError
+
+            raise InvalidInputError(
+                "charset too large for the int16 CTC transfer packing",
+                vocab_size=self.vocab_size)
         # RTL scripts (e.g. Arabic recognizers): reverse run order after
         # decoding (decode.rs:22-24,137 pred_reverse)
         self.reverse = reverse

@@ -287,10 +287,15 @@ class OAROCR:
             pool: List[Tuple[int, int, CropPlan]] = []
             for local_i, page_i in enumerate(chunk):
                 boxes, cand_idx = geom[local_i]
-                order = sort_quad_boxes_indices(boxes)
-                per_page_boxes[page_i] = [boxes[i] for i in order]
-                per_page_cand[page_i] = [cand_idx[i] for i in order]
-                for slot_i, box in enumerate(per_page_boxes[page_i]):
+                # slots stay in CANDIDATE order here; the reading-order
+                # sort runs on the score-filtered survivors at resolution
+                # time, exactly like the non-speculative path — the
+                # bubble pass in sort_quad_boxes_indices is
+                # adjacency-sensitive, so sorting before filtering could
+                # diverge from filter-then-sort (parity-critical)
+                per_page_boxes[page_i] = boxes
+                per_page_cand[page_i] = cand_idx
+                for slot_i, box in enumerate(boxes):
                     quad = order_quad_points(box)
                     pool.append((page_i, slot_i,
                                  CropPlan.from_quad(local_i, quad)))
@@ -394,19 +399,43 @@ class OAROCR:
                     d[(page_i, new_i)] = old[s]
 
         for chunk, cand in spec_pending:
-            scores = self.detector.finalize_scores(cand)
+            try:
+                scores = self.detector.finalize_scores(cand)
+            except Exception as exc:
+                # graceful degradation (matches the non-speculative
+                # ladder's terminal state): a dead scores fetch after
+                # recognition already ran means the device/link failed —
+                # the affected pages yield empty results, not a raised
+                # predict
+                logger.warning(format_batch_error_message(
+                    "detection scoring", [(i, batch_item_error(
+                        "detection", i, len(chunk), exc))
+                        for i in chunk], len(chunk)))
+                for page_i in chunk:
+                    n_slots = len(per_page_cand.pop(page_i, []))
+                    per_page_boxes[page_i] = []
+                    per_page_scores[page_i] = []
+                    _remap(texts, page_i, n_slots, [])
+                    _remap(word_box_map, page_i, n_slots, [])
+                    _remap(line_angles, page_i, n_slots, [])
+                continue
             for page_i in chunk:
                 cand_idx = per_page_cand.pop(page_i, [])
                 n_slots = len(cand_idx)
                 kept = [s for s in range(n_slots)
                         if float(scores[cand_idx[s]]) >= box_thresh]
+                # reading-order sort on the SURVIVORS (filter-then-sort,
+                # matching the non-speculative path exactly)
+                order = sort_quad_boxes_indices(
+                    [per_page_boxes[page_i][s] for s in kept])
+                sel = [kept[i] for i in order]
                 per_page_scores[page_i] = [
-                    float(scores[cand_idx[s]]) for s in kept]
+                    float(scores[cand_idx[s]]) for s in sel]
                 per_page_boxes[page_i] = [
-                    per_page_boxes[page_i][s] for s in kept]
-                _remap(texts, page_i, n_slots, kept)
-                _remap(word_box_map, page_i, n_slots, kept)
-                _remap(line_angles, page_i, n_slots, kept)
+                    per_page_boxes[page_i][s] for s in sel]
+                _remap(texts, page_i, n_slots, sel)
+                _remap(word_box_map, page_i, n_slots, sel)
+                _remap(line_angles, page_i, n_slots, sel)
 
         # --- assemble; map geometry back to the ORIGINAL frame when an
         # orientation correction was applied and no rectification broke the

@@ -71,3 +71,34 @@ def test_space_char_appended():
 def test_default_charset_printable():
     cs = default_charset()
     assert "A" in cs and "0" in cs and " " not in cs
+
+
+def test_pack_ctc_raw_round_trip():
+    """The 6-byte transfer packing (int16 idx + f32 prob) is exact: keep
+    and kept indices round-trip, probs round-trip to the ulp everywhere,
+    and 0xFF padding rows decode as keep=False (merge_dispatched pads
+    sub-batches to the widest timestep count with 0xFF)."""
+    from oar_ocr_tpu.ops.ctc import CTCRaw, pack_ctc_raw, unpack_ctc_raw
+
+    rng = np.random.default_rng(0)
+    b, t = 5, 17
+    idx = rng.integers(0, 18000, (b, t)).astype(np.int32)
+    prob = rng.random((b, t)).astype(np.float32)
+    keep = rng.random((b, t)) < 0.4
+    packed = np.asarray(pack_ctc_raw(CTCRaw(
+        jnp.asarray(idx), jnp.asarray(prob), jnp.asarray(keep))))
+    assert packed.shape == (b, t, 6) and packed.dtype == np.uint8
+    i2, p2, k2 = unpack_ctc_raw(packed)
+    np.testing.assert_array_equal(k2, keep)
+    np.testing.assert_array_equal(i2[keep], idx[keep])
+    np.testing.assert_array_equal(p2, prob)
+    pad = np.full((b, 3, 6), 255, np.uint8)
+    _, _, k3 = unpack_ctc_raw(np.concatenate([packed, pad], axis=1))
+    assert not k3[:, t:].any()
+
+
+def test_decoder_rejects_oversized_charset():
+    from oar_ocr_tpu.errors import InvalidInputError
+
+    with pytest.raises(InvalidInputError):
+        CTCLabelDecoder([chr(i) for i in range(40000)])

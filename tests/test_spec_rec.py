@@ -105,3 +105,22 @@ def test_spec_filter_actually_drops(det_params, monkeypatch, rng):
     monkeypatch.setenv("OAR_TPU_NO_SPEC_REC", "1")
     res_plain = [_key(r) for r in build().predict([page])]
     assert res_spec == res_plain
+
+
+def test_spec_scores_failure_degrades_to_empty(det_params, monkeypatch, rng):
+    """A dead scores fetch after speculative recognition must yield empty
+    page results with a warning, not a raised predict (the terminal state
+    of the non-speculative fallback ladder)."""
+    from oar_ocr_tpu.models.detection.detector import DBDetector
+
+    monkeypatch.delenv("OAR_TPU_NO_SPEC_REC", raising=False)
+    pipe = (OAROCRBuilder("general")
+            .with_det_params(det_params)
+            .with_batch_sizes(image=1, region=16).build())
+
+    def boom(self, dev, k):
+        raise RuntimeError("link died")
+
+    monkeypatch.setattr(DBDetector, "_fetch_scores", boom)
+    res = pipe.predict([_page(rng)])
+    assert len(res) == 1 and res[0].regions == []
