@@ -309,6 +309,133 @@ static PyObject* db_candidates(PyObject*, PyObject* args) {
   return result;
 }
 
+// Batched finalize of candidate mini-boxes — the score-independent half
+// of DBPostProcess.finalize_quad (processors/db_postprocess.py:261,
+// re-expressing db_bitmap.rs:118-151): unclip delta = area·ratio/perim
+// (float64, matching unclip_delta), exact rectangle round-join expansion
+// (expand_rect), re-min-area-rect (this file's rotating calipers),
+// short-side filter, PaddleX point ordering, scale + round-half-even +
+// clamp to original coords. Replaces ~300 µs/candidate of per-quad
+// Python/cv2 calls with one native pass (~1 µs/quad).
+//
+// finalize_quads(minis: bytes (N×8 f32), n, unclip_ratio, min_size,
+//                width_scale, height_scale, dest_w, dest_h)
+//   -> bytes (N×9 f32: 8 ordered coords + valid flag)
+static PyObject* finalize_quads(PyObject*, PyObject* args) {
+  Py_buffer buf;
+  int n, dest_w, dest_h;
+  double unclip_ratio, min_size, width_scale, height_scale;
+  if (!PyArg_ParseTuple(args, "y*iddddii", &buf, &n, &unclip_ratio,
+                        &min_size, &width_scale, &height_scale, &dest_w,
+                        &dest_h)) {
+    return nullptr;
+  }
+  if ((Py_ssize_t)n * 8 * 4 > buf.len) {
+    PyBuffer_Release(&buf);
+    PyErr_SetString(PyExc_ValueError, "minis buffer too small");
+    return nullptr;
+  }
+  const float* in = (const float*)buf.buf;
+  PyObject* out_b =
+      PyBytes_FromStringAndSize(nullptr, (Py_ssize_t)n * 9 * 4);
+  if (!out_b) {
+    PyBuffer_Release(&buf);
+    return nullptr;
+  }
+  float* out = (float*)PyBytes_AS_STRING(out_b);
+  std::vector<Pt> pts;
+  for (int i = 0; i < n; ++i) {
+    const float* q = in + (size_t)i * 8;
+    float* o = out + (size_t)i * 9;
+    std::memset(o, 0, 9 * sizeof(float));
+    double x[4], y[4];
+    for (int j = 0; j < 4; ++j) {
+      x[j] = q[2 * j];
+      y[j] = q[2 * j + 1];
+    }
+    // unclip_delta: area·ratio/perimeter in float64
+    double s1 = 0, s2 = 0, perim = 0;
+    for (int j = 0; j < 4; ++j) {
+      int k2 = (j + 1) & 3;
+      s1 += x[j] * y[k2];
+      s2 += y[j] * x[k2];
+      perim += std::hypot(x[j] - x[k2], y[j] - y[k2]);
+    }
+    double area = std::fabs(s1 - s2) / 2.0;
+    const double eps = 2.220446049250313e-16;  // np.finfo(f64).eps
+    if (area <= eps || perim <= eps) continue;
+    double delta = area * unclip_ratio / perim;
+    if (delta <= 0) continue;
+    // expand_rect: push corners outward along both edge directions
+    double ux = x[1] - x[0], uy = y[1] - y[0];
+    double vx = x[3] - x[0], vy = y[3] - y[0];
+    double nu = std::sqrt(ux * ux + uy * uy);
+    double nv = std::sqrt(vx * vx + vy * vy);
+    if (nu > 0) {
+      ux /= nu;
+      uy /= nu;
+    } else {
+      ux = 1;
+      uy = 0;
+    }
+    if (nv > 0) {
+      vx /= nv;
+      vy /= nv;
+    } else {
+      vx = 0;
+      vy = 1;
+    }
+    const double sgnu[4] = {-1, 1, 1, -1}, sgnv[4] = {-1, -1, 1, 1};
+    pts.clear();
+    for (int j = 0; j < 4; ++j) {
+      pts.push_back({(float)(x[j] + delta * (sgnu[j] * ux + sgnv[j] * vx)),
+                     (float)(y[j] + delta * (sgnu[j] * uy + sgnv[j] * vy))});
+    }
+    std::vector<Pt> hull = convex_hull(pts);
+    if (hull.empty()) continue;
+    float rect[8];
+    float side = min_area_rect(hull, rect);
+    if (!std::isfinite(side) || side <= 0.f ||
+        (double)side < min_size + 2.0) {
+      continue;
+    }
+    // order_mini_box_points: stable x-sort, y-tiebreak within pairs
+    Pt p[4] = {{rect[0], rect[1]},
+               {rect[2], rect[3]},
+               {rect[4], rect[5]},
+               {rect[6], rect[7]}};
+    std::stable_sort(p, p + 4,
+                     [](const Pt& a, const Pt& b) { return a.x < b.x; });
+    int i1, i2, i3, i4;
+    if (p[1].y > p[0].y) {
+      i1 = 0;
+      i4 = 1;
+    } else {
+      i1 = 1;
+      i4 = 0;
+    }
+    if (p[3].y > p[2].y) {
+      i2 = 2;
+      i3 = 3;
+    } else {
+      i2 = 3;
+      i3 = 2;
+    }
+    const Pt ord[4] = {p[i1], p[i2], p[i3], p[i4]};
+    // scale in f32 (matches np f32·scalar), round half-even, clamp to
+    // dest size (db_bitmap.rs:67-75 — not size-1)
+    for (int j = 0; j < 4; ++j) {
+      float rx = nearbyintf(ord[j].x * (float)width_scale);
+      float ry = nearbyintf(ord[j].y * (float)height_scale);
+      o[2 * j] = std::min(std::max(rx, 0.f), (float)dest_w);
+      o[2 * j + 1] = std::min(std::max(ry, 0.f), (float)dest_h);
+    }
+    o[8] = 1.f;
+  }
+  PyBuffer_Release(&buf);
+  return out_b;
+}
+
 }  // namespace
 
 // page-upload analysis entry points (page_tiles.cpp)
@@ -323,6 +450,8 @@ namespace {
 static PyMethodDef Methods[] = {
     {"db_candidates", db_candidates, METH_VARARGS,
      "packed bitmap -> DB candidate quads"},
+    {"finalize_quads", finalize_quads, METH_VARARGS,
+     "batched unclip+minrect+order+scale of candidate mini-boxes"},
     {"analyze_pages", oar_analyze_pages, METH_VARARGS,
      "one-pass gray + per-tile min/occupancy analysis of HWC uint8 pages"},
     {"gather_tiles", oar_gather_tiles, METH_VARARGS,

@@ -174,11 +174,24 @@ class DBDetector:
         mask = None
         mode = None
         if sparse:
-            from ...ops.det_device import (det_tileable, row_occupancy_mask,
+            from ...ops.det_device import (DET_TILE_H, DET_TILE_W8,
+                                           det_tileable,
+                                           gather_occupied_tiles_packed,
+                                           row_occupancy_mask,
                                            tile_occupancy_mask)
 
             if det_tileable(packed.shape[1], packed.shape[2]):
-                mode, mask = "tile", tile_occupancy_mask(packed)
+                nt = ((packed.shape[1] // DET_TILE_H)
+                      * (packed.shape[2] // DET_TILE_W8))
+                k = self._predict_tile_budget(nt)
+                if k is not None:
+                    # speculative budget from recent occupancy history:
+                    # ONE d2h round-trip (count+idx+tiles in one payload)
+                    # instead of the mask-first path's three
+                    mode, mask = "tile_spec", gather_occupied_tiles_packed(
+                        packed, k=k)
+                else:
+                    mode, mask = "tile", tile_occupancy_mask(packed)
             else:
                 mode, mask = "row", row_occupancy_mask(packed)
         target = mask if sparse else packed
@@ -228,15 +241,43 @@ class DBDetector:
         fr = (1 / 32, 1 / 16, 1 / 8, 1 / 4, 3 / 8, 1 / 2)
         return tuple(sorted({max(1, math.ceil(nt * f)) for f in fr}))
 
+    # --- speculative tile-budget predictor (per bitmap tile count) ---
+    def _note_tile_kmax(self, nt: int, kmax: int):
+        """Track recent max occupied-tile counts: rises instantly (an
+        overflow must widen the next guess immediately), decays 10% per
+        batch so a one-off dense page doesn't pin the budget high."""
+        hist = getattr(self, "_tile_kmax", None)
+        if hist is None:
+            hist = self._tile_kmax = {}
+        prev = hist.get(nt)
+        hist[nt] = kmax if prev is None else max(kmax, int(prev * 0.9))
+
+    def _predict_tile_budget(self, nt: int):
+        """Smallest tile budget covering recent occupancy ×1.3 headroom;
+        None when there is no history yet (first sparse batch of this
+        shape → mask-first path, which seeds the history) or the page is
+        too dense for any budget to pay."""
+        prev = getattr(self, "_tile_kmax", {}).get(nt)
+        if prev is None:
+            return None
+        need = int(prev * 1.3) + 4
+        return next((bud for bud in self._tile_budgets(nt)
+                     if need <= bud), None)
+
     def _fetch_bitmap(self, packed, mask, mode) -> np.ndarray:
         """Bring the bit-packed bitmap to host. With ``mask`` set (sparse
-        mode, dispatch decided): read the tiny occupancy mask, gather
-        only occupied 16×32-px tiles (``mode="tile"``; per-row fallback
-        for non-tileable shapes) at the smallest sufficient budget, and
-        scatter into a zeroed buffer — bit-identical to the full fetch
-        (gather_occupied_* invariant). Dense batches fall back to the
-        full transfer. Every fetch feeds the runtime's d2h bandwidth/RTT
-        EMAs so the auto policy adapts as the link changes."""
+        mode, dispatch decided): ``mode="tile_spec"`` reads ONE
+        speculatively sized payload (count+idx+tiles — a single tunnel
+        RTT; budget from the occupancy history, full-fetch fallback on
+        overflow); ``mode="tile"`` reads the tiny occupancy mask first
+        and gathers occupied 16×32-px tiles at the smallest sufficient
+        budget (three RTTs — the first sparse batch of a shape, seeding
+        the history); ``mode="row"`` is the per-row fallback for
+        non-tileable shapes. All reassemble bit-identically to the full
+        fetch (gather_occupied_* invariant). Dense batches fall back to
+        the full transfer. Every fetch feeds the runtime's d2h
+        bandwidth/RTT EMAs so the auto policy adapts as the link
+        changes."""
         import time as _time
 
         rt = self.runtime
@@ -249,7 +290,32 @@ class DBDetector:
             if (self._sparse_count % 16 == 0
                     and rt.cfg.det_sparse_fetch == "auto"):
                 mask = None
-        if mask is not None and mode == "tile":
+        if mask is not None and mode == "tile_spec":
+            # speculative one-fetch payload (count+idx+tiles packed by
+            # gather_occupied_tiles_packed): unpack, or fall through to
+            # the full transfer when the budget guess overflowed
+            from ...ops.det_device import DET_TILE_H, DET_TILE_W8
+
+            b, out_h, w8 = packed.shape
+            nth, ntw = out_h // DET_TILE_H, w8 // DET_TILE_W8
+            nt = nth * ntw
+            tile_b = DET_TILE_H * DET_TILE_W8
+            t0 = _time.perf_counter()
+            arr = np.asarray(mask)            # (nb, 4 + k·(4+tile_b))
+            rt.note_d2h(arr.nbytes, _time.perf_counter() - t0)
+            k = (arr.shape[1] - 4) // (4 + tile_b)
+            counts = arr[:, :4].copy().view(np.int32)[:, 0]
+            kmax = int(counts.max())
+            self._note_tile_kmax(nt, kmax)
+            if kmax <= k:
+                idx = arr[:, 4:4 + 4 * k].copy().view(
+                    np.int32).reshape(b, k)
+                tiles = arr[:, 4 + 4 * k:].reshape(b, k, tile_b)
+                out_t = np.zeros((b, nt, tile_b), np.uint8)
+                np.put_along_axis(out_t, idx[:, :, None], tiles, axis=1)
+                return (out_t.reshape(b, nth, ntw, DET_TILE_H, DET_TILE_W8)
+                        .transpose(0, 1, 3, 2, 4).reshape(packed.shape))
+        elif mask is not None and mode == "tile":
             from ...ops.det_device import (DET_TILE_H, DET_TILE_W8,
                                            gather_occupied_tiles)
 
@@ -261,6 +327,7 @@ class DBDetector:
             nt = nth * ntw
             bits = np.unpackbits(mask_np, axis=-1, count=nt)
             kmax = int(bits.sum(axis=1).max())
+            self._note_tile_kmax(nt, kmax)
             k = next((bud for bud in self._tile_budgets(nt)
                       if kmax <= bud), None)
             if k is not None and 0 < k < nt:
@@ -398,20 +465,24 @@ class DBDetector:
                 scores = scores_fut.result()
 
             with stage_timer("det.finalize", k=k):
+                box_thresh = self.postprocess.cfg.box_thresh
                 ci = 0
                 for i, p in enumerate(plans):
-                    boxes, bscores = [], []
+                    # score filter first (finalize_quad order), then one
+                    # batched geometry pass over the page's survivors
+                    keep_minis, keep_scores = [], []
                     for _ in range(per_page_count[i]):
-                        mini_box = raw_minis[ci]
-                        out = self.postprocess.finalize_quad(
-                            mini_box, float(scores[ci]),
-                            p.src_w / float(p.dst_w),
-                            p.src_h / float(p.dst_h),
-                            p.src_w, p.src_h)
+                        s = float(scores[ci])
+                        if s >= box_thresh:
+                            keep_minis.append(raw_minis[ci])
+                            keep_scores.append(s)
                         ci += 1
-                        if out is not None:
-                            boxes.append(out[0])
-                            bscores.append(out[1])
+                    geoms = self.postprocess.finalize_quads_batch(
+                        keep_minis, p.src_w / float(p.dst_w),
+                        p.src_h / float(p.dst_h), p.src_w, p.src_h)
+                    boxes = [g for g in geoms if g is not None]
+                    bscores = [s for g, s in zip(geoms, keep_scores)
+                               if g is not None]
                     results[i] = (boxes, bscores)
         return results
 
@@ -435,15 +506,14 @@ class DBDetector:
         with stage_timer("det.finalize", k=k):
             ci = 0
             for i, p in enumerate(plans):
-                boxes, idxs = [], []
-                for _ in range(per_page_count[i]):
-                    got = self.postprocess.finalize_quad_geometry(
-                        raw_minis[ci], p.src_w / float(p.dst_w),
-                        p.src_h / float(p.dst_h), p.src_w, p.src_h)
-                    if got is not None:
-                        boxes.append(got)
-                        idxs.append(ci)
-                    ci += 1
+                n_i = per_page_count[i]
+                geoms = self.postprocess.finalize_quads_batch(
+                    raw_minis[ci:ci + n_i], p.src_w / float(p.dst_w),
+                    p.src_h / float(p.dst_h), p.src_w, p.src_h)
+                boxes = [g for g in geoms if g is not None]
+                idxs = [ci + j for j, g in enumerate(geoms)
+                        if g is not None]
+                ci += n_i
                 out.append((boxes, idxs))
         return out
 

@@ -86,6 +86,25 @@ def db_candidates(packed: np.ndarray, height: int, width: int,
             for t in out]
 
 
+def finalize_quads(minis: np.ndarray, unclip_ratio: float, min_size: float,
+                   width_scale: float, height_scale: float,
+                   dest_w: int, dest_h: int) -> Optional[np.ndarray]:
+    """Batched score-independent finalize of (N, 4, 2) f32 mini-boxes
+    (unclip → expand → re-min-area-rect → order → scale+round+clamp) →
+    (N, 9) f32: 8 ordered coords + valid flag. None when the native
+    module is unavailable or predates this entry point (caller falls
+    back to the per-quad Python path)."""
+    mod = _load()
+    if mod is None or not hasattr(mod, "finalize_quads"):
+        return None
+    minis = np.ascontiguousarray(minis, np.float32)
+    n = int(minis.shape[0])
+    out = mod.finalize_quads(minis.tobytes(), n, float(unclip_ratio),
+                             float(min_size), float(width_scale),
+                             float(height_scale), int(dest_w), int(dest_h))
+    return np.frombuffer(out, np.float32).reshape(n, 9)
+
+
 def _page_args(images):
     pages = tuple(np.ascontiguousarray(im, np.uint8) for im in images)
     hs = tuple(int(p.shape[0]) for p in pages)

@@ -161,6 +161,39 @@ def gather_occupied_tiles(packed: jax.Array, *, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
+def gather_occupied_tiles_packed(packed: jax.Array, *, k: int) -> jax.Array:
+    """One-fetch variant of :func:`gather_occupied_tiles` for
+    speculatively sized budgets: folds (count, idx, tiles) into a single
+    ``(B, 4 + k·(4+64))`` uint8 payload so the sparse det fetch costs ONE
+    device→host round-trip — the mask-first path pays three (mask, tiles,
+    idx), and on the tunnel each fetch costs a fixed ~30-40 ms RTT
+    regardless of size (docs/environment-variables.md). Layout per batch
+    element: bytes 0-3 = occupied-tile count (int32, host byte order via
+    bitcast — same convention the CTC transfer packing relies on,
+    ops/ctc.py pack_ctc_raw); then k int32 flat tile indices; then k
+    64-byte tiles. With count ≤ k, scattering reproduces the bitmap
+    bit-exactly (same invariant as gather_occupied_tiles); count > k
+    tells the host its budget guess overflowed → full-fetch fallback."""
+    b, h, w8 = packed.shape
+    nth, ntw = h // DET_TILE_H, w8 // DET_TILE_W8
+    nt = nth * ntw
+    tile_b = DET_TILE_H * DET_TILE_W8
+    t = (packed.reshape(b, nth, DET_TILE_H, ntw, DET_TILE_W8)
+         .transpose(0, 1, 3, 2, 4)
+         .reshape(b, nt, tile_b))
+    occ = jnp.any(t != 0, axis=-1)                  # (B, nt)
+    count = jnp.sum(occ, axis=-1).astype(jnp.int32)[:, None]    # (B, 1)
+    score = occ.astype(jnp.int32) * (2 * nt) - jnp.arange(
+        nt, dtype=jnp.int32)[None, :]
+    _, idx = jax.lax.top_k(score, k)                # occupied first, asc
+    tiles = jnp.take_along_axis(t, idx[:, :, None], axis=1)
+    cb = jax.lax.bitcast_convert_type(count, jnp.uint8).reshape(b, 4)
+    ib = jax.lax.bitcast_convert_type(
+        idx.astype(jnp.int32), jnp.uint8).reshape(b, 4 * k)
+    return jnp.concatenate([cb, ib, tiles.reshape(b, k * tile_b)], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
 def gather_occupied_rows(packed: jax.Array, *, k: int):
     """Gather the first ``k`` rows of each bitmap ordered
     occupied-rows-first (ascending row index within each class).

@@ -258,6 +258,30 @@ class DBPostProcess:
                                           height_scale, dest_w, dest_h)
         return None if box is None else (box, score)
 
+    def finalize_quads_batch(self, minis: List[np.ndarray],
+                             width_scale: float, height_scale: float,
+                             dest_w: int, dest_h: int
+                             ) -> List[Optional[np.ndarray]]:
+        """Batched :meth:`finalize_quad_geometry` over one page's
+        candidates. Native C++ fast path (native/db_candidates.cpp
+        finalize_quads — same formulas, same rotating-calipers min-rect
+        the native candidate pass uses, ~1 µs/quad vs ~300 µs of
+        per-quad Python/cv2 calls); per-quad Python fallback otherwise."""
+        if not minis:
+            return []
+        from .. import native as native_mod
+
+        out = native_mod.finalize_quads(
+            np.stack(minis).astype(np.float32, copy=False),
+            self.cfg.unclip_ratio, self.cfg.min_size,
+            width_scale, height_scale, dest_w, dest_h)
+        if out is None:
+            return [self.finalize_quad_geometry(
+                mb, width_scale, height_scale, dest_w, dest_h)
+                for mb in minis]
+        return [out[i, :8].reshape(4, 2).copy() if out[i, 8] > 0 else None
+                for i in range(len(minis))]
+
     def finalize_quad_geometry(self, mini_box: np.ndarray,
                                width_scale: float, height_scale: float,
                                dest_w: int, dest_h: int

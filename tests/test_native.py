@@ -100,6 +100,56 @@ def test_hole_contours_match_cv2_path():
                         nat[1][0][3] - nat[1][0][0]))
 
 
+def _random_minis(rng, n):
+    minis = []
+    for _ in range(n):
+        cx, cy = rng.uniform(20, 700), rng.uniform(20, 900)
+        w, h = rng.uniform(2, 400), rng.uniform(2, 40)
+        th = rng.uniform(-0.6, 0.6)
+        c, s = np.cos(th), np.sin(th)
+        base = np.array([[-w / 2, -h / 2], [w / 2, -h / 2],
+                         [w / 2, h / 2], [-w / 2, h / 2]])
+        rot = base @ np.array([[c, -s], [s, c]]).T + [cx, cy]
+        minis.append(order_mini_box_points(
+            rot.astype(np.float32)).astype(np.float32))
+    return minis
+
+
+def test_finalize_quads_matches_python(rng):
+    """Native batched finalize (unclip→expand→minrect→order→scale) vs
+    the per-quad Python/cv2 path: identical accept/reject decisions and
+    coordinates within the established native-vs-cv2 tolerance."""
+    pp = DBPostProcess(DBPostProcessConfig())
+    minis = _random_minis(rng, 200)
+    # degenerate candidates exercise the reject paths
+    minis.append(np.zeros((4, 2), np.float32))
+    minis.append(np.float32([[5, 5], [5.4, 5], [5.4, 5.2], [5, 5.2]]))
+    ws, hs, dw, dh = 1280 / 960.0, 960 / 736.0, 1280, 960
+    got = pp.finalize_quads_batch(minis, ws, hs, dw, dh)
+    for mb, g in zip(minis, got):
+        ref = pp.finalize_quad_geometry(mb, ws, hs, dw, dh)
+        assert (g is None) == (ref is None), mb
+        if ref is not None:
+            np.testing.assert_allclose(g, ref, atol=1.0)
+
+
+def test_finalize_quads_batch_empty_and_fallback(monkeypatch):
+    pp = DBPostProcess(DBPostProcessConfig())
+    assert pp.finalize_quads_batch([], 1.0, 1.0, 10, 10) == []
+    # native unavailable → per-quad Python fallback, same results
+    import oar_ocr_tpu.native as native_mod
+
+    minis = _random_minis(np.random.default_rng(3), 8)
+    ref = pp.finalize_quads_batch(minis, 1.5, 1.5, 2000, 2000)
+    monkeypatch.setattr(native_mod, "finalize_quads",
+                        lambda *a, **k: None)
+    fb = pp.finalize_quads_batch(minis, 1.5, 1.5, 2000, 2000)
+    for a, b in zip(ref, fb):
+        assert (a is None) == (b is None)
+        if a is not None:
+            np.testing.assert_allclose(a, b, atol=1.0)
+
+
 def test_truncation_order_is_raster():
     """max_candidates truncation keeps the earliest candidates in raster
     order, matching the fallback's enumeration."""

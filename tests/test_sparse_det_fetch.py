@@ -172,6 +172,131 @@ def test_dense_bitmap_falls_back_to_full(rng, monkeypatch):
     assert np.array_equal(out, np.asarray(packed_dev))
 
 
+def test_gather_tiles_packed_one_fetch(rng):
+    """The one-fetch payload (count+idx+tiles) reassembles bit-exactly
+    when the budget covers the occupancy, and its count field reports
+    the true occupied-tile count for overflow detection."""
+    from oar_ocr_tpu.ops.det_device import gather_occupied_tiles_packed
+
+    b, h, w = 2, 64, 256
+    nth, ntw = h // DET_TILE_H, (w // 8) // DET_TILE_W8
+    nt = nth * ntw
+    tile_b = DET_TILE_H * DET_TILE_W8
+    bitmap = np.zeros((b, h, w), np.uint8)
+    bitmap[0, 18:30, 40:200] = (rng.random((12, 160)) < 0.5)
+    bitmap[1, 0:10, 0:64] = 1
+    packed_dev = pack_bits(jnp.asarray(bitmap))
+    full = np.asarray(packed_dev)
+    true_occ = (full.reshape(b, nth, DET_TILE_H, ntw, DET_TILE_W8)
+                .any(axis=(2, 4)).reshape(b, -1).sum(axis=1))
+    for k in (int(true_occ.max()), nt // 2, nt):
+        arr = np.asarray(gather_occupied_tiles_packed(packed_dev, k=k))
+        assert arr.shape == (b, 4 + k * (4 + tile_b))
+        counts = arr[:, :4].copy().view(np.int32)[:, 0]
+        assert np.array_equal(counts, true_occ)
+        idx = arr[:, 4:4 + 4 * k].copy().view(np.int32).reshape(b, k)
+        tiles = arr[:, 4 + 4 * k:].reshape(b, k, tile_b)
+        out_t = np.zeros((b, nt, tile_b), np.uint8)
+        np.put_along_axis(out_t, idx[:, :, None], tiles, axis=1)
+        got = (out_t.reshape(b, nth, ntw, DET_TILE_H, DET_TILE_W8)
+               .transpose(0, 1, 3, 2, 4).reshape(full.shape))
+        assert np.array_equal(got, full), k
+
+
+def test_detector_fetch_tile_spec_and_overflow(rng):
+    """The speculative one-fetch path reassembles bit-exactly; an
+    under-sized budget overflows and falls back to the full transfer
+    (still exact) while raising the history for the next guess."""
+    from oar_ocr_tpu.models.detection.detector import DBDetector
+    from oar_ocr_tpu.ops.det_device import gather_occupied_tiles_packed
+
+    rt = Runtime(RuntimeConfig(det_sparse_fetch="on", use_mesh=False))
+    det = DBDetector.__new__(DBDetector)
+    det.runtime = rt
+    b, h, w = 2, 64, 256
+    nth, ntw = h // DET_TILE_H, (w // 8) // DET_TILE_W8
+    nt = nth * ntw
+    bitmap = np.zeros((b, h, w), np.uint8)
+    bitmap[:, 18:30, 40:200] = (rng.random((b, 12, 160)) < 0.5)
+    packed_dev = pack_bits(jnp.asarray(bitmap))
+    full = np.asarray(packed_dev)
+
+    # covering budget → one-fetch exact + history seeded with true kmax
+    k_ok = nt // 2
+    out = det._fetch_bitmap(
+        packed_dev, gather_occupied_tiles_packed(packed_dev, k=k_ok),
+        "tile_spec")
+    assert np.array_equal(out, full)
+    true_kmax = int((full.reshape(b, nth, DET_TILE_H, ntw, DET_TILE_W8)
+                     .any(axis=(2, 4)).reshape(b, -1).sum(axis=1)).max())
+    assert det._tile_kmax[nt] == true_kmax
+
+    # overflowing budget (k=1 < occupancy) → full-fetch fallback, exact
+    det2 = DBDetector.__new__(DBDetector)
+    det2.runtime = rt
+    out = det2._fetch_bitmap(
+        packed_dev, gather_occupied_tiles_packed(packed_dev, k=1),
+        "tile_spec")
+    assert np.array_equal(out, full)
+    assert det2._tile_kmax[nt] == true_kmax
+
+
+def test_tile_budget_predictor():
+    """No history → None (mask-first seeds it); history → smallest
+    budget covering kmax×1.3; dense history → None (no budget pays)."""
+    from oar_ocr_tpu.models.detection.detector import DBDetector
+
+    det = DBDetector.__new__(DBDetector)
+    nt = 128
+    assert det._predict_tile_budget(nt) is None
+    det._note_tile_kmax(nt, 8)
+    k = det._predict_tile_budget(nt)
+    assert k is not None and k >= int(8 * 1.3) + 4
+    assert k in det._tile_budgets(nt)
+    # history rises instantly on a denser batch...
+    det._note_tile_kmax(nt, 60)
+    assert det._tile_kmax[nt] == 60
+    # ...and too-dense history disables speculation (needs > nt/2)
+    det._note_tile_kmax(nt, 120)
+    assert det._predict_tile_budget(nt) is None
+    # decay: a one-off dense page doesn't pin the budget forever
+    for _ in range(40):
+        det._note_tile_kmax(nt, 4)
+    assert det._predict_tile_budget(nt) is not None
+
+
+def test_detector_sparse_spec_second_batch_matches(doc_image):
+    """End-to-end: the SECOND forced-sparse detect goes through the
+    speculative one-fetch path (history seeded by the first) and must
+    produce identical boxes/scores to the full fetch."""
+    from oar_ocr_tpu.pipelines.ocr import OAROCRBuilder
+    from oar_ocr_tpu.runtime.runtime import stack_padded
+
+    def run(mode, repeats):
+        rt = Runtime(RuntimeConfig(det_sparse_fetch=mode, use_mesh=False))
+        pipe = (OAROCRBuilder("general").with_runtime(rt)
+                .with_det_config(box_thresh=0.05, thresh=0.45).build())
+        det = pipe.detector
+        h, w = doc_image.shape[:2]
+        cfg = rt.cfg
+        pages = rt.put(stack_padded(
+            [doc_image], (cfg.det_side_buckets.bucket(h),
+                          cfg.det_side_buckets.bucket(w))))
+        outs = [det.detect(pages, [(h, w)]) for _ in range(repeats)]
+        return det, outs[-1]
+
+    _, full = run("off", 1)
+    det, sparse2 = run("on", 2)
+    # the second run must have had history → speculation engaged
+    assert getattr(det, "_tile_kmax", {}), "tile history never seeded"
+    fb, fs = full[0]
+    sb, ss = sparse2[0]
+    assert len(fb) == len(sb)
+    for a, b in zip(fb, sb):
+        assert np.allclose(a, b)
+    assert np.allclose(fs, ss)
+
+
 def test_detector_fetch_tile_sparse_partial(rng):
     """A partially occupied tileable bitmap goes through the tile-gather
     path inside _fetch_bitmap and reassembles bit-exactly."""
