@@ -15,7 +15,9 @@ Weights: the detector runs assets/bench_det.safetensors — the exact
 PP-OCRv5-mobile DB topology fitted to the synthetic text-block task
 (tools/train_bench_det.py), so detection yields realistic candidate
 counts (~17-20 regions/page at real scores). Recognition weights are
-random: its compute is shape-bound; the decoded text is meaningless.
+random with the CTC head biased toward blank (compute is shape-bound;
+the bias makes the argmax statistics — and therefore the kept-only d2h
+traffic — match trained recognizers); the decoded text is meaningless.
 
 Baseline: the reference's only published end-to-end number — PP-OCRv6
 tiny 34 ms/img ≈ 29.4 pages/s single-stream CPU (docs/FAQ.md:22;
@@ -89,6 +91,35 @@ def _load_det_params():
     return jax.tree.map(lambda a: np.asarray(a, np.float32), tree)
 
 
+def _blank_biased_rec_params():
+    """Random rec weights with the CTC head biased toward blank so the
+    OUTPUT distribution matches trained recognizers (CTC is peaky: most
+    timesteps argmax to blank, kept chars are a small fraction — the
+    distribution the kept-only rec transfer is designed around). The
+    compute is identical (same shapes, same FLOPs); only the argmax
+    statistics change, which otherwise MIS-represent the d2h traffic a
+    real deployment ships."""
+    from oar_ocr_tpu.models.recognition.svtr import SVTRRecognizer
+    from oar_ocr_tpu.ops.ctc import default_charset
+    from oar_ocr_tpu.runtime.runtime import init_params
+
+    vocab = 2 + len(default_charset())  # blank + charset + space
+    params = init_params(SVTRRecognizer(vocab_size=vocab), (1, 48, 64, 3))
+    params = {k: dict(v) if isinstance(v, dict) else v
+              for k, v in params.items()}
+    import jax
+
+    def bias_blank(path, leaf):
+        names = [str(getattr(k, "key", k)) for k in path]
+        if names[-2:] == ["fc", "bias"]:
+            leaf = np.asarray(leaf, np.float32).copy()
+            leaf[0] += 4.0          # blank wins ~85-95% of timesteps
+            return leaf
+        return np.asarray(leaf, np.float32)
+
+    return jax.tree_util.tree_map_with_path(bias_blank, params)
+
+
 def _device_flops(pipe, n_regions: int) -> float:
     """Analytic per-iteration device-FLOP estimate.
 
@@ -150,16 +181,20 @@ def main():
     # rec sub-batches merge into one d2h transfer (pipelines/ocr.py).
     pipe = (OAROCRBuilder("general")
             .with_det_params(_load_det_params())
+            .with_rec_params(_blank_biased_rec_params())
             .with_batch_sizes(image=8, region=64).build())
     pages_np = _make_pages(rng)
 
-    # warmup / compile — twice: the first predict seeds the link-bandwidth
+    # warmup / compile — three times: predict 1 seeds the link-bandwidth
     # EMAs from nothing, so the ADAPTIVE paths (tile-sparse det fetch,
-    # sparse page upload) only engage — and compile — on the next call;
-    # a single warmup left that compile inside the first timed iteration
-    # (the r3 "first-iteration cliff" residual after the idle-reconnect
-    # fixes)
+    # sparse page upload) only engage — and compile — on predict 2, and
+    # the one-RTT SPECULATIVE det fetch needs the occupancy history
+    # predict 2's mask-first pass seeds, so its gather program first
+    # compiles on predict 3 (each stage left a compile inside the first
+    # timed iteration when under-warmed — the r3 "first-iteration cliff"
+    # residual after the idle-reconnect fixes)
     res = pipe.predict(pages_np)
+    pipe.predict(pages_np)
     pipe.predict(pages_np)
     n_regions = sum(len(r.regions) for r in res)
     print(f"warmup: {n_regions} regions over {N_PAGES} pages",

@@ -168,12 +168,19 @@ class RuntimeConfig:
     # h2d bandwidth EMA threshold; "on"/"off" force it.
     page_upload: str = "auto"
     upload_sparse_bw_mbps: float = 150.0
+    # Kept-only rec CTC fetch on degraded d2h links (ops/ctc.py
+    # gather_kept_ctc): ship only the kept timesteps (count + columns +
+    # 6-byte entries) at a speculative budget instead of all T timesteps;
+    # overflow refetches the full packed array. Decode-lossless: the
+    # dictionary decoder only ever reads kept columns.
+    rec_kept_fetch: str = "auto"
 
     RULES = {
         "compute_dtype": Rule(choices=("bfloat16", "float32")),
         "param_dtype": Rule(choices=("bfloat16", "float32")),
         "output_dtype": Rule(choices=("bfloat16", "float32")),
         "det_sparse_fetch": Rule(choices=("auto", "on", "off")),
+        "rec_kept_fetch": Rule(choices=("auto", "on", "off")),
         "page_upload": Rule(choices=("auto", "on", "off")),
     }
 
@@ -194,6 +201,8 @@ class RuntimeConfig:
             updates["use_mesh"] = os.environ["OAR_TPU_MESH"] not in ("0", "")
         if os.environ.get("OAR_TPU_SPARSE_DET"):
             updates["det_sparse_fetch"] = os.environ["OAR_TPU_SPARSE_DET"]
+        if os.environ.get("OAR_TPU_KEPT_REC"):
+            updates["rec_kept_fetch"] = os.environ["OAR_TPU_KEPT_REC"]
         if os.environ.get("OAR_TPU_SPARSE_UPLOAD"):
             updates["page_upload"] = os.environ["OAR_TPU_SPARSE_UPLOAD"]
         if os.environ.get("OAR_TPU_TP"):

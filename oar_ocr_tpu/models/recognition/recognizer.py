@@ -354,6 +354,35 @@ class CTCRecognizer:
         return out
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _kept_budgets(t: int):
+        """Kept-count budgets for the kept-only CTC transfer, smallest
+        first; capped at t//2 (beyond that the payload stops paying)."""
+        fixed = (8, 16, 24, 32, 48, 64, 96, 128, 192, 256)
+        return tuple(sorted({b for b in fixed if b < t // 2} | {t // 2}))
+
+    def _note_kept_kmax(self, t: int, kmax: int):
+        """Kept-count history per timestep bucket: rises instantly,
+        decays 10%/merge (same discipline as the det tile predictor)."""
+        hist = getattr(self, "_kept_hist", None)
+        if hist is None:
+            hist = self._kept_hist = {}
+        prev = hist.get(t)
+        hist[t] = kmax if prev is None else max(kmax, int(prev * 0.9))
+
+    def _kept_budget(self, t: int) -> Optional[int]:
+        """Smallest budget covering recent kept counts ×1.3 headroom;
+        t//2 when there is no history yet; None when history says the
+        rows are too dense for any budget to pay (e.g. untrained
+        weights) — the sub-batch then rides the full transfer, and the
+        history keeps decaying from the full fetches so sparse content
+        re-enables the kept path."""
+        prev = getattr(self, "_kept_hist", {}).get(t)
+        if prev is None:
+            return max(1, t // 2)
+        need = int(prev * 1.3) + 2
+        return next((b for b in self._kept_budgets(t) if need <= b), None)
+
     def merge_dispatched(self, pending):
         """Fold every sub-batch of several dispatched chunks into ONE
         device array and start its single d2h copy.
@@ -362,32 +391,70 @@ class CTCRecognizer:
         came from :meth:`dispatch_chunk` (with ``start_copy=False``).
         The axon tunnel charges a fixed ~30-50 ms RTT per fetch
         (docs/environment-variables.md), so one predict-batch's rec
-        results must cross the link as one transfer: sub-batches are
-        sliced to their live rows, right-padded to the widest timestep
-        count (pad idx = −1 ⇒ keep=False) and concatenated on device.
-        Returns an opaque handle for :meth:`collect_merged`."""
+        results must cross the link as one transfer. Full mode: sub-
+        batches are sliced to their live rows, right-padded to the widest
+        timestep count (pad idx = −1 ⇒ keep=False) and concatenated on
+        device. Kept mode (``Runtime.rec_kept_active`` — degraded d2h
+        links): each sub-batch is first reduced on device to only its
+        KEPT timesteps at a speculatively budgeted width
+        (ops/ctc.gather_kept_ctc; the decoder reads nothing else), with a
+        per-sub full refetch when a budget guess overflows. Returns an
+        opaque handle for :meth:`collect_merged`."""
 
+        kept_mode = self.runtime.rec_kept_active()
         parts = []
         arrs = []
         row = 0
-        tmax = 0
-        for _tag, _plans, handle in pending:
-            for _pos, packed in handle:
-                tmax = max(tmax, packed.shape[1])
-        for tag, plans, handle in pending:
-            subs = []
-            for positions, packed in handle:
-                n = len(positions)
-                a = packed[:n]
-                if a.shape[1] < tmax:
-                    # 0xFF bytes ⇒ int16 idx −1 ⇒ keep False (pack_ctc_raw)
-                    a = jnp.pad(
-                        a, ((0, 0), (0, tmax - a.shape[1]), (0, 0)),
-                        constant_values=255)
-                arrs.append(a)
-                subs.append((positions, row, n, packed.shape[1]))
-                row += n
-            parts.append((tag, plans, subs))
+        if kept_mode:
+            from ...ops.ctc import gather_kept_ctc
+
+            wmax = 0
+            gathered = []
+            for tag, plans, handle in pending:
+                subs = []
+                for positions, packed in handle:
+                    n = len(positions)
+                    t = packed.shape[1]
+                    k = self._kept_budget(t)
+                    if k is None:
+                        # history says too dense → full transfer for
+                        # this sub-batch, flattened to ride the same
+                        # merged 2-D fetch
+                        g = packed[:n].reshape(n, 6 * t)
+                        subs.append((positions, row, n, t))
+                    else:
+                        g = gather_kept_ctc(packed, k=k)[:n]
+                        # keep the full packed array alive for the
+                        # (rare) overflow refetch
+                        subs.append((positions, row, n, t, k, packed))
+                    gathered.append(g)
+                    wmax = max(wmax, g.shape[1])
+                    row += n
+                parts.append((tag, plans, subs))
+            for g in gathered:
+                if g.shape[1] < wmax:
+                    g = jnp.pad(g, ((0, 0), (0, wmax - g.shape[1])))
+                arrs.append(g)
+        else:
+            tmax = 0
+            for _tag, _plans, handle in pending:
+                for _pos, packed in handle:
+                    tmax = max(tmax, packed.shape[1])
+            for tag, plans, handle in pending:
+                subs = []
+                for positions, packed in handle:
+                    n = len(positions)
+                    a = packed[:n]
+                    if a.shape[1] < tmax:
+                        # 0xFF bytes ⇒ int16 idx −1 ⇒ keep False
+                        # (pack_ctc_raw)
+                        a = jnp.pad(
+                            a, ((0, 0), (0, tmax - a.shape[1]), (0, 0)),
+                            constant_values=255)
+                    arrs.append(a)
+                    subs.append((positions, row, n, packed.shape[1]))
+                    row += n
+                parts.append((tag, plans, subs))
         if not arrs:
             return None, parts
         merged = arrs[0] if len(arrs) == 1 else jnp.concatenate(arrs, 0)
@@ -411,7 +478,9 @@ class CTCRecognizer:
     def collect_merged(self, merged_handle):
         """Join one merged transfer (in flight on the link thread) and
         dictionary-decode every chunk in it. Yields ``(tag, plans,
-        decoded)`` with ``decoded`` aligned to ``plans`` order."""
+        decoded)`` with ``decoded`` aligned to ``plans`` order. Kept-mode
+        subs (6-tuples) parse the kept-only payload and refetch the full
+        packed array when their budget overflowed."""
 
         fut, parts = merged_handle
         if fut is None:
@@ -422,14 +491,49 @@ class CTCRecognizer:
         for tag, plans, subs in parts:
             results: List = [None] * len(plans)
             with stage_timer("rec.decode", batch=len(plans)):
-                for positions, row, n, t in subs:
-                    sub = packed_np[row : row + n, :t]
-                    decoded = self.decoder.decode_with_positions(
-                        unpack_ctc_raw(sub))
+                for sub_t in subs:
+                    if len(sub_t) == 6:          # kept-only payload
+                        positions, row, n, t, k, packed_dev = sub_t
+                        raw = self._parse_kept(
+                            packed_np[row : row + n], n, t, k, packed_dev)
+                    elif packed_np.ndim == 2:    # kept-mode full sub
+                        positions, row, n, t = sub_t
+                        raw = unpack_ctc_raw(
+                            packed_np[row : row + n, : 6 * t]
+                            .reshape(n, t, 6))
+                        # keep decaying the history so sparse content
+                        # re-enables the kept path for this width
+                        self._note_kept_kmax(
+                            t, int(raw[2].sum(axis=1).max()) if n else 0)
+                    else:
+                        positions, row, n, t = sub_t
+                        raw = unpack_ctc_raw(packed_np[row : row + n, :t])
+                    decoded = self.decoder.decode_with_positions(raw)
                     for pos, d in zip(positions, decoded):
                         results[pos] = d
             out.append((tag, plans, results))
         return out
+
+    def _parse_kept(self, payload: np.ndarray, n: int, t: int, k: int,
+                    packed_dev):
+        """Unpack one kept-only sub-batch; on budget overflow refetch the
+        full packed array (one extra RTT — the history then rises so the
+        next merge budgets wider)."""
+        from ...ops.ctc import unpack_kept_ctc
+
+        payload = payload[:, : 4 + 8 * k]
+        counts = payload[:, :4].copy().view(np.int32)[:, 0]
+        self._note_kept_kmax(t, int(counts.max()) if n else 0)
+        raw = unpack_kept_ctc(payload, k, t)
+        if raw is not None:
+            return raw
+        import time as _time
+
+        with stage_timer("rec.kept_overflow", batch=n, t=t, k=k):
+            t0 = _time.perf_counter()
+            full = np.asarray(packed_dev)
+            self.runtime.note_d2h(full.nbytes, _time.perf_counter() - t0)
+        return unpack_ctc_raw(full[:n])
 
     def _dispatch_device_warp(self, pages_u8: jax.Array,
                               plans: Sequence[CropPlan]):

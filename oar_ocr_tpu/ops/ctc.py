@@ -68,6 +68,58 @@ def unpack_ctc_raw(packed: np.ndarray
     return idx, prob.reshape(shape), keep
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def gather_kept_ctc(packed: jax.Array, *, k: int) -> jax.Array:
+    """(B, T, 6) pack_ctc_raw output → (B, 4 + k·8) uint8 kept-only
+    payload: the dictionary decoder only ever reads KEPT columns
+    (CTCLabelDecoder.decode_with_positions — chars, mean-prob confidence
+    and word-box columns all come from ``nonzero(keep)``), and kept
+    timesteps are a small fraction of T (text length ≪ width/stride), so
+    shipping only them cuts the rec d2h payload several-fold on degraded
+    links. Layout per row: bytes 0-3 = kept count (int32); then k int16
+    column indices (kept-first, ascending); then k 6-byte packed entries.
+    count > k signals the host its budget guess overflowed → refetch the
+    full packed array. Decode-lossless by construction when count ≤ k."""
+    b, t, _ = packed.shape
+    idx16 = jax.lax.bitcast_convert_type(packed[..., :2], jnp.int16)
+    keep = idx16 >= 0                                # (B, T)
+    count = jnp.sum(keep, axis=-1).astype(jnp.int32)[:, None]
+    score = keep.astype(jnp.int32) * (2 * t) - jnp.arange(
+        t, dtype=jnp.int32)[None, :]
+    _, cols = jax.lax.top_k(score, k)                # kept first, asc
+    data = jnp.take_along_axis(packed, cols[:, :, None], axis=1)
+    cb = jax.lax.bitcast_convert_type(count, jnp.uint8).reshape(b, 4)
+    colb = jax.lax.bitcast_convert_type(
+        cols.astype(jnp.int16), jnp.uint8).reshape(b, 2 * k)
+    return jnp.concatenate([cb, colb, data.reshape(b, 6 * k)], axis=-1)
+
+
+def unpack_kept_ctc(payload: np.ndarray, k: int, t: int
+                    ) -> "Optional[tuple[np.ndarray, np.ndarray, np.ndarray]]":
+    """Host inverse of gather_kept_ctc → (indices, probs, keep) (B, t)
+    arrays identical to ``unpack_ctc_raw`` of the full transfer, or None
+    when any row's kept count overflowed the budget (caller refetches)."""
+    b = payload.shape[0]
+    counts = payload[:, :4].copy().view(np.int32)[:, 0]
+    if b and int(counts.max()) > k:
+        return None
+    cols = payload[:, 4:4 + 2 * k].copy().view(np.int16).reshape(b, k)
+    entries = np.ascontiguousarray(
+        payload[:, 4 + 2 * k:4 + 8 * k]).reshape(b, k, 6)
+    e_idx = entries[:, :, :2].copy().reshape(-1, 2).view(np.int16)[:, 0]
+    e_prob = entries[:, :, 2:].copy().reshape(-1, 4).view(np.float32)[:, 0]
+    valid = (np.arange(k)[None, :] < counts[:, None]).ravel()
+    rows = np.repeat(np.arange(b), k)[valid]
+    cpos = cols.ravel().astype(np.int64)[valid]
+    idx = np.zeros((b, t), np.int32)
+    prob = np.zeros((b, t), np.float32)
+    keep = np.zeros((b, t), bool)
+    idx[rows, cpos] = np.maximum(e_idx[valid], 0).astype(np.int32)
+    prob[rows, cpos] = e_prob[valid]
+    keep[rows, cpos] = True
+    return idx, prob, keep
+
+
 def argmax_last(x: jax.Array, axis: int = -1) -> jax.Array:
     """Argmax with last-max-wins tie-breaking (decode.rs:27-31)."""
     n = x.shape[axis]

@@ -287,6 +287,19 @@ class Runtime:
         return (self._d2h_mbps is not None
                 and self._d2h_mbps < self.cfg.det_sparse_bw_mbps)
 
+    def rec_kept_active(self) -> bool:
+        """Kept-only rec CTC fetch policy (config rec_kept_fetch): forced
+        on/off, or auto below the same bandwidth threshold as the sparse
+        det fetch. Mesh mode keeps the full fetch (the packed arrays are
+        sharded)."""
+        mode = self.cfg.rec_kept_fetch
+        if mode == "off" or self.mesh is not None:
+            return False
+        if mode == "on":
+            return True
+        return (self._d2h_mbps is not None
+                and self._d2h_mbps < self.cfg.det_sparse_bw_mbps)
+
     @classmethod
     def default(cls) -> "Runtime":
         with cls._lock:

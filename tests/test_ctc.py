@@ -102,3 +102,54 @@ def test_decoder_rejects_oversized_charset():
 
     with pytest.raises(InvalidInputError):
         CTCLabelDecoder([chr(i) for i in range(40000)])
+
+
+def test_gather_kept_ctc_round_trip(rng):
+    """Kept-only payload (count + cols + entries) reconstructs (idx,
+    probs, keep) identically to the full unpack wherever keep is set —
+    the only positions the decoder reads — and reports overflow."""
+    from oar_ocr_tpu.ops.ctc import (gather_kept_ctc, pack_ctc_raw,
+                                     unpack_ctc_raw, unpack_kept_ctc)
+    from oar_ocr_tpu.ops.ctc import CTCRaw
+
+    b, t, v = 5, 64, 97
+    probs = rng.random((b, t, v)).astype(np.float32)
+    # sparsify: most steps blank (realistic text density)
+    blanky = rng.random((b, t)) < 0.8
+    probs[blanky, 0] = 2.0
+    raw = ctc_greedy_decode(jnp.asarray(probs))
+    packed = pack_ctc_raw(raw)
+    fi, fp, fk = unpack_ctc_raw(np.asarray(packed))
+    kmax = int(fk.sum(axis=1).max())
+    for k in (kmax, kmax + 3, t // 2):
+        if kmax > k:
+            continue
+        payload = np.asarray(gather_kept_ctc(packed, k=k))
+        assert payload.shape == (b, 4 + 8 * k)
+        got = unpack_kept_ctc(payload, k, t)
+        assert got is not None, k
+        gi, gp, gk = got
+        np.testing.assert_array_equal(gk, fk)
+        np.testing.assert_array_equal(gi[fk], fi[fk])
+        np.testing.assert_array_equal(gp[fk], fp[fk])
+    if kmax > 1:
+        payload = np.asarray(gather_kept_ctc(packed, k=kmax - 1))
+        assert unpack_kept_ctc(payload, kmax - 1, t) is None  # overflow
+
+
+def test_kept_budget_predictor():
+    from oar_ocr_tpu.models.recognition.recognizer import CTCRecognizer
+
+    rec = CTCRecognizer.__new__(CTCRecognizer)
+    t = 320
+    assert rec._kept_budget(t) == t // 2          # no history → safe half
+    rec._note_kept_kmax(t, 12)
+    k = rec._kept_budget(t)
+    assert k in rec._kept_budgets(t) and k >= int(12 * 1.3) + 2
+    rec._note_kept_kmax(t, 200)                   # rises instantly
+    assert rec._kept_hist[t] == 200
+    # too dense for any budget → None (sub rides the full transfer)
+    assert rec._kept_budget(t) is None
+    for _ in range(60):                           # decays back down
+        rec._note_kept_kmax(t, 10)
+    assert rec._kept_budget(t) is not None and rec._kept_budget(t) < 64
