@@ -41,6 +41,10 @@ from ...runtime.runtime import Runtime, init_params, stack_padded
 from ...utils.tracing import stage_timer
 from .db import DBNet
 
+import logging
+
+_LOG = logging.getLogger(__name__)
+
 # candidate-count buckets for the device scoring call
 SCORE_BUCKETS = BucketTable((32, 128, 512))
 _SCORE_CHUNK = 8
@@ -174,26 +178,35 @@ class DBDetector:
         mask = None
         mode = None
         if sparse:
-            from ...ops.det_device import (DET_TILE_H, DET_TILE_W8,
-                                           det_tileable,
-                                           gather_occupied_tiles_packed,
-                                           row_occupancy_mask,
-                                           tile_occupancy_mask)
+            try:
+                from ...ops.det_device import (
+                    DET_TILE_H, DET_TILE_W8, det_tileable,
+                    gather_occupied_tiles_packed, row_occupancy_mask,
+                    tile_occupancy_mask)
 
-            if det_tileable(packed.shape[1], packed.shape[2]):
-                nt = ((packed.shape[1] // DET_TILE_H)
-                      * (packed.shape[2] // DET_TILE_W8))
-                k = self._predict_tile_budget(nt)
-                if k is not None:
-                    # speculative budget from recent occupancy history:
-                    # ONE d2h round-trip (count+idx+tiles in one payload)
-                    # instead of the mask-first path's three
-                    mode, mask = "tile_spec", gather_occupied_tiles_packed(
-                        packed, k=k)
+                if det_tileable(packed.shape[1], packed.shape[2]):
+                    nt = ((packed.shape[1] // DET_TILE_H)
+                          * (packed.shape[2] // DET_TILE_W8))
+                    k = self._predict_tile_budget(nt)
+                    if k is not None:
+                        # speculative budget from recent occupancy
+                        # history: ONE d2h round-trip (count+idx+tiles
+                        # in one payload) instead of the mask-first
+                        # path's three
+                        mode, mask = ("tile_spec",
+                                      gather_occupied_tiles_packed(
+                                          packed, k=k))
+                    else:
+                        mode, mask = "tile", tile_occupancy_mask(packed)
                 else:
-                    mode, mask = "tile", tile_occupancy_mask(packed)
-            else:
-                mode, mask = "row", row_occupancy_mask(packed)
+                    mode, mask = "row", row_occupancy_mask(packed)
+            except Exception as e:  # pragma: no cover - tunnel flake
+                # a transient remote-compile failure on a first-seen
+                # budget shape must not kill the predict — the full
+                # transfer is always valid
+                _LOG.warning(
+                    "sparse det dispatch failed (%s); full transfer", e)
+                sparse, mode, mask = False, None, None
         target = mask if sparse else packed
         try:
             target.copy_to_host_async()
@@ -290,7 +303,32 @@ class DBDetector:
             if (self._sparse_count % 16 == 0
                     and rt.cfg.det_sparse_fetch == "auto"):
                 mask = None
-        if mask is not None and mode == "tile_spec":
+        if mask is not None:
+            # any failure inside a budgeted gather (typically a
+            # transient remote-compile tunnel drop on a first-seen
+            # budget shape) degrades to the always-valid full transfer
+            # below instead of killing the predict
+            try:
+                out = self._fetch_bitmap_sparse(packed, mask, mode)
+                if out is not None:
+                    return out
+            except Exception as e:  # pragma: no cover - tunnel flake
+                _LOG.warning(
+                    "sparse det fetch (%s) failed (%s); full transfer",
+                    mode, e)
+        t0 = _time.perf_counter()
+        packed_np = np.asarray(packed)
+        rt.note_d2h(packed_np.nbytes, _time.perf_counter() - t0)
+        return packed_np
+
+    def _fetch_bitmap_sparse(self, packed, mask, mode):
+        """The three sparse reassembly paths of :meth:`_fetch_bitmap`;
+        returns ``None`` when the budget guess doesn't pay (dense page /
+        overflow) so the caller runs the full transfer."""
+        import time as _time
+
+        rt = self.runtime
+        if mode == "tile_spec":
             # speculative one-fetch payload (count+idx+tiles packed by
             # gather_occupied_tiles_packed): unpack, or fall through to
             # the full transfer when the budget guess overflowed
@@ -315,7 +353,7 @@ class DBDetector:
                 np.put_along_axis(out_t, idx[:, :, None], tiles, axis=1)
                 return (out_t.reshape(b, nth, ntw, DET_TILE_H, DET_TILE_W8)
                         .transpose(0, 1, 3, 2, 4).reshape(packed.shape))
-        elif mask is not None and mode == "tile":
+        elif mode == "tile":
             from ...ops.det_device import (DET_TILE_H, DET_TILE_W8,
                                            gather_occupied_tiles)
 
@@ -341,7 +379,7 @@ class DBDetector:
                 np.put_along_axis(out_t, idx[:, :, None], tiles, axis=1)
                 return (out_t.reshape(b, nth, ntw, DET_TILE_H, DET_TILE_W8)
                         .transpose(0, 1, 3, 2, 4).reshape(packed.shape))
-        elif mask is not None:
+        else:
             t0 = _time.perf_counter()
             mask_np = np.asarray(mask)               # (nb, out_h/8)
             rt.note_rtt(_time.perf_counter() - t0)
@@ -361,10 +399,7 @@ class DBDetector:
                 out = np.zeros(packed.shape, np.uint8)
                 np.put_along_axis(out, idx[:, :, None], rows, axis=1)
                 return out
-        t0 = _time.perf_counter()
-        packed_np = np.asarray(packed)
-        rt.note_d2h(packed_np.nbytes, _time.perf_counter() - t0)
-        return packed_np
+        return None
 
     def collect_candidates(self, handle):
         """Phase 1 of collect: join the link thread's (already running)

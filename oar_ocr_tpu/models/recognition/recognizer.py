@@ -10,6 +10,7 @@ receives three (B, T) arrays to map through the dictionary.
 
 from __future__ import annotations
 
+import logging
 import math
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
@@ -24,6 +25,8 @@ from ...ops.ctc import (CTCLabelDecoder, ctc_greedy_decode, default_charset,
 from ...runtime.runtime import Runtime, init_params
 from ...utils.tracing import stage_timer
 from .svtr import SVTRRecognizer
+
+_LOG = logging.getLogger(__name__)
 
 REC_H = REC_IMAGE_SHAPE[1]  # 48
 
@@ -401,66 +404,88 @@ class CTCRecognizer:
         per-sub full refetch when a budget guess overflows. Returns an
         opaque handle for :meth:`collect_merged`."""
 
-        kept_mode = self.runtime.rec_kept_active()
-        parts = []
-        arrs = []
-        row = 0
-        if kept_mode:
-            from ...ops.ctc import gather_kept_ctc
-
-            wmax = 0
-            gathered = []
-            for tag, plans, handle in pending:
-                subs = []
-                for positions, packed in handle:
-                    n = len(positions)
-                    t = packed.shape[1]
-                    k = self._kept_budget(t)
-                    if k is None:
-                        # history says too dense → full transfer for
-                        # this sub-batch, flattened to ride the same
-                        # merged 2-D fetch
-                        g = packed[:n].reshape(n, 6 * t)
-                        subs.append((positions, row, n, t))
-                    else:
-                        g = gather_kept_ctc(packed, k=k)[:n]
-                        # keep the full packed array alive for the
-                        # (rare) overflow refetch
-                        subs.append((positions, row, n, t, k, packed))
-                    gathered.append(g)
-                    wmax = max(wmax, g.shape[1])
-                    row += n
-                parts.append((tag, plans, subs))
-            for g in gathered:
-                if g.shape[1] < wmax:
-                    g = jnp.pad(g, ((0, 0), (0, wmax - g.shape[1])))
-                arrs.append(g)
-        else:
-            tmax = 0
-            for _tag, _plans, handle in pending:
-                for _pos, packed in handle:
-                    tmax = max(tmax, packed.shape[1])
-            for tag, plans, handle in pending:
-                subs = []
-                for positions, packed in handle:
-                    n = len(positions)
-                    a = packed[:n]
-                    if a.shape[1] < tmax:
-                        # 0xFF bytes ⇒ int16 idx −1 ⇒ keep False
-                        # (pack_ctc_raw)
-                        a = jnp.pad(
-                            a, ((0, 0), (0, tmax - a.shape[1]), (0, 0)),
-                            constant_values=255)
-                    arrs.append(a)
-                    subs.append((positions, row, n, packed.shape[1]))
-                    row += n
-                parts.append((tag, plans, subs))
+        arrs = parts = None
+        if self.runtime.rec_kept_active():
+            try:
+                arrs, parts = self._merge_kept(pending)
+            except Exception as e:  # pragma: no cover - tunnel flake
+                # a transient remote-compile failure on a first-seen
+                # kept budget must not kill the predict — the full
+                # merge is always valid
+                _LOG.warning(
+                    "kept-CTC merge failed (%s); full transfer", e)
+                arrs = parts = None
+        if parts is None:
+            arrs, parts = self._merge_full(pending)
         if not arrs:
             return None, parts
         merged = arrs[0] if len(arrs) == 1 else jnp.concatenate(arrs, 0)
         _copy_async(merged)
         fut = self.runtime.io_submit(self._fetch_merged, merged)
         return fut, parts
+
+    def _merge_kept(self, pending):
+        """Kept-mode half of :meth:`merge_dispatched`: reduce each
+        sub-batch on device to only its KEPT timesteps at a budgeted
+        width (2-D payload)."""
+        from ...ops.ctc import gather_kept_ctc
+
+        parts, arrs = [], []
+        row = 0
+        wmax = 0
+        gathered = []
+        for tag, plans, handle in pending:
+            subs = []
+            for positions, packed in handle:
+                n = len(positions)
+                t = packed.shape[1]
+                k = self._kept_budget(t)
+                if k is None:
+                    # history says too dense → full transfer for
+                    # this sub-batch, flattened to ride the same
+                    # merged 2-D fetch
+                    g = packed[:n].reshape(n, 6 * t)
+                    subs.append((positions, row, n, t))
+                else:
+                    g = gather_kept_ctc(packed, k=k)[:n]
+                    # keep the full packed array alive for the
+                    # (rare) overflow refetch
+                    subs.append((positions, row, n, t, k, packed))
+                gathered.append(g)
+                wmax = max(wmax, g.shape[1])
+                row += n
+            parts.append((tag, plans, subs))
+        for g in gathered:
+            if g.shape[1] < wmax:
+                g = jnp.pad(g, ((0, 0), (0, wmax - g.shape[1])))
+            arrs.append(g)
+        return arrs, parts
+
+    def _merge_full(self, pending):
+        """Full-mode half of :meth:`merge_dispatched`: every sub-batch
+        right-padded to the widest timestep count (3-D payload)."""
+        parts, arrs = [], []
+        row = 0
+        tmax = 0
+        for _tag, _plans, handle in pending:
+            for _pos, packed in handle:
+                tmax = max(tmax, packed.shape[1])
+        for tag, plans, handle in pending:
+            subs = []
+            for positions, packed in handle:
+                n = len(positions)
+                a = packed[:n]
+                if a.shape[1] < tmax:
+                    # 0xFF bytes ⇒ int16 idx −1 ⇒ keep False
+                    # (pack_ctc_raw)
+                    a = jnp.pad(
+                        a, ((0, 0), (0, tmax - a.shape[1]), (0, 0)),
+                        constant_values=255)
+                arrs.append(a)
+                subs.append((positions, row, n, packed.shape[1]))
+                row += n
+            parts.append((tag, plans, subs))
+        return arrs, parts
 
     def _fetch_merged(self, merged) -> np.ndarray:
         """Link-thread fetch of one merged rec transfer; feeds the d2h

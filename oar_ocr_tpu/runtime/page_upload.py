@@ -31,11 +31,14 @@ economics, same family as the sparse det fetch.
 
 from __future__ import annotations
 
+import logging
 import math
 import time
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
+
+_LOG = logging.getLogger(__name__)
 
 TILE = 32
 # engage sparse only when it beats the best dense option by this factor
@@ -157,13 +160,22 @@ def upload_pages(runtime, images: Sequence[np.ndarray],
             plan = _analyze(batch)
     best_dense = dense_bytes // 3 if gray else dense_bytes
     if plan is not None and plan[3] < _WIN_RATIO * best_dense:
-        return _put_sparse(runtime, plan, gray)
+        try:
+            return _put_sparse(runtime, plan, gray)
+        except Exception as e:  # pragma: no cover - tunnel flake
+            # a transient remote-compile failure on a first-seen tile
+            # bucket must not kill the predict — dense is always valid
+            _LOG.warning("sparse page upload failed (%s); dense", e)
     if batch is None:                      # native path defers stacking
         from .. import native as native_mod
 
         batch = native_mod.stack_pages(images, h, w, gray)
     if gray:
-        return _put_gray(runtime, batch)
+        try:
+            return _put_gray(runtime, batch)
+        except Exception as e:  # pragma: no cover - tunnel flake
+            _LOG.warning("gray page upload failed (%s); dense", e)
+            batch = np.repeat(batch, 3, axis=-1)   # (B,H,W,1) → RGB
     return _put_dense(runtime, batch)
 
 

@@ -126,8 +126,11 @@ class Runtime:
     def io_submit(self, fn, *args, **kwargs):
         """Run ``fn`` on the link thread; returns a ``Future``. Use for
         every blocking device→host fetch so the transfer (which releases
-        the GIL) overlaps main-thread host work. Exceptions surface at
-        ``Future.result()`` — callers keep their fallback ladders."""
+        the GIL) overlaps main-thread host work. A fetch that dies on a
+        transient tunnel read error is retried once (the device array is
+        still alive, so a second read is valid); a second failure
+        surfaces at ``Future.result()`` — callers keep their fallback
+        ladders."""
         ex = self._io
         if ex is None:
             from concurrent.futures import ThreadPoolExecutor
@@ -135,7 +138,20 @@ class Runtime:
             ex = ThreadPoolExecutor(max_workers=1,
                                     thread_name_prefix="oar-link")
             self._io = ex
-        return ex.submit(fn, *args, **kwargs)
+
+        def run_with_retry():
+            try:
+                return fn(*args, **kwargs)
+            except Exception as e:  # pragma: no cover - tunnel flake
+                import logging
+                import time as _time
+
+                logging.getLogger(__name__).warning(
+                    "link-thread fetch failed (%s); retrying once", e)
+                _time.sleep(0.05)
+                return fn(*args, **kwargs)
+
+        return ex.submit(run_with_retry)
 
     KEEPALIVE_IDLE_S = 8.0
 

@@ -89,3 +89,22 @@ def test_kept_auto_policy():
     assert not Runtime(
         RuntimeConfig(rec_kept_fetch="off", use_mesh=False)
     ).rec_kept_active()
+
+
+def test_kept_gather_failure_degrades_to_full(det_params, rng,
+                                              monkeypatch):
+    """A transient device/compile failure inside the kept gather
+    (observed: a remote-compile tunnel drop on a first-seen budget
+    shape) must degrade to the full merge, not kill the predict."""
+    import oar_ocr_tpu.ops.ctc as ctc_mod
+
+    pages = [_page(rng)]
+    full = [_key(r) for r in _build(det_params, "off").predict(pages)]
+    pipe = _build(det_params, "on")
+
+    def boom(*a, **k):
+        raise RuntimeError("remote_compile: response body closed")
+
+    monkeypatch.setattr(ctc_mod, "gather_kept_ctc", boom)
+    kept = [_key(r) for r in pipe.predict(pages)]
+    assert kept == full

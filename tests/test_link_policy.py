@@ -100,3 +100,28 @@ def test_no_keepalive_thread_on_cpu():
     Runtime(RuntimeConfig())
     names = [t.name for t in threading.enumerate()]
     assert "oar-link-keepalive" not in names
+
+
+def test_io_submit_retries_transient_failure(rt):
+    """One transient tunnel read error on the link thread is retried
+    (the device array is still alive); the retry's value surfaces."""
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("read body: response body closed")
+        return 42
+
+    assert rt.io_submit(flaky).result() == 42
+    assert len(calls) == 2
+
+
+def test_io_submit_double_failure_surfaces(rt):
+    """A persistent failure still surfaces at Future.result() so the
+    callers' fallback ladders engage."""
+    def dead():
+        raise RuntimeError("link down")
+
+    with pytest.raises(RuntimeError, match="link down"):
+        rt.io_submit(dead).result()

@@ -312,3 +312,65 @@ def test_detector_fetch_tile_sparse_partial(rng):
     out = det._fetch_bitmap(packed_dev, tile_occupancy_mask(packed_dev),
                             "tile")
     assert np.array_equal(out, np.asarray(packed_dev))
+
+
+def test_sparse_dispatch_failure_degrades_to_full(doc_image, monkeypatch):
+    """A transient device/compile failure while building the sparse
+    payload at dispatch (observed: a remote-compile tunnel drop on a
+    first-seen budget shape) must degrade to the full transfer, not
+    kill the predict."""
+    import oar_ocr_tpu.ops.det_device as dd
+    from oar_ocr_tpu.pipelines.ocr import OAROCRBuilder
+    from oar_ocr_tpu.runtime.runtime import stack_padded
+
+    def boxes(mode, sabotage):
+        rt = Runtime(RuntimeConfig(det_sparse_fetch=mode, use_mesh=False))
+        pipe = (OAROCRBuilder("general").with_runtime(rt)
+                .with_det_config(box_thresh=0.05, thresh=0.45).build())
+        if sabotage:
+            def boom(*a, **k):
+                raise RuntimeError("remote_compile: body closed")
+
+            monkeypatch.setattr(dd, "tile_occupancy_mask", boom)
+            monkeypatch.setattr(dd, "gather_occupied_tiles_packed", boom)
+            monkeypatch.setattr(dd, "row_occupancy_mask", boom)
+        det = pipe.detector
+        h, w = doc_image.shape[:2]
+        cfg = rt.cfg
+        pages = rt.put(stack_padded(
+            [doc_image], (cfg.det_side_buckets.bucket(h),
+                          cfg.det_side_buckets.bucket(w))))
+        out = det.detect(pages, [(h, w)])
+        monkeypatch.undo()
+        return out
+
+    full = boxes("off", sabotage=False)
+    degraded = boxes("on", sabotage=True)
+    (fb, fs), (sb, ss) = full[0], degraded[0]
+    assert len(fb) == len(sb) and len(fb) > 0
+    for a, b in zip(fb, sb):
+        assert np.allclose(a, b)
+    assert np.allclose(fs, ss)
+
+
+def test_sparse_fetch_failure_degrades_to_full(rng, monkeypatch):
+    """A failure inside the budgeted gather at fetch time (mode "tile",
+    link thread) falls through to the bit-exact full transfer."""
+    import oar_ocr_tpu.ops.det_device as dd
+    from oar_ocr_tpu.models.detection.detector import DBDetector
+
+    rt = Runtime(RuntimeConfig(det_sparse_fetch="on", use_mesh=False))
+    det = DBDetector.__new__(DBDetector)
+    det.runtime = rt
+    b, h, w = 2, 64, 256
+    bitmap = np.zeros((b, h, w), np.uint8)
+    bitmap[:, 18:30, 40:200] = (rng.random((b, 12, 160)) < 0.5)
+    packed_dev = pack_bits(jnp.asarray(bitmap))
+    mask = tile_occupancy_mask(packed_dev)
+
+    def boom(*a, **k):
+        raise RuntimeError("remote_compile: body closed")
+
+    monkeypatch.setattr(dd, "gather_occupied_tiles", boom)
+    out = det._fetch_bitmap(packed_dev, mask, "tile")
+    assert np.array_equal(out, np.asarray(packed_dev))

@@ -154,3 +154,26 @@ def test_predict_sparse_matches_dense(rng):
             assert np.allclose(rd.box, rs.box)
             assert rd.text == rs.text
             assert rd.confidence == pytest.approx(rs.confidence)
+
+
+def test_sparse_upload_failure_degrades_to_dense(monkeypatch):
+    """A transient device/compile failure inside the sparse or gray
+    upload programs (observed: a remote-compile tunnel drop) must
+    degrade to the dense upload, not kill the predict."""
+    import oar_ocr_tpu.runtime.page_upload as pu
+    from oar_ocr_tpu.config.runtime import RuntimeConfig
+    from oar_ocr_tpu.runtime.runtime import Runtime, stack_padded
+
+    rt = Runtime(RuntimeConfig(page_upload="on", use_mesh=False))
+    rng = np.random.default_rng(3)
+    pages = [np.full((64, 96, 3), 250, np.uint8) for _ in range(2)]
+    pages[0][10:20, 10:40] = rng.integers(0, 60, (10, 30, 3))
+    expect = stack_padded(pages, (64, 96))
+
+    def boom(*a, **k):
+        raise RuntimeError("remote_compile: body closed")
+
+    monkeypatch.setattr(pu, "_put_sparse", boom)
+    monkeypatch.setattr(pu, "_put_gray", boom)
+    out = pu.upload_pages(rt, pages, (64, 96))
+    assert np.array_equal(np.asarray(out), expect)
