@@ -93,6 +93,31 @@ class DBDetector:
             out_spec=("replicated", "data"))
         self._scores = jax.jit(
             functools.partial(quad_scores, chunk=_SCORE_CHUNK))
+        # consecutive sparse-path failure escalation (ADVICE r4): one-off
+        # tunnel flakes degrade per-batch with a warning; N in a row means
+        # the sparse path itself is broken → error-level log + session
+        # disable, so a real regression doesn't hide as degraded
+        # throughput behind per-batch warnings.
+        self._sparse_fail_streak = 0
+        self._sparse_disabled = False
+
+    SPARSE_FAIL_DISABLE_AFTER = 5
+
+    def _note_sparse_failure(self, where: str, exc: Exception) -> None:
+        self.runtime.note_degrade(f"sparse_det_{where}")
+        self._sparse_fail_streak = getattr(
+            self, "_sparse_fail_streak", 0) + 1
+        if self._sparse_fail_streak >= self.SPARSE_FAIL_DISABLE_AFTER:
+            self._sparse_disabled = True
+            _LOG.error(
+                "sparse det %s failed %d consecutive times (%s); "
+                "disabling the sparse det fetch for this session — "
+                "this looks like a persistent regression, not a "
+                "transient tunnel flake", where,
+                self._sparse_fail_streak, exc)
+        else:
+            _LOG.warning("sparse det %s failed (%s); full transfer",
+                         where, exc)
 
     def _step_impl(self, params, pages_u8, src_h, src_w, dst_h, dst_w,
                    thresh, *, out_h: int, out_w: int, dilate: bool):
@@ -172,7 +197,8 @@ class DBDetector:
         # per-row occupancy mask now and gather occupied rows at collect;
         # otherwise start the full ~1 MB bit-packed transfer so it rides
         # the tunnel while the next batch computes.
-        sparse = (self.runtime.det_sparse_active()
+        sparse = (not getattr(self, "_sparse_disabled", False)
+                  and self.runtime.det_sparse_active()
                   and pp_cfg.box_type != BoxType.POLY
                   and pp_cfg.score_mode != ScoreMode.SLOW)
         mask = None
@@ -204,8 +230,7 @@ class DBDetector:
                 # a transient remote-compile failure on a first-seen
                 # budget shape must not kill the predict — the full
                 # transfer is always valid
-                _LOG.warning(
-                    "sparse det dispatch failed (%s); full transfer", e)
+                self._note_sparse_failure("dispatch", e)
                 sparse, mode, mask = False, None, None
         target = mask if sparse else packed
         try:
@@ -302,6 +327,7 @@ class DBDetector:
             self._sparse_count = getattr(self, "_sparse_count", 0) + 1
             if (self._sparse_count % 16 == 0
                     and rt.cfg.det_sparse_fetch == "auto"):
+                rt.note_recovery("det_full")
                 mask = None
         if mask is not None:
             # any failure inside a budgeted gather (typically a
@@ -311,11 +337,10 @@ class DBDetector:
             try:
                 out = self._fetch_bitmap_sparse(packed, mask, mode)
                 if out is not None:
+                    self._sparse_fail_streak = 0
                     return out
             except Exception as e:  # pragma: no cover - tunnel flake
-                _LOG.warning(
-                    "sparse det fetch (%s) failed (%s); full transfer",
-                    mode, e)
+                self._note_sparse_failure(f"fetch[{mode}]", e)
         t0 = _time.perf_counter()
         packed_np = np.asarray(packed)
         rt.note_d2h(packed_np.nbytes, _time.perf_counter() - t0)

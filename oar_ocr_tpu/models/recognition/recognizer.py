@@ -412,6 +412,7 @@ class CTCRecognizer:
                 # a transient remote-compile failure on a first-seen
                 # kept budget must not kill the predict — the full
                 # merge is always valid
+                self.runtime.note_degrade("kept_rec_merge")
                 _LOG.warning(
                     "kept-CTC merge failed (%s); full transfer", e)
                 arrs = parts = None
@@ -554,6 +555,7 @@ class CTCRecognizer:
             return raw
         import time as _time
 
+        self.runtime.note_degrade("kept_rec_overflow")
         with stage_timer("rec.kept_overflow", batch=n, t=t, k=k):
             t0 = _time.perf_counter()
             full = np.asarray(packed_dev)

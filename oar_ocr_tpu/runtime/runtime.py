@@ -109,6 +109,15 @@ class Runtime:
         self.d2h_fetch_count = 0
         self.h2d_bytes_total = 0
         self.h2d_put_count = 0
+        # adaptive-path health accounting (bench flake itemization):
+        # degrade_counts — unplanned full-transfer fallbacks (tunnel
+        # flakes, compile drops); recovery_counts — SCHEDULED periodic
+        # dense/full transfers that re-measure the link (every-16th
+        # pattern, an expected per-iteration cost, not a failure);
+        # link_retry_count — io_submit transient-read retries.
+        self.degrade_counts: dict = {}
+        self.recovery_counts: dict = {}
+        self.link_retry_count = 0
         # single-worker link executor: all d2h fetches are submitted here
         # so the (GIL-releasing) tunnel waits overlap main-thread host CPU
         # work (contours, upload analysis, crop planning). One worker
@@ -123,14 +132,29 @@ class Runtime:
                 and not os.environ.get("OAR_TPU_NO_KEEPALIVE")):
             self._start_keepalive()
 
+    # substrings identifying TRANSIENT tunnel read errors (observed
+    # wire-level flake messages); anything else is deterministic (shape
+    # bug, OOM) and must surface immediately instead of re-running the
+    # whole fetch and demoting the first occurrence to a warning
+    _TRANSIENT_ERR_SIGNATURES = (
+        "response body closed", "read body", "connection reset",
+        "broken pipe", "timed out", "timeout", "unavailable",
+        "unexpected eof",
+    )
+
+    @classmethod
+    def _is_transient_link_error(cls, exc: BaseException) -> bool:
+        msg = str(exc).lower()
+        return any(s in msg for s in cls._TRANSIENT_ERR_SIGNATURES)
+
     def io_submit(self, fn, *args, **kwargs):
         """Run ``fn`` on the link thread; returns a ``Future``. Use for
         every blocking device→host fetch so the transfer (which releases
         the GIL) overlaps main-thread host work. A fetch that dies on a
-        transient tunnel read error is retried once (the device array is
-        still alive, so a second read is valid); a second failure
-        surfaces at ``Future.result()`` — callers keep their fallback
-        ladders."""
+        TRANSIENT tunnel read error (known wire-flake signatures) is
+        retried once — the device array is still alive, so a second read
+        is valid; deterministic errors and second failures surface at
+        ``Future.result()`` — callers keep their fallback ladders."""
         ex = self._io
         if ex is None:
             from concurrent.futures import ThreadPoolExecutor
@@ -142,16 +166,29 @@ class Runtime:
         def run_with_retry():
             try:
                 return fn(*args, **kwargs)
-            except Exception as e:  # pragma: no cover - tunnel flake
+            except Exception as e:
+                if not self._is_transient_link_error(e):
+                    raise
                 import logging
                 import time as _time
 
                 logging.getLogger(__name__).warning(
                     "link-thread fetch failed (%s); retrying once", e)
+                self.link_retry_count += 1
                 _time.sleep(0.05)
                 return fn(*args, **kwargs)
 
         return ex.submit(run_with_retry)
+
+    def note_degrade(self, path: str) -> None:
+        """Count one UNPLANNED adaptive-path degradation (a tunnel flake
+        or compile drop forced a full transfer)."""
+        self.degrade_counts[path] = self.degrade_counts.get(path, 0) + 1
+
+    def note_recovery(self, path: str) -> None:
+        """Count one SCHEDULED full/dense transfer (periodic link
+        re-measurement while an adaptive path is active)."""
+        self.recovery_counts[path] = self.recovery_counts.get(path, 0) + 1
 
     KEEPALIVE_IDLE_S = 8.0
 
@@ -293,10 +330,14 @@ class Runtime:
 
     def det_sparse_active(self) -> bool:
         """Sparse det-bitmap fetch policy (config det_sparse_fetch):
-        forced on/off, or auto below the bandwidth threshold. Mesh mode
-        keeps the full fetch (the packed array is sharded)."""
+        forced on/off, or auto below the bandwidth threshold. Works
+        under a mesh too (VERDICT r4 item 4): the gather programs are
+        batch-parallel (per-row top_k + take_along_axis), so GSPMD
+        partitions them over ``data`` and the host fetches the (much
+        smaller) sharded payload — dryrun_multichip asserts mesh==single
+        identity with the path forced on."""
         mode = self.cfg.det_sparse_fetch
-        if mode == "off" or self.mesh is not None:
+        if mode == "off":
             return False
         if mode == "on":
             return True
@@ -306,10 +347,12 @@ class Runtime:
     def rec_kept_active(self) -> bool:
         """Kept-only rec CTC fetch policy (config rec_kept_fetch): forced
         on/off, or auto below the same bandwidth threshold as the sparse
-        det fetch. Mesh mode keeps the full fetch (the packed arrays are
-        sharded)."""
+        det fetch. Mesh-compatible for the same reason as
+        :meth:`det_sparse_active` (gather_kept_ctc is batch-parallel;
+        the kept-mode concat/pad is the same eager sharded-array code
+        the full merge already runs under a mesh)."""
         mode = self.cfg.rec_kept_fetch
-        if mode == "off" or self.mesh is not None:
+        if mode == "off":
             return False
         if mode == "on":
             return True
@@ -490,6 +533,45 @@ def init_params(module, example_shape, *, seed: int = 0, dtype=jnp.float32):
             jax.config.update("jax_compilation_cache_dir", prev_cache)
 
 
+def materialize_shapes(shapes, *, seed: int = 0, scale: float = 0.05):
+    """Materialize a jax.eval_shape'd param pytree as seeded HOST randoms
+    (no device compute): BN variance > 0, norm scales 1, biases/means 0,
+    everything else small normals. Shared by :func:`init_params_fast`
+    and the VLM fast-init paths (vl/exact_models.py, vl/model.py) —
+    full-size random weights without running flax's eager init, which
+    would dispatch dozens of tiny programs per layer through the
+    remote-compile tunnel."""
+    gen = np.random.default_rng(seed)
+
+    def leaf(path, s):
+        name = str(getattr(path[-1], "key", "")) if path else ""
+        if s.dtype == jnp.int32:
+            return np.zeros(s.shape, np.int32)
+        if name == "var":                      # BN variance must be > 0
+            v = gen.random(s.shape).astype(np.float32) * 0.5 + 0.75
+        elif name in ("scale", "bias", "mean"):
+            v = (np.ones(s.shape, np.float32) if name == "scale"
+                 else np.zeros(s.shape, np.float32))
+        else:
+            v = gen.standard_normal(s.shape).astype(np.float32) * scale
+        # HOST arrays: leaves stay off-device until the caller places the
+        # tree (put_params) — jnp.asarray here would device_put every
+        # leaf to the default device and double the tunnel transfer
+        return v.astype(s.dtype) if v.dtype != s.dtype else v
+
+    return jax.tree_util.tree_map_with_path(leaf, shapes)
+
+
+def init_params_fast_fn(init_fn, *, seed: int = 0, scale: float = 0.05):
+    """Shape-only init for an arbitrary flax init CLOSURE
+    ``init_fn(rng) -> params``: eval_shape it (zero compute, any
+    backend) and materialize the leaves on host. The multi-argument
+    analog of :func:`init_params_fast` for the VLM modules' init_all
+    signatures."""
+    shapes = jax.eval_shape(init_fn, jax.random.PRNGKey(seed))
+    return materialize_shapes(shapes, seed=seed, scale=scale)
+
+
 def init_params_fast(module, example_shape, *, seed: int = 0,
                      dtype=jnp.float32, scale: float = 0.05):
     """Shape-only init: trace the module with jax.eval_shape (no compute)
@@ -500,22 +582,7 @@ def init_params_fast(module, example_shape, *, seed: int = 0,
     rng = jax.random.PRNGKey(seed)
     shapes = jax.eval_shape(lambda r: module.init(r, jnp.zeros(
         tuple(example_shape), dtype)), rng)
-    gen = np.random.default_rng(seed)
-
-    def leaf(path, s):
-        name = str(path[-1].key) if path else ""
-        if s.dtype == jnp.int32:
-            return jnp.zeros(s.shape, jnp.int32)
-        if name == "var":                      # BN variance must be > 0
-            v = gen.random(s.shape).astype(np.float32) * 0.5 + 0.75
-        elif name in ("scale", "bias", "mean"):
-            v = (np.ones(s.shape, np.float32) if name == "scale"
-                 else np.zeros(s.shape, np.float32))
-        else:
-            v = gen.standard_normal(s.shape).astype(np.float32) * scale
-        return jnp.asarray(v, dtype=s.dtype)
-
-    return jax.tree_util.tree_map_with_path(leaf, shapes)
+    return materialize_shapes(shapes, seed=seed, scale=scale)
 
 
 def pad_to(arr: np.ndarray, shape: Tuple[int, ...], value=0) -> np.ndarray:

@@ -115,6 +115,24 @@ def test_io_submit_retries_transient_failure(rt):
 
     assert rt.io_submit(flaky).result() == 42
     assert len(calls) == 2
+    assert rt.link_retry_count == 1
+
+
+def test_io_submit_deterministic_error_not_retried(rt):
+    """A deterministic failure (shape bug, OOM — not a known transient
+    tunnel signature) must surface immediately: re-running the whole
+    fetch would re-run sparse attempt + full fallback and demote the
+    first occurrence to a warning (ADVICE r4)."""
+    calls = []
+
+    def shape_bug():
+        calls.append(1)
+        raise ValueError("cannot reshape array of size 7 into (2, 4)")
+
+    with pytest.raises(ValueError, match="reshape"):
+        rt.io_submit(shape_bug).result()
+    assert len(calls) == 1
+    assert rt.link_retry_count == 0
 
 
 def test_io_submit_double_failure_surfaces(rt):

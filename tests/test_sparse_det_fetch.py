@@ -374,3 +374,50 @@ def test_sparse_fetch_failure_degrades_to_full(rng, monkeypatch):
     monkeypatch.setattr(dd, "gather_occupied_tiles", boom)
     out = det._fetch_bitmap(packed_dev, mask, "tile")
     assert np.array_equal(out, np.asarray(packed_dev))
+
+
+def test_persistent_sparse_failure_escalates_and_disables(rng, monkeypatch,
+                                                          caplog):
+    """Consecutive sparse-path failures escalate (ADVICE r4): after
+    SPARSE_FAIL_DISABLE_AFTER in a row the detector logs at ERROR level
+    and disables sparse for the session, so a permanently broken sparse
+    path is distinguishable from one-off tunnel flakes; every fallback
+    still returns the bit-exact full transfer."""
+    import logging
+
+    import oar_ocr_tpu.ops.det_device as dd
+    from oar_ocr_tpu.models.detection.detector import DBDetector
+
+    rt = Runtime(RuntimeConfig(det_sparse_fetch="on", use_mesh=False))
+    det = DBDetector.__new__(DBDetector)
+    det.runtime = rt
+    b, h, w = 2, 64, 256
+    bitmap = np.zeros((b, h, w), np.uint8)
+    bitmap[:, 18:30, 40:200] = (rng.random((b, 12, 160)) < 0.5)
+    packed_dev = pack_bits(jnp.asarray(bitmap))
+    mask = tile_occupancy_mask(packed_dev)
+
+    def boom(*a, **k):
+        raise RuntimeError("remote_compile: body closed")
+
+    monkeypatch.setattr(dd, "gather_occupied_tiles", boom)
+    n = DBDetector.SPARSE_FAIL_DISABLE_AFTER
+    with caplog.at_level(logging.WARNING,
+                         logger="oar_ocr_tpu.models.detection.detector"):
+        for _ in range(n):
+            out = det._fetch_bitmap(packed_dev, mask, "tile")
+            assert np.array_equal(out, np.asarray(packed_dev))
+    errors = [r for r in caplog.records if r.levelno >= logging.ERROR]
+    assert len(errors) == 1 and "disabling" in errors[0].getMessage()
+    assert det._sparse_disabled
+    assert rt.degrade_counts["sparse_det_fetch[tile]"] == n
+
+    # a success (fresh detector, working path) resets the streak
+    monkeypatch.undo()
+    det2 = DBDetector.__new__(DBDetector)
+    det2.runtime = rt
+    det2._sparse_fail_streak = n - 1
+    out = det2._fetch_bitmap(packed_dev, tile_occupancy_mask(packed_dev),
+                             "tile")
+    assert np.array_equal(out, np.asarray(packed_dev))
+    assert det2._sparse_fail_streak == 0

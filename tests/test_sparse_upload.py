@@ -177,3 +177,35 @@ def test_sparse_upload_failure_degrades_to_dense(monkeypatch):
     monkeypatch.setattr(pu, "_put_gray", boom)
     out = pu.upload_pages(rt, pages, (64, 96))
     assert np.array_equal(np.asarray(out), expect)
+    assert rt.degrade_counts.get("sparse_upload") == 1
+
+
+def test_gray_upload_failure_degrades_to_dense(monkeypatch):
+    """The GRAY fallback branch specifically (ADVICE r4 medium): pages
+    with channel-EQUAL dense noise take the gray-collapse path (no
+    sparse win — no constant tiles); a failure inside ``_put_gray`` must
+    repeat the (B, H, W, 1) batch back to RGB and ship dense,
+    bit-identically."""
+    import oar_ocr_tpu.runtime.page_upload as pu
+    from oar_ocr_tpu.config.runtime import RuntimeConfig
+    from oar_ocr_tpu.runtime.runtime import Runtime, stack_padded
+
+    rt = Runtime(RuntimeConfig(page_upload="on", use_mesh=False))
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 255, (64, 96, 1), dtype=np.uint8)
+    pages = [np.repeat(g, 3, axis=2),
+             np.repeat(rng.integers(0, 255, (60, 90, 1), dtype=np.uint8),
+                       3, axis=2)]
+    expect = stack_padded(pages, (64, 96))
+
+    calls = {"gray": 0}
+
+    def boom(*a, **k):
+        calls["gray"] += 1
+        raise RuntimeError("remote_compile: body closed")
+
+    monkeypatch.setattr(pu, "_put_gray", boom)
+    out = pu.upload_pages(rt, pages, (64, 96))
+    assert calls["gray"] == 1, "gray branch was never exercised"
+    assert np.array_equal(np.asarray(out), expect)
+    assert rt.degrade_counts.get("gray_upload") == 1
