@@ -128,8 +128,11 @@ def upload_pages(runtime, images: Sequence[np.ndarray],
     mode = cfg.page_upload
     dense_bytes = len(images) * h * w * 3
 
-    adaptive = (mode != "off" and runtime.mesh is None
-                and h % TILE == 0 and w % TILE == 0)
+    # mesh-compatible (VERDICT r4 item 4): the compressed payload is
+    # placed REPLICATED and the rebuild program runs replicated, so the
+    # reconstructed batch has exactly the placement runtime.put gives the
+    # dense upload
+    adaptive = (mode != "off" and h % TILE == 0 and w % TILE == 0)
     if adaptive and mode == "auto":
         bw = runtime.h2d_mbps
         adaptive = bw is not None and bw < cfg.upload_sparse_bw_mbps
@@ -139,6 +142,7 @@ def upload_pages(runtime, images: Sequence[np.ndarray],
             # observation raises the EMA back above the threshold
             runtime._h2d_sparse_n += 1
             if runtime._h2d_sparse_n % _DENSE_RECOVERY_EVERY == 0:
+                runtime.note_recovery("upload_dense")
                 adaptive = False
 
     if not adaptive:
@@ -165,6 +169,7 @@ def upload_pages(runtime, images: Sequence[np.ndarray],
         except Exception as e:  # pragma: no cover - tunnel flake
             # a transient remote-compile failure on a first-seen tile
             # bucket must not kill the predict — dense is always valid
+            runtime.note_degrade("sparse_upload")
             _LOG.warning("sparse page upload failed (%s); dense", e)
     if batch is None:                      # native path defers stacking
         from .. import native as native_mod
@@ -174,6 +179,7 @@ def upload_pages(runtime, images: Sequence[np.ndarray],
         try:
             return _put_gray(runtime, batch)
         except Exception as e:  # pragma: no cover - tunnel flake
+            runtime.note_degrade("gray_upload")
             _LOG.warning("gray page upload failed (%s); dense", e)
             batch = np.repeat(batch, 3, axis=-1)   # (B,H,W,1) → RGB
     return _put_dense(runtime, batch)
@@ -256,15 +262,25 @@ def _analyze(batch: np.ndarray):
     return (tmin, tiles, idx, payload)
 
 
+def _placement(runtime):
+    """Upload destination: replicated over the mesh when one is active
+    (matching `Runtime.put` for the dense batch), else the primary
+    device."""
+    if runtime.mesh is not None:
+        return runtime.replicated_sharding()
+    return runtime.device
+
+
 def _put_sparse(runtime, plan, gray: bool):
     import jax
 
     base, tiles, idx, payload = plan
     rebuild, _ = _jits()
     t0 = time.perf_counter()
-    dev_base = jax.device_put(base, runtime.device)
-    dev_tiles = jax.device_put(tiles, runtime.device)
-    dev_idx = jax.device_put(idx, runtime.device)
+    dst = _placement(runtime)
+    dev_base = jax.device_put(base, dst)
+    dev_tiles = jax.device_put(tiles, dst)
+    dev_idx = jax.device_put(idx, dst)
     out = rebuild(dev_base, dev_tiles, dev_idx)
     _finish_timed(runtime, out, payload, t0,
                   ("sparse", base.shape, tiles.shape))
@@ -277,7 +293,7 @@ def _put_gray(runtime, batch: np.ndarray):
 
     _, gray3 = _jits()
     t0 = time.perf_counter()
-    dev = jax.device_put(batch, runtime.device)
+    dev = jax.device_put(batch, _placement(runtime))
     out = gray3(dev)
     _finish_timed(runtime, out, batch.nbytes, t0, ("gray", batch.shape))
     return out
@@ -299,7 +315,7 @@ def _finish_timed(runtime, dev, payload: int, t0: float, signature) -> None:
     degraded tunnel — the r3 BENCH first-iteration cliff)."""
     runtime.h2d_bytes_total += payload
     runtime.h2d_put_count += 1
-    if runtime.cfg.page_upload == "off" or runtime.mesh is not None:
+    if runtime.cfg.page_upload == "off":
         return
     runtime.touch()
     runtime.note_upload_start(payload, t0)

@@ -149,6 +149,37 @@ class TestMeshPredict:
                 assert a.text == b.text
                 assert abs(a.confidence - b.confidence) < 1e-5
 
+    def test_predict_mesh_adaptive_transfers_invariance(self):
+        """All three adaptive transfer paths FORCED ON under the mesh
+        (VERDICT r4 item 4): tile-sparse det fetch, kept-only rec CTC
+        transfer and the sparse page upload. The gather programs are
+        batch-parallel (per-row top_k + take_along_axis), so GSPMD
+        shards them over ``data``; the compressed upload payload places
+        replicated like the dense batch. Output must be identical to
+        the plain single-device run."""
+        from oar_ocr_tpu.config.runtime import RuntimeConfig
+        from oar_ocr_tpu.pipelines.ocr import OAROCRBuilder
+        from oar_ocr_tpu.runtime.runtime import Runtime
+
+        pages = self._pages()
+        r1 = self._build(False).predict(pages)
+        rt = Runtime(RuntimeConfig(use_mesh=True, det_sparse_fetch="on",
+                                   rec_kept_fetch="on", page_upload="on"))
+        pipe = (OAROCRBuilder("general").with_runtime(rt)
+                .with_det_config(thresh=0.48, box_thresh=0.0)
+                .with_batch_sizes(image=4, region=16).build())
+        assert pipe.runtime.n_data == 8
+        assert rt.det_sparse_active() and rt.rec_kept_active()
+        r8 = pipe.predict(pages)
+        total = sum(len(r.regions) for r in r1)
+        assert total > 0, "vacuous: single-device run found no regions"
+        for a_page, b_page in zip(r1, r8):
+            assert len(a_page.regions) == len(b_page.regions)
+            for a, b in zip(a_page.regions, b_page.regions):
+                np.testing.assert_allclose(a.box, b.box, atol=1e-4)
+                assert a.text == b.text
+                assert abs(a.confidence - b.confidence) < 1e-5
+
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 class TestTensorParallel:
