@@ -1,15 +1,38 @@
 """End-to-end det+rec throughput benchmark (driver contract).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", plus
-"p50", "per_stage_ms", "mfu", ...} — the per-stage breakdown, p50
-pages/s and device-MFU figure BASELINE.md tracks (VERDICT r3 item 1:
-the bench must prove its own story, matching the reference's per-image
-timing discipline, docs/FAQ.md:22-30).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+The headline ``value`` is the PIPELINED steady-state throughput — the
+bench runs iterations two-deep (iteration N+1's upload + det dispatch
+issued before iteration N's rec/collect, the serving engine's proven
+double-buffering — serving/engine.py, test_serving.py:200) because
+steady-state pages/s is the unit the BASELINE target is denominated in.
+The sequential per-call latency story is kept alongside (``p50``,
+``p50_ms``, per-stage breakdown) — VERDICT r4 item 1.
 
 Workload: the REAL `OAROCR.predict` path — page upload, fused
 preprocess+DBNet+host postprocess detection, pooled ratio-sorted
 recognition on the DETECTOR'S OWN boxes, and result assembly, all inside
 the timer (VERDICT r2 item 2: no fixture quads, no pre-uploaded pages).
+TWO content classes are measured (VERDICT r4 item 2 — the adaptive
+sparse upload is content-dependent):
+
+- ``flat``: white pages with uniform dark text blocks (near-best case
+  for the constant-tile sparse upload; the headline workload);
+- ``dense_content``: per-pixel noise background + the same text blocks
+  (incompressible — the sparse upload falls back to the full dense
+  transfer; the honest degraded-link worst case).
+
+Accuracy (VERDICT r4 item 3): after the timed phases a scrubbed-CPU
+subprocess (tools/bench_accuracy.py) runs `OAROCR.predict` on bench
+pages against the independent reference-semantics oracle
+(tests/test_pipeline_golden.py machinery) and the resulting
+``box_iou``/``text_match`` land in the JSON; a mismatch fails the bench
+loudly.
+
+Flake accounting (VERDICT r4 item 6): per-iteration wall times, dropped
+iterations with their error messages, link-thread retry counts, and the
+adaptive paths' degradation/scheduled-recovery counters are all emitted,
+so an anomalous iteration is diagnosable from the artifact alone.
 
 Weights: the detector runs assets/bench_det.safetensors — the exact
 PP-OCRv5-mobile DB topology fitted to the synthetic text-block task
@@ -17,7 +40,8 @@ PP-OCRv5-mobile DB topology fitted to the synthetic text-block task
 counts (~17-20 regions/page at real scores). Recognition weights are
 random with the CTC head biased toward blank (compute is shape-bound;
 the bias makes the argmax statistics — and therefore the kept-only d2h
-traffic — match trained recognizers); the decoded text is meaningless.
+traffic — match trained recognizers); the decoded text is meaningless
+but deterministic (the accuracy oracle reproduces it exactly).
 
 Baseline: the reference's only published end-to-end number — PP-OCRv6
 tiny 34 ms/img ≈ 29.4 pages/s single-stream CPU (docs/FAQ.md:22;
@@ -35,7 +59,9 @@ import numpy as np
 N_PAGES = 16
 PAGE_H, PAGE_W = 1280, 960
 REGIONS_PER_PAGE = 20
-N_ITERS = 7
+N_ITERS = 7          # sequential latency phase
+PIPE_ITERS = 8       # pipelined steady-state phase
+DENSE_ITERS = 4      # dense-content workload phase
 BASELINE_PAGES_PER_SEC = 29.4
 # v5e bf16 peak (public spec: 197 TFLOP/s bf16 per chip)
 PEAK_TFLOPS = 197.0
@@ -67,10 +93,19 @@ _LINK_GROUPS = {
 }
 
 
-def _make_pages(rng):
+def _make_pages(rng, dense_background: bool = False):
+    """Bench pages: 20 dark text blocks on white. ``dense_background``
+    swaps the flat white for per-pixel light noise — zero constant
+    32×32 tiles, so the sparse page upload cannot win and the full
+    dense batch crosses the link (the content class the flat pages
+    flatter)."""
     pages = []
     for _ in range(N_PAGES):
-        img = np.full((PAGE_H, PAGE_W, 3), 255, np.uint8)
+        if dense_background:
+            img = rng.integers(215, 256, (PAGE_H, PAGE_W, 3),
+                               dtype=np.uint8)
+        else:
+            img = np.full((PAGE_H, PAGE_W, 3), 255, np.uint8)
         for r in range(REGIONS_PER_PAGE):
             w, h = _REGION_DIMS[r % len(_REGION_DIMS)]
             y = 40 + r * 60
@@ -120,7 +155,7 @@ def _blank_biased_rec_params():
     return jax.tree_util.tree_map_with_path(bias_blank, params)
 
 
-def _device_flops(pipe, n_regions: int) -> float:
+def _device_flops(n_regions: int) -> float:
     """Analytic per-iteration device-FLOP estimate.
 
     Det: profiler-measured 80 GFLOPs per 8-page 1280×960 batch
@@ -145,17 +180,50 @@ def _breakdown(summary, groups) -> dict:
     return out
 
 
-def _link_floor_ms(rt, n_iters: int, d2h_bytes: int, d2h_fetches: int,
-                   h2d_bytes: int) -> dict:
+class _Traffic:
+    """Per-phase link-traffic snapshot with dropped-iteration exclusion
+    (ADVICE r4: bytes a flaked, dropped iteration moved must not inflate
+    the per-iter averages the floor model divides down)."""
+
+    def __init__(self, rt):
+        self.rt = rt
+        self.d2h_b = rt.d2h_bytes_total
+        self.d2h_n = rt.d2h_fetch_count
+        self.h2d_b = rt.h2d_bytes_total
+        self.ex_d2h_b = self.ex_d2h_n = self.ex_h2d_b = 0
+
+    def snapshot(self):
+        rt = self.rt
+        return (rt.d2h_bytes_total, rt.d2h_fetch_count, rt.h2d_bytes_total)
+
+    def exclude_since(self, snap):
+        rt = self.rt
+        self.ex_d2h_b += rt.d2h_bytes_total - snap[0]
+        self.ex_d2h_n += rt.d2h_fetch_count - snap[1]
+        self.ex_h2d_b += rt.h2d_bytes_total - snap[2]
+
+    def totals(self):
+        rt = self.rt
+        return (rt.d2h_bytes_total - self.d2h_b - self.ex_d2h_b,
+                rt.d2h_fetch_count - self.d2h_n - self.ex_d2h_n,
+                rt.h2d_bytes_total - self.h2d_b - self.ex_h2d_b)
+
+
+def _link_floor_ms(rt, n_iters: int, traffic: _Traffic) -> dict:
     """Lower-bound per-iteration link cost from MEASURED traffic and the
     runtime's bandwidth/RTT EMAs: every byte must cross the tunnel and
     every d2h fetch pays the fixed RTT. The tunnel is full-duplex
     (uploads ride concurrently with fetches — measured: wall < h2d+d2h
-    on degraded links), so the floor is max(h2d, d2h + RTTs). wall ≈
-    max(floor, host CPU) when the overlap machinery works; wall >> floor
-    on a healthy link means host-side waste instead. EMAs are coarse
-    (the h2d figure is a lower BOUND from the free-observation window),
-    so treat this as a story-teller, not a precision meter."""
+    on degraded links), so in the CROSS-ITERATION overlap regime (the
+    pipelined phase: iteration N+1's upload rides while iteration N
+    collects) the floor is max(h2d, d2h + RTTs) per iteration. The
+    SEQUENTIAL phase has a serialization point — the last rec fetch of
+    iteration N completes before iteration N+1's upload starts — so its
+    per-iteration wall can exceed this floor even when the overlap
+    machinery is perfect. EMAs are coarse (the h2d figure is a lower
+    BOUND from the free-observation window), so treat this as a
+    story-teller, not a precision meter."""
+    d2h_bytes, d2h_fetches, h2d_bytes = traffic.totals()
     rtt = rt._d2h_rtt or 0.0
     h2d = (h2d_bytes / n_iters) / (rt.h2d_mbps * 1e6) if rt.h2d_mbps else 0.0
     d2h = (d2h_bytes / n_iters) / (rt.d2h_mbps * 1e6) if rt.d2h_mbps else 0.0
@@ -171,6 +239,132 @@ def _link_floor_ms(rt, n_iters: int, d2h_bytes: int, d2h_fetches: int,
     }
 
 
+def _warmup(pipe, pages_np, label: str):
+    """Triple warmup with bounded flake retry: predict 1 seeds the
+    link-bandwidth EMAs from nothing, so the ADAPTIVE paths (tile-sparse
+    det fetch, sparse page upload) only engage — and compile — on
+    predict 2, and the one-RTT SPECULATIVE det fetch needs the occupancy
+    history predict 2's mask-first pass seeds, so its gather program
+    first compiles on predict 3. The remote-compile tunnel occasionally
+    drops a response mid-body; succeeded compiles are cached, so a
+    straight retry resumes where the flake hit."""
+    for attempt in range(3):
+        try:
+            res = pipe.predict(pages_np)
+            pipe.predict(pages_np)
+            pipe.predict(pages_np)
+            return res
+        except Exception as e:
+            if attempt == 2:
+                raise
+            print(f"[{label}] warmup attempt {attempt + 1} failed ({e}); "
+                  f"retrying", file=sys.stderr)
+
+
+def _sequential_phase(pipe, pages_np, metrics):
+    """N_ITERS strictly sequential `predict` calls: the per-call LATENCY
+    story (p50 keeps its r3/r4 meaning). Dropped iterations are counted
+    and their traffic excluded from the floor model."""
+    rt = pipe.runtime
+    traffic = _Traffic(rt)
+    times, summaries, flake_msgs = [], [], []
+    while len(times) < N_ITERS:
+        metrics.reset()
+        snap = traffic.snapshot()
+        t0 = time.perf_counter()
+        try:
+            pipe.predict(pages_np)
+        except Exception as e:
+            # a tunnel flake mid-iteration must not zero the whole
+            # bench; drop the iteration (excluding its traffic) and
+            # retry (bounded)
+            flake_msgs.append(str(e)[:200])
+            if len(flake_msgs) > 2:
+                raise
+            traffic.exclude_since(snap)
+            print(f"iter failed ({e}); retrying", file=sys.stderr)
+            continue
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        summaries.append(metrics.summary())
+        print(f"iter: {N_PAGES / dt:.2f} pages/s ({dt*1e3:.0f} ms)",
+              file=sys.stderr)
+    return times, summaries, flake_msgs, traffic
+
+
+def _pipelined_phase(pipe, pages_np, n_iters: int, label: str = "pipelined"):
+    """Two-deep steady state: iteration N+1's upload + det dispatch is
+    issued BEFORE iteration N's collect (`predict_dispatch` /
+    `predict_collect` — the split the serving engine double-buffers
+    with, engine.py:248). Returns (total_s, per-iter collect-to-collect
+    times, flake count)."""
+    rt = pipe.runtime
+    traffic = _Traffic(rt)
+    flakes = 0
+    while True:
+        try:
+            t0 = time.perf_counter()
+            state = pipe.predict_dispatch(pages_np)
+            times = []
+            t_prev = t0
+            for i in range(n_iters):
+                nxt = (pipe.predict_dispatch(pages_np)
+                       if i + 1 < n_iters else None)
+                pipe.predict_collect(state)
+                state = nxt
+                t_now = time.perf_counter()
+                times.append(t_now - t_prev)
+                t_prev = t_now
+            total = time.perf_counter() - t0
+            break
+        except Exception as e:
+            flakes += 1
+            if flakes > 2:
+                raise
+            print(f"[{label}] phase failed ({e}); restarting",
+                  file=sys.stderr)
+            traffic = _Traffic(rt)
+    print(f"[{label}] {n_iters} iters in {total*1e3:.0f} ms = "
+          f"{n_iters * N_PAGES / total:.2f} pages/s", file=sys.stderr)
+    return total, times, flakes, traffic
+
+
+def _accuracy_subprocess() -> dict:
+    """Run tools/bench_accuracy.py in a scrubbed CPU subprocess (the
+    axon sitecustomize force-registers the TPU backend at interpreter
+    start, and bf16-vs-f32 forward numerics must match between the
+    pipeline and the oracle — see the tool's docstring). Parses its one
+    JSON line; a failure FAILS THE BENCH (non-zero exit)."""
+    import os
+    import subprocess
+
+    repo = str(pathlib.Path(__file__).resolve().parent)
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # gates axon registration
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, str(pathlib.Path(repo) / "tools"
+                             / "bench_accuracy.py")],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=1800)
+    if proc.returncode != 0:
+        print(proc.stdout, file=sys.stderr)
+        print(proc.stderr, file=sys.stderr)
+        raise RuntimeError(
+            f"bench accuracy check FAILED (exit {proc.returncode}) — "
+            "pipeline output diverged from the reference-semantics oracle")
+    line = proc.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def _anomalies(times, p50: float):
+    """Iterations >1.5× the phase median, itemized so the artifact says
+    which iteration dipped (r4's unexplained 624 ms iter)."""
+    return [{"iter": i, "ms": round(t * 1e3),
+             "over_p50": round(t / p50, 2)}
+            for i, t in enumerate(times) if t > 1.5 * p50]
+
+
 def main():
     from oar_ocr_tpu.pipelines.ocr import OAROCRBuilder
     from oar_ocr_tpu.utils.tracing import METRICS
@@ -183,90 +377,115 @@ def main():
             .with_det_params(_load_det_params())
             .with_rec_params(_blank_biased_rec_params())
             .with_batch_sizes(image=8, region=64).build())
+    rt = pipe.runtime
     pages_np = _make_pages(rng)
 
-    # warmup / compile — three times: predict 1 seeds the link-bandwidth
-    # EMAs from nothing, so the ADAPTIVE paths (tile-sparse det fetch,
-    # sparse page upload) only engage — and compile — on predict 2, and
-    # the one-RTT SPECULATIVE det fetch needs the occupancy history
-    # predict 2's mask-first pass seeds, so its gather program first
-    # compiles on predict 3 (each stage left a compile inside the first
-    # timed iteration when under-warmed — the r3 "first-iteration cliff"
-    # residual after the idle-reconnect fixes)
-    # the remote-compile tunnel occasionally drops a response mid-body
-    # (observed: "read body: response body closed before all bytes were
-    # read") — succeeded compiles are cached, so a straight retry
-    # resumes where the flake hit
-    for attempt in range(3):
-        try:
-            res = pipe.predict(pages_np)
-            pipe.predict(pages_np)
-            pipe.predict(pages_np)
-            break
-        except Exception as e:
-            if attempt == 2:
-                raise
-            print(f"warmup attempt {attempt + 1} failed ({e}); retrying",
-                  file=sys.stderr)
+    res = _warmup(pipe, pages_np, "flat")
     n_regions = sum(len(r.regions) for r in res)
     print(f"warmup: {n_regions} regions over {N_PAGES} pages",
           file=sys.stderr)
 
-    # N_ITERS timed runs: best + p50 (the tunnel's ambient bandwidth
-    # swings 4x between sessions; within a run, p50 is the honest
-    # steady-state figure and best the capability figure)
-    rt = pipe.runtime
-    d2h_b0, d2h_n0 = rt.d2h_bytes_total, rt.d2h_fetch_count
-    h2d_b0 = rt.h2d_bytes_total
-    times, summaries = [], []
-    flakes = 0
-    while len(times) < N_ITERS:
-        METRICS.reset()
-        t0 = time.perf_counter()
-        try:
-            pipe.predict(pages_np)
-        except Exception as e:
-            # a tunnel flake mid-iteration must not zero the whole
-            # bench; drop the iteration and retry (bounded)
-            flakes += 1
-            if flakes > 2:
-                raise
-            print(f"iter failed ({e}); retrying", file=sys.stderr)
-            continue
-        dt = time.perf_counter() - t0
-        times.append(dt)
-        summaries.append(METRICS.summary())
-        print(f"iter: {N_PAGES / dt:.2f} pages/s ({dt*1e3:.0f} ms)",
-              file=sys.stderr)
-
+    # --- phase 1: sequential latency (p50 keeps its meaning) ---
+    times, summaries, flake_msgs, seq_traffic = _sequential_phase(
+        pipe, pages_np, METRICS)
     best = min(times)
     p50 = statistics.median(times)
-    med_summary = summaries[times.index(
-        sorted(times)[len(times) // 2])]
-    flops = _device_flops(pipe, n_regions)
-    pages_per_sec = N_PAGES / best
-    floor = _link_floor_ms(
-        rt, N_ITERS, rt.d2h_bytes_total - d2h_b0,
-        rt.d2h_fetch_count - d2h_n0, rt.h2d_bytes_total - h2d_b0)
+    med_summary = summaries[times.index(sorted(times)[len(times) // 2])]
+
+    # --- phase 2: pipelined steady state (the headline) ---
+    pipe_total, pipe_times, pipe_flakes, pipe_traffic = _pipelined_phase(
+        pipe, pages_np, PIPE_ITERS)
+    pipe_pps = PIPE_ITERS * N_PAGES / pipe_total
+    pipe_p50 = statistics.median(pipe_times)
+
+    # floor model from the PIPELINED phase's measured traffic (the
+    # overlap regime the floor actually bounds); EMAs snapshot here,
+    # before the dense phase moves them
+    floor = _link_floor_ms(rt, PIPE_ITERS, pipe_traffic)
+    h2d_ema, d2h_ema, rtt_ema = rt.h2d_mbps, rt.d2h_mbps, rt._d2h_rtt
+    seq_floor = _link_floor_ms(rt, N_ITERS, seq_traffic)
+
+    # --- phase 3: dense-content workload (VERDICT r4 item 2) —
+    # incompressible pages; the sparse upload falls back to the full
+    # dense transfer, so this is the degraded-link worst case ---
+    dense_pages = _make_pages(np.random.default_rng(1),
+                              dense_background=True)
+    dense = None
+    try:
+        for attempt in range(2):        # new shapes can flake a compile
+            try:
+                dense_res = pipe.predict(dense_pages)   # warmup + policy
+                break
+            except Exception as e:
+                if attempt == 1:
+                    raise
+                print(f"[dense] warmup failed ({e}); retrying",
+                      file=sys.stderr)
+        dense_regions = sum(len(r.regions) for r in dense_res)
+        d_total, d_times, d_flakes, d_traffic = _pipelined_phase(
+            pipe, dense_pages, DENSE_ITERS, label="dense")
+        d_floor = _link_floor_ms(rt, DENSE_ITERS, d_traffic)
+        dense = {
+            "pages_per_sec": round(DENSE_ITERS * N_PAGES / d_total, 2),
+            "p50_ms": round(statistics.median(d_times) * 1e3),
+            "iter_ms": [round(t * 1e3) for t in d_times],
+            "regions": dense_regions,
+            "h2d_mb_per_iter": d_floor["h2d_mb_per_iter"],
+            "d2h_mb_per_iter": d_floor["d2h_mb_per_iter"],
+            "flakes": d_flakes,
+        }
+    except Exception as e:
+        # the dense workload must not zero the headline artifact; emit
+        # the failure itself so the gap is visible, not silent
+        dense = {"error": str(e)[:300]}
+        print(f"[dense] phase failed: {e}", file=sys.stderr)
+
+    # --- phase 4: accuracy bit (VERDICT r4 item 3) ---
+    accuracy = _accuracy_subprocess()
+
+    flops = _device_flops(n_regions)
     print(json.dumps({
         "metric": "pages_per_sec_det_rec",
-        "value": round(pages_per_sec, 2),
+        "value": round(pipe_pps, 2),
         "unit": "pages/s",
-        "vs_baseline": round(pages_per_sec / BASELINE_PAGES_PER_SEC, 3),
+        "vs_baseline": round(pipe_pps / BASELINE_PAGES_PER_SEC, 3),
+        # headline = pipelined steady state; sequential latency kept
+        "pipelined": {
+            "pages_per_sec": round(pipe_pps, 2),
+            "iters": PIPE_ITERS,
+            "total_ms": round(pipe_total * 1e3),
+            "p50_iter_ms": round(pipe_p50 * 1e3),
+            "iter_ms": [round(t * 1e3) for t in pipe_times],
+            "anomalies": _anomalies(pipe_times, pipe_p50),
+            "flakes": pipe_flakes,
+            "over_floor": (round(pipe_p50 * 1e3 / floor["total_ms"], 2)
+                           if floor["total_ms"] else None),
+        },
         "p50": round(N_PAGES / p50, 2),
+        "sequential_best": round(N_PAGES / best, 2),
         "first_iter_ms": round(times[0] * 1e3),
         "best_ms": round(best * 1e3),
         "p50_ms": round(p50 * 1e3),
+        "iter_ms": [round(t * 1e3) for t in times],
+        "anomalies": _anomalies(times, p50),
+        "flakes": len(flake_msgs),
+        "flake_msgs": flake_msgs,
         "per_stage_ms": _breakdown(med_summary, _STAGE_GROUPS),
         "link_ms": _breakdown(med_summary, _LINK_GROUPS),
         "link_floor": floor,
-        "p50_over_floor": (round(p50 * 1e3 / floor["total_ms"], 2)
-                           if floor["total_ms"] else None),
-        "mfu": round(flops / p50 / (PEAK_TFLOPS * 1e12), 4),
+        "seq_link_floor": seq_floor,
+        "p50_over_floor": (round(p50 * 1e3 / seq_floor["total_ms"], 2)
+                           if seq_floor["total_ms"] else None),
+        "link_retries": rt.link_retry_count,
+        "degrade_counts": rt.degrade_counts,
+        "recovery_counts": rt.recovery_counts,
+        "dense_content": dense,
+        "accuracy": accuracy,
+        "mfu": round(flops / pipe_p50 / (PEAK_TFLOPS * 1e12), 4),
         "device_gflops_est": round(flops / 1e9),
-        "h2d_mbps_ema": rt.h2d_mbps and round(rt.h2d_mbps),
-        "d2h_mbps_ema": rt.d2h_mbps and round(rt.d2h_mbps),
-        "d2h_rtt_ms_ema": rt._d2h_rtt and round(rt._d2h_rtt * 1e3, 1),
+        "h2d_mbps_ema": h2d_ema and round(h2d_ema),
+        "d2h_mbps_ema": d2h_ema and round(d2h_ema),
+        "d2h_rtt_ms_ema": rtt_ema and round(rtt_ema * 1e3, 1),
     }))
 
 
