@@ -243,7 +243,8 @@ class ExactVLM:
     """Shared batch-1 prefill + scan greedy harness over ExactVLMModule."""
 
     def __init__(self, spec: ExactVLMSpec, vision_cfg, params=None, *,
-                 tokenizer=None, runtime=None, seed: int = 0):
+                 tokenizer=None, runtime=None, seed: int = 0,
+                 fast_init: bool = False):
         from ..runtime.runtime import Runtime
         from .model import ByteTokenizer
 
@@ -253,7 +254,11 @@ class ExactVLM:
         self.tokenizer = tokenizer or ByteTokenizer()
         self.module = ExactVLMModule(spec, vision_cfg)
         if params is None:
-            params = self._init_params(seed)
+            # fast_init: shape-only eval + host randoms — lets FULL-SIZE
+            # configs construct without flax's eager init (which would
+            # dispatch per-layer programs through the remote-compile
+            # tunnel); used by tools/vl_bench.py
+            params = self._init_params(seed, fast=fast_init)
         self.params = self.runtime.put_params_vl(params)
         self._gen = jax.jit(self._prefill_decode,
                             static_argnames=("max_new", "capacity"))
@@ -332,7 +337,7 @@ class ExactVLM:
         rows = rows.transpose(0, 2, 1, 3, 4).reshape(gh * gw, -1)
         return rows
 
-    def _init_params(self, seed: int):
+    def _init_params(self, seed: int, fast: bool = False):
         s, v = self.spec, self.vision_cfg
         rng = jax.random.PRNGKey(seed)
         m = getattr(v, "merge", 2)
@@ -357,6 +362,13 @@ class ExactVLM:
         naxes = 3 if s.text_cfg.rope_kind == "mrope" else 1
         pids = (jnp.zeros((3, 1, 4), jnp.int32) if naxes == 3
                 else jnp.zeros((1, 4), jnp.int32))
+        if fast:
+            from ..runtime.runtime import init_params_fast_fn
+
+            return init_params_fast_fn(
+                lambda r: self.module.init(r, tower_args, ids, pids,
+                                           method=ExactVLMModule.init_all),
+                seed=seed)
         return self.module.init(rng, tower_args, ids, pids,
                                 method=ExactVLMModule.init_all)
 
@@ -526,7 +538,8 @@ class ExactVLM:
     def generate_speculative(self, images: Sequence[np.ndarray],
                              instruction: str = "OCR:", *,
                              max_new_tokens: int = 64, draft_k: int = 6,
-                             ngram: int = 2) -> List[str]:
+                             ngram: int = 2,
+                             stats: Optional[dict] = None) -> List[str]:
         """Greedy-exact speculative decoding for ANY exact stack —
         including hybrid delta-layer decoders (OvisOCR2), which the
         reference decodes strictly greedily (ovisocr2/model.rs has no
@@ -534,7 +547,11 @@ class ExactVLM:
         lookup (vl/speculative.ngram_draft); every emitted token is a
         target argmax, so output matches :meth:`generate` token for token
         and only latency differs. Batch-1 per image, matching the
-        reference's speculative-decode focus (hpd_parsing/model.rs)."""
+        reference's speculative-decode focus (hpd_parsing/model.rs).
+
+        ``stats`` (optional dict) accumulates acceptance accounting
+        across images: rounds, drafted, accepted, emitted (the
+        metal_bench.rs-style decode evidence tools/vl_bench.py emits)."""
         import os
 
         if os.environ.get("OAR_TPU_DISABLE_SPECULATION"):
@@ -587,6 +604,11 @@ class ExactVLM:
                     jnp.asarray(hist),
                     jnp.asarray([hlen], np.int32), npos)
                 n_acc = int(acc[0])
+                if stats is not None:
+                    stats["rounds"] = stats.get("rounds", 0) + 1
+                    stats["drafted"] = stats.get("drafted", 0) + draft_k
+                    stats["accepted"] = stats.get("accepted", 0) + n_acc
+                    stats["emitted"] = stats.get("emitted", 0) + 1 + n_acc
                 for v in np.asarray(emitted)[0, : n_acc + 1].tolist():
                     ids.append(int(v))
                     if hlen < hist_cap:
@@ -809,11 +831,20 @@ class GlmSpeculativeExact(ExactVLM):
         if mtp_params is None:
             cache = KVCache.create(1, 1, c.kv_heads, 8, c.head_dim,
                                    dtype=jnp.float32)
-            mtp_params = self.mtp.init(
-                jax.random.PRNGKey(11), jnp.zeros((1, 1), jnp.int32),
-                jnp.zeros((1, 1, c.hidden), jnp.float32),
-                jnp.zeros((1, 1), jnp.int32), cache, jnp.int32(0),
-                jnp.ones((1, 1, 1, 8), bool))
+
+            def init(r):
+                return self.mtp.init(
+                    r, jnp.zeros((1, 1), jnp.int32),
+                    jnp.zeros((1, 1, c.hidden), jnp.float32),
+                    jnp.zeros((1, 1), jnp.int32), cache, jnp.int32(0),
+                    jnp.ones((1, 1, 1, 8), bool))
+
+            if kw.get("fast_init"):
+                from ..runtime.runtime import init_params_fast_fn
+
+                mtp_params = init_params_fast_fn(init, seed=11)
+            else:
+                mtp_params = init(jax.random.PRNGKey(11))
         self.mtp_params = self.runtime.put_params_vl(mtp_params)
 
     def _spec_round(self, params, mparams, h, tok, cache, mtp_cache,
@@ -864,7 +895,8 @@ class GlmSpeculativeExact(ExactVLM):
         return res.next_tokens, a, next_tok, h_next, cache, mtp_cache
 
     def generate_speculative(self, images, instruction: str = "OCR:", *,
-                             max_new_tokens: int = 64):
+                             max_new_tokens: int = 64,
+                             stats: Optional[dict] = None):
         import functools
 
         c = self.spec.text_cfg
@@ -903,6 +935,11 @@ class GlmSpeculativeExact(ExactVLM):
                     self.params, self.mtp_params, h, tok, cache,
                     mtp_cache, jnp.int32(wpos))
                 n_acc = int(a[0])
+                if stats is not None:
+                    stats["rounds"] = stats.get("rounds", 0) + 1
+                    stats["drafted"] = stats.get("drafted", 0) + k
+                    stats["accepted"] = stats.get("accepted", 0) + n_acc
+                    stats["emitted"] = stats.get("emitted", 0) + 1 + n_acc
                 for v_ in np.asarray(emitted)[0, : n_acc + 1].tolist():
                     ids.append(int(v_))
                     if v_ == c.eos_id or len(ids) >= max_new_tokens:

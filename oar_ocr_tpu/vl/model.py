@@ -75,7 +75,7 @@ class PaddleOCRVL:
 
     def __init__(self, params=None, *, cfg: Optional[PaddleOCRVLConfig] = None,
                  tokenizer=None, runtime: Optional[Runtime] = None,
-                 seed: int = 0):
+                 seed: int = 0, fast_init: bool = False):
         self.runtime = runtime or Runtime.default()
         self.cfg = cfg or PaddleOCRVLConfig()
         self.vcfg = VisionProcessorConfig(patch_size=self.cfg.v_patch,
@@ -83,7 +83,9 @@ class PaddleOCRVL:
         self.tokenizer = tokenizer or ByteTokenizer()
         self.module = PaddleOCRVLModule(self.cfg)
         if params is None:
-            params = self._init_params(seed)
+            # fast_init: shape-only eval + host randoms so the FULL-SIZE
+            # config constructs without eager flax init (vl_bench)
+            params = self._init_params(seed, fast=fast_init)
         self.params = self.runtime.put_params_vl(params)
         self._encode_vision = jax.jit(
             lambda p, patches, valid, h_ids, w_ids, pe: self.module.apply(
@@ -101,7 +103,7 @@ class PaddleOCRVL:
             self.params, method=PaddleOCRVLModule.position_table
         ).astype(jnp.float32))
 
-    def _init_params(self, seed: int):
+    def _init_params(self, seed: int, fast: bool = False):
         c = self.cfg
         rng = jax.random.PRNGKey(seed)
         t = (self.cfg.v_merge ** 2)
@@ -109,6 +111,13 @@ class PaddleOCRVL:
         valid = jnp.ones((1, t), bool)
         ids = jnp.zeros((1, 4), jnp.int32)
         pos = jnp.zeros((3, 1, 4), jnp.int32)
+        if fast:
+            from ..runtime.runtime import init_params_fast_fn
+
+            return init_params_fast_fn(
+                lambda r: self.module.init(
+                    r, patches, valid, ids, pos,
+                    method=PaddleOCRVLModule.init_all), seed=seed)
         return self.module.init(rng, patches, valid, ids, pos,
                                 method=PaddleOCRVLModule.init_all)
 
@@ -226,11 +235,15 @@ class PaddleOCRVL:
             ids[:, 1].astype(np.int32)
 
     def generate(self, images: Sequence[np.ndarray], task: str = "ocr",
-                 *, max_new_tokens: int = 512,
-                 raw: bool = False) -> List[GenerationResult]:
+                 *, max_new_tokens: int = 512, raw: bool = False,
+                 min_capacity: int = 0) -> List[GenerationResult]:
         """``raw=True`` skips the per-task output postprocess — the
         ``generate_with_raw`` path (doc_parser.rs:459) callers use when
-        they must truncate repetition BEFORE task postprocessing."""
+        they must truncate repetition BEFORE task postprocessing.
+        ``min_capacity`` pins the KV bucket to at least this size —
+        serving loops (and tools/vl_bench.py) use it to keep mixed
+        request sizes on ONE compiled program instead of recompiling per
+        pow2 bucket."""
         if task not in TASK_PROMPTS:
             raise InvalidInputError("unknown task", task=task,
                                     known=sorted(TASK_PROMPTS))
@@ -239,7 +252,8 @@ class PaddleOCRVL:
         try:
             return self._generate_batch(images, task,
                                         max_new_tokens=max_new_tokens,
-                                        raw=raw)
+                                        raw=raw,
+                                        min_capacity=min_capacity)
         except Exception:
             if len(images) == 1:
                 raise
@@ -251,7 +265,7 @@ class PaddleOCRVL:
                 try:
                     out.extend(self._generate_batch(
                         [im], task, max_new_tokens=max_new_tokens,
-                        raw=raw))
+                        raw=raw, min_capacity=min_capacity))
                 except Exception:
                     from ..utils.tracing import logger
 
@@ -262,8 +276,8 @@ class PaddleOCRVL:
             return out
 
     def _generate_batch(self, images: Sequence[np.ndarray], task: str,
-                        *, max_new_tokens: int,
-                        raw: bool = False) -> List[GenerationResult]:
+                        *, max_new_tokens: int, raw: bool = False,
+                        min_capacity: int = 0) -> List[GenerationResult]:
         c = self.cfg
 
         # --- vision; the spotting task 2×-pre-upscales small pages and
@@ -328,7 +342,8 @@ class PaddleOCRVL:
         for i, (start, n_tok) in enumerate(img_positions):
             embeds[i, start : start + n_tok] = img_embeds_np[i, :n_tok]
 
-        capacity = decoder_cache_capacity(max_len, max_new_tokens)
+        capacity = max(decoder_cache_capacity(max_len, max_new_tokens),
+                       min_capacity)
         with stage_timer("vl.generate", batch=b, prompt=max_len,
                          capacity=capacity):
             out_ids = self._prefill_decode(
