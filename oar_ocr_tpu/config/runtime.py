@@ -174,6 +174,14 @@ class RuntimeConfig:
     # overflow refetches the full packed array. Decode-lossless: the
     # dictionary decoder only ever reads kept columns.
     rec_kept_fetch: str = "auto"
+    # Link-recovery re-measurement cadence for the adaptive transfer
+    # paths: while sparse transfers are active, at most ONE full-price
+    # dense/full transfer per this many seconds re-measures the link
+    # (runtime.h2d_recovery_due / d2h_recovery_due). Time-based, not
+    # count-based: the r4 every-16th-call pattern fired a 59 MB dense
+    # upload every ~6 s of pipelined bench time and cost ~40% of the
+    # degraded-link headline.
+    link_recovery_interval_s: float = 60.0
 
     RULES = {
         "compute_dtype": Rule(choices=("bfloat16", "float32")),
@@ -205,6 +213,9 @@ class RuntimeConfig:
             updates["rec_kept_fetch"] = os.environ["OAR_TPU_KEPT_REC"]
         if os.environ.get("OAR_TPU_SPARSE_UPLOAD"):
             updates["page_upload"] = os.environ["OAR_TPU_SPARSE_UPLOAD"]
+        if os.environ.get("OAR_TPU_RECOVERY_S"):
+            updates["link_recovery_interval_s"] = float(
+                os.environ["OAR_TPU_RECOVERY_S"])
         if os.environ.get("OAR_TPU_TP"):
             updates["mesh"] = dataclasses.replace(
                 cfg.mesh, n_model=int(os.environ["OAR_TPU_TP"]))

@@ -320,13 +320,15 @@ class DBDetector:
 
         rt = self.runtime
         if mask is not None:
-            # every 16th sparse batch re-measures the link with a full
-            # transfer (sparse fetches can be under note_d2h's size
-            # floor, which would freeze the EMA and latch sparse mode
-            # after the link recovers)
-            self._sparse_count = getattr(self, "_sparse_count", 0) + 1
-            if (self._sparse_count % 16 == 0
-                    and rt.cfg.det_sparse_fetch == "auto"):
+            # STARVATION-GATED periodic full transfer: sparse payloads
+            # can sit under note_d2h's 64 KB floor, freezing the EMA and
+            # latching sparse after the link recovers. Only when no
+            # measurement has landed within link_recovery_interval_s
+            # does ONE full fetch re-measure (the full transfer below is
+            # ≥64 KB, so it resets the clock via note_d2h). Payloads
+            # above the floor keep the EMA live for free — no probe.
+            if (rt.cfg.det_sparse_fetch == "auto"
+                    and rt.d2h_recovery_due()):
                 rt.note_recovery("det_full")
                 mask = None
         if mask is not None:

@@ -44,9 +44,6 @@ TILE = 32
 # engage sparse only when it beats the best dense option by this factor
 # (covers the host analysis cost and the scatter program's device time)
 _WIN_RATIO = 0.8
-# every Nth sparse upload goes dense so a recovered link is noticed (the
-# det-sparse every-16th full-transfer pattern, detector.py:223)
-_DENSE_RECOVERY_EVERY = 16
 
 
 def _sampled_gray(im: np.ndarray) -> bool:
@@ -136,14 +133,16 @@ def upload_pages(runtime, images: Sequence[np.ndarray],
     if adaptive and mode == "auto":
         bw = runtime.h2d_mbps
         adaptive = bw is not None and bw < cfg.upload_sparse_bw_mbps
-        if adaptive:
-            # periodic dense upload: the only way a recovered link can be
-            # noticed without a blocking probe — its h2d_checkpoint
-            # observation raises the EMA back above the threshold
-            runtime._h2d_sparse_n += 1
-            if runtime._h2d_sparse_n % _DENSE_RECOVERY_EVERY == 0:
-                runtime.note_recovery("upload_dense")
-                adaptive = False
+        if adaptive and runtime.h2d_recovery_due():
+            # scheduled dense upload: the only way a recovered link can
+            # be noticed without a blocking probe — its h2d_checkpoint
+            # observation raises the EMA back above the threshold. At
+            # most one per link_recovery_interval_s (time-based; the
+            # clock is reset here AND in _put_dense so organic dense
+            # uploads also count as measurements).
+            runtime.note_recovery("upload_dense")
+            runtime.note_dense_upload()
+            adaptive = False
 
     if not adaptive:
         batch = stack_padded(list(images), (h, w))
@@ -302,6 +301,7 @@ def _put_gray(runtime, batch: np.ndarray):
 def _put_dense(runtime, batch: np.ndarray):
     t0 = time.perf_counter()
     out = runtime.put(batch)
+    runtime.note_dense_upload()
     _finish_timed(runtime, out, batch.nbytes, t0, ("dense", batch.shape))
     return out
 

@@ -103,7 +103,15 @@ class Runtime:
         # measured); instead the window to the first DEPENDENT d2h fetch
         # (which predict pays anyway) bounds the bandwidth.
         self._h2d_obs = None
-        self._h2d_sparse_n = 0    # periodic dense recovery counter
+        # link-recovery probe clocks (h2d_recovery_due / d2h_recovery_due):
+        # last dense page upload, and last time a REAL d2h bandwidth
+        # measurement landed in note_d2h. Seeded to construction time so
+        # a fresh runtime never probes before the first interval elapses.
+        import time as _time
+
+        _now = _time.monotonic()
+        self._h2d_dense_t = _now
+        self._d2h_meas_t = _now
         # per-process transfer accounting (bench's link-floor model)
         self.d2h_bytes_total = 0
         self.d2h_fetch_count = 0
@@ -112,8 +120,8 @@ class Runtime:
         # adaptive-path health accounting (bench flake itemization):
         # degrade_counts — unplanned full-transfer fallbacks (tunnel
         # flakes, compile drops); recovery_counts — SCHEDULED periodic
-        # dense/full transfers that re-measure the link (every-16th
-        # pattern, an expected per-iteration cost, not a failure);
+        # dense/full transfers that re-measure the link (time-based,
+        # h2d_recovery_due/d2h_recovery_due — expected, not a failure);
         # link_retry_count — io_submit transient-read retries.
         self.degrade_counts: dict = {}
         self.recovery_counts: dict = {}
@@ -247,6 +255,9 @@ class Runtime:
         mbps = nbytes / payload_s / 1e6
         self._d2h_mbps = (mbps if self._d2h_mbps is None
                           else 0.7 * self._d2h_mbps + 0.3 * mbps)
+        import time as _time
+
+        self._d2h_meas_t = _time.monotonic()
 
     @property
     def d2h_mbps(self) -> Optional[float]:
@@ -300,7 +311,7 @@ class Runtime:
           must not drag a healthy estimate down).
         No fetch is ever issued for measurement (the r3 cliff fix); link
         recovery while sparse is detected by the periodic dense upload
-        (runtime/page_upload.py, the det-sparse every-16th pattern)."""
+        (runtime/page_upload.py, h2d_recovery_due — time-based)."""
         obs = self._h2d_obs
         if obs is None:
             return
@@ -318,6 +329,41 @@ class Runtime:
             self.note_h2d(payload, elapsed)
         else:
             self._h2d_t = _time.monotonic()   # link observed; not stale
+
+    def h2d_recovery_due(self) -> bool:
+        """True when the sparse page upload should ship ONE dense batch
+        to re-measure the link (runtime/page_upload.py). Time-based: the
+        free checkpoint observations are windowed lower bounds (the
+        window includes det compute) that cannot reliably cross the
+        recovery threshold, so at most one full-price dense upload per
+        ``link_recovery_interval_s`` re-measures for real. The r4
+        every-16th COUNT pattern fired a 59 MB dense upload every ~6 s
+        of pipelined bench time — two landed inside one 8-iteration
+        window and took the degraded-link headline from ~40 to 19.3
+        pages/s (BENCH r5 first run)."""
+        import time as _time
+
+        return (_time.monotonic() - self._h2d_dense_t
+                > self.cfg.link_recovery_interval_s)
+
+    def note_dense_upload(self) -> None:
+        """Record a dense page upload (its checkpoint observation is a
+        real link measurement) so the recovery probe clock resets."""
+        import time as _time
+
+        self._h2d_dense_t = _time.monotonic()
+
+    def d2h_recovery_due(self) -> bool:
+        """True when the sparse det fetch should ship ONE full bitmap to
+        re-measure the link — only when the d2h EMA is STARVED (no
+        ≥64 KB fetch has landed a note_d2h measurement within
+        ``link_recovery_interval_s``). Sparse payloads above the floor
+        keep the EMA live for free: a recovered link reads high on the
+        next sparse fetch and auto mode disengages without any probe."""
+        import time as _time
+
+        return (_time.monotonic() - self._d2h_meas_t
+                > self.cfg.link_recovery_interval_s)
 
     def put_pages(self, images, target_hw) -> jax.Array:
         """Upload variable-size HWC uint8 pages as one padded

@@ -65,9 +65,12 @@ def test_note_d2h_bounded_rtt_subtraction(rt):
     assert rt.d2h_mbps < 100.0
 
 
-def test_sparse_upload_periodic_dense_recovery(monkeypatch):
-    """Every 16th sparse-eligible upload goes dense so a recovered link
-    can be observed (no blocking probe exists to notice it)."""
+def test_sparse_upload_time_based_dense_recovery(monkeypatch):
+    """While sparse uploads are active, at most ONE dense upload per
+    link_recovery_interval_s re-measures the link (time-based — the
+    r4 every-16th COUNT pattern fired a full-price 59 MB dense upload
+    every ~6 s of pipelined bench time and cost ~40% of the headline);
+    a fresh dense timestamp suppresses the probe entirely."""
     from oar_ocr_tpu.config.runtime import RuntimeConfig
     from oar_ocr_tpu.runtime import page_upload as P
 
@@ -84,12 +87,32 @@ def test_sparse_upload_periodic_dense_recovery(monkeypatch):
                         lambda rt_, plan, g: paths.append("sparse"))
     monkeypatch.setattr(P, "_put_gray",
                         lambda rt_, b: paths.append("gray"))
+    # fresh probe clock (construction time): every upload stays sparse
     for _ in range(32):
         P.upload_pages(rt, pages, (64, 64))
-    dense_n = sum(1 for p in paths if p == "dense")
-    assert dense_n == 2, paths      # exactly every 16th call
-    assert all(p != "dense" for i, p in enumerate(paths)
-               if (i + 1) % 16)
+    assert paths and all(p == "sparse" for p in paths)
+
+    # stale clock: exactly ONE dense recovery fires, clock resets, and
+    # the following uploads are sparse again
+    paths.clear()
+    rt._h2d_dense_t -= rt.cfg.link_recovery_interval_s + 1
+    for _ in range(4):
+        P.upload_pages(rt, pages, (64, 64))
+    assert paths == ["dense", "sparse", "sparse", "sparse"]
+    assert rt.recovery_counts.get("upload_dense") == 1
+
+
+def test_d2h_recovery_starvation_gated(rt):
+    """The det-side full-fetch probe fires ONLY when the d2h EMA is
+    starved: any ≥64 KB fetch landing a note_d2h measurement resets the
+    clock, so links whose sparse payloads feed the EMA never pay it."""
+    assert not rt.d2h_recovery_due()          # fresh at construction
+    rt._d2h_meas_t -= rt.cfg.link_recovery_interval_s + 1
+    assert rt.d2h_recovery_due()              # starved -> probe due
+    rt.note_rtt(0.001)                        # tiny fetch: no measurement
+    assert rt.d2h_recovery_due()
+    rt.note_d2h(1 << 20, 0.05)                # >=64 KB measurement lands
+    assert not rt.d2h_recovery_due()
 
 
 def test_no_keepalive_thread_on_cpu():
