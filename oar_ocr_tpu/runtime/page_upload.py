@@ -90,6 +90,31 @@ def _rebuild(base, tiles, idx):
     return pages
 
 
+def _rebuild_bilevel(base, tiles, idx, bits, lo, hi, bidx):
+    """Device-side reassembly with a BILEVEL tile group: dense tiles
+    scatter as in :func:`_rebuild`; bilevel tiles (exactly two distinct
+    values — text on flat background, the core OCR content) arrive as
+    1 bit/px + lo/hi colors and are expanded on device. Bit-exact."""
+    import jax.numpy as jnp
+
+    b, nth, ntw, c = base.shape
+    n = b * nth * ntw
+    grid = jnp.broadcast_to(base.reshape(n, 1, 1, c), (n, TILE, TILE, c))
+    grid = grid.at[idx].set(tiles)
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)     # MSB-first
+    bl = ((bits[:, :, None] >> shifts) & 1).astype(jnp.uint8)
+    bl = bl.reshape(-1, TILE, TILE, 1)
+    btiles = (lo[:, None, None, :]
+              + (hi - lo)[:, None, None, :] * bl)       # hi >= lo: no wrap
+    grid = grid.at[bidx].set(btiles)
+    pages = (grid.reshape(b, nth, ntw, TILE, TILE, c)
+             .transpose(0, 1, 3, 2, 4, 5)
+             .reshape(b, nth * TILE, ntw * TILE, c))
+    if c == 1:
+        pages = jnp.broadcast_to(pages, pages.shape[:3] + (3,))
+    return pages
+
+
 def _gray_to_rgb(x):
     import jax.numpy as jnp
 
@@ -97,15 +122,17 @@ def _gray_to_rgb(x):
 
 
 _jit_rebuild = None
+_jit_rebuild_bl = None
 _jit_gray = None
 
 
 def _jits():
-    global _jit_rebuild, _jit_gray
+    global _jit_rebuild, _jit_rebuild_bl, _jit_gray
     if _jit_rebuild is None:
         import jax
 
         _jit_rebuild = jax.jit(_rebuild)
+        _jit_rebuild_bl = jax.jit(_rebuild_bilevel)
         _jit_gray = jax.jit(_gray_to_rgb)
     return _jit_rebuild, _jit_gray
 
@@ -162,7 +189,13 @@ def upload_pages(runtime, images: Sequence[np.ndarray],
                 batch = stack_padded(list(images), (h, w))
             plan = _analyze(batch)
     best_dense = dense_bytes // 3 if gray else dense_bytes
-    if plan is not None and plan[3] < _WIN_RATIO * best_dense:
+    if plan is not None:
+        # bilevel split: text-on-flat-background tiles ship as
+        # 1 bit/px + 2 colors (~8x fewer bytes than raw tiles)
+        split = _split_bilevel(plan)
+        if split is not None and split[-1] < plan[3]:
+            plan = split
+    if plan is not None and plan[-1] < _WIN_RATIO * best_dense:
         try:
             return _put_sparse(runtime, plan, gray)
         except Exception as e:  # pragma: no cover - tunnel flake
@@ -261,6 +294,80 @@ def _analyze(batch: np.ndarray):
     return (tmin, tiles, idx, payload)
 
 
+def _bl_buckets(total: int) -> Tuple[int, ...]:
+    """Coarse occupancy buckets for the SPLIT (dense, bilevel) upload:
+    each distinct (dense-bucket, bilevel-bucket) pair is one compiled
+    scatter program on a minutes-per-compile tunnel, so both groups
+    quantize to three sizes (content is stable across a session, so a
+    run typically compiles exactly one pair)."""
+    fracs = (1 / 16, 1 / 4, 3 / 4)
+    return tuple(sorted({max(1, math.ceil(total * f)) for f in fracs}))
+
+
+def _pad_group(tiles, idx, buckets):
+    """Pad a tile group to its occupancy bucket by repeating element 0
+    (duplicate scatter indices write identical values). None when the
+    group overflows the largest bucket."""
+    n = tiles.shape[0]
+    fit = next((s for s in buckets if s >= n), None)
+    if fit is None:
+        return None
+    if fit > n:
+        tiles = np.concatenate(
+            [tiles, np.repeat(tiles[:1], fit - n, axis=0)])
+        idx = np.concatenate([idx, np.repeat(idx[:1], fit - n)])
+    return tiles, idx
+
+
+def _split_bilevel(plan):
+    """Split the occupied tiles of ``plan`` into a BILEVEL group (every
+    pixel equals the tile's per-channel min vector or max vector — text
+    on flat background, shipped as 1 bit/px + the two colors) and a
+    dense remainder (antialiased edges, halftones, photos). Returns
+    (base, dense_tiles, dense_idx, bits, lo, hi, bl_idx, payload) or
+    None when too few tiles are bilevel to pay for the second scatter
+    (the caller keeps the single-group plan). Reconstruction is
+    bit-exact: the membership test is against the exact lo/hi vectors
+    the device rebuild uses."""
+    base, tiles, idx, _ = plan
+    n = tiles.shape[0]
+    c = tiles.shape[3]
+    total = base.shape[0] * base.shape[1] * base.shape[2]
+    tmin = tiles.min(axis=(1, 2), keepdims=True)
+    tmax = tiles.max(axis=(1, 2), keepdims=True)
+    eq_hi = (tiles == tmax).all(axis=-1)             # (N, TILE, TILE)
+    eq_lo = (tiles == tmin).all(axis=-1)
+    is_bl = (eq_hi | eq_lo).all(axis=(1, 2))
+    nb = int(is_bl.sum())
+    if nb < max(16, n // 4):
+        return None
+    buckets = _bl_buckets(total)
+    bl = _pad_group(tiles[is_bl], idx[is_bl], buckets)
+    dn_tiles, dn_idx = tiles[~is_bl], idx[~is_bl]
+    if dn_tiles.shape[0] == 0:
+        # empty dense group: one synthetic base-valued tile at flat
+        # index 0 (== the broadcast background there; the bilevel
+        # scatter runs after and overwrites if tile 0 is occupied)
+        dn_tiles = np.broadcast_to(
+            base[0, 0, 0][None, None, None, :], (1, TILE, TILE, c)
+        ).astype(np.uint8).copy()
+        dn_idx = np.zeros((1,), np.int32)
+    dn = _pad_group(dn_tiles, dn_idx, buckets)
+    if bl is None or dn is None:
+        return None
+    bl_tiles, bl_idx = bl
+    dn_tiles, dn_idx = dn
+    lo = np.ascontiguousarray(
+        bl_tiles.min(axis=(1, 2)))                   # (Nb, c)
+    hi = np.ascontiguousarray(bl_tiles.max(axis=(1, 2)))
+    bits = np.packbits(
+        (bl_tiles == hi[:, None, None, :]).all(axis=-1), axis=-1)
+    bits = bits.reshape(bl_tiles.shape[0], -1)       # (Nb, TILE*TILE/8)
+    payload = (bits.nbytes + lo.nbytes + hi.nbytes + bl_idx.nbytes
+               + dn_tiles.nbytes + dn_idx.nbytes + base.nbytes)
+    return (base, dn_tiles, dn_idx, bits, lo, hi, bl_idx, payload)
+
+
 def _placement(runtime):
     """Upload destination: replicated over the mesh when one is active
     (matching `Runtime.put` for the dense batch), else the primary
@@ -273,14 +380,23 @@ def _placement(runtime):
 def _put_sparse(runtime, plan, gray: bool):
     import jax
 
-    base, tiles, idx, payload = plan
-    rebuild, _ = _jits()
+    _jits()
     t0 = time.perf_counter()
     dst = _placement(runtime)
+    if len(plan) == 8:                      # bilevel split plan
+        base, tiles, idx, bits, lo, hi, bidx, payload = plan
+        args = [jax.device_put(a, dst)
+                for a in (base, tiles, idx, bits, lo, hi, bidx)]
+        out = _jit_rebuild_bl(*args)
+        _finish_timed(runtime, out, payload, t0,
+                      ("sparse_bl", base.shape, tiles.shape,
+                       bits.shape))
+        return out
+    base, tiles, idx, payload = plan
     dev_base = jax.device_put(base, dst)
     dev_tiles = jax.device_put(tiles, dst)
     dev_idx = jax.device_put(idx, dst)
-    out = rebuild(dev_base, dev_tiles, dev_idx)
+    out = _jit_rebuild(dev_base, dev_tiles, dev_idx)
     _finish_timed(runtime, out, payload, t0,
                   ("sparse", base.shape, tiles.shape))
     return out

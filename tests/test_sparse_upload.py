@@ -156,6 +156,76 @@ def test_predict_sparse_matches_dense(rng):
             assert rd.confidence == pytest.approx(rs.confidence)
 
 
+def _text_pages(n=3, hw=(256, 320)):
+    """Hard-edged two-value blocks on flat background: every occupied
+    tile is exactly bilevel (the split's target content class)."""
+    pages = []
+    for i in range(n):
+        img = np.full((hw[0] - 8 * i, hw[1] - 8 * i, 3), 255, np.uint8)
+        img[40:70, 30:200] = [20, 60, 90]
+        img[100:130, 50:250] = 5
+        img[160:190, 20:140] = [200, 10, 10]
+        pages.append(img)
+    return pages
+
+
+def test_bilevel_split_bit_exact(rng):
+    """Text-on-flat-background tiles take the BILEVEL packed path
+    (1 bit/px + 2 colors) and must reconstruct bit-identically — for
+    RGB, grayscale, and mixed (noise region forces a dense group)."""
+    hw = (256, 320)
+    # rgb text blocks
+    out = np.asarray(page_upload.upload_pages(_rt("on"),
+                                              _text_pages(), hw))
+    assert np.array_equal(out, _expected(_text_pages(), hw))
+    # mixed: one noisy (dense-group) region + text blocks
+    pages = _text_pages(n=1)
+    pages[0][:64, :64] = rng.integers(0, 255, (64, 64, 3), np.uint8)
+    out = np.asarray(page_upload.upload_pages(_rt("on"), pages, hw))
+    assert np.array_equal(out, _expected(pages, hw))
+    # antialiased edges (3 values/tile) must land in the dense group
+    pages = [np.full((128, 128, 3), 255, np.uint8)]
+    pages[0][30:60, 20:100] = 0
+    pages[0][29, 20:100] = 128
+    out = np.asarray(page_upload.upload_pages(_rt("on"), pages,
+                                              (128, 128)))
+    assert np.array_equal(out, _expected(pages, (128, 128)))
+
+
+def test_bilevel_split_payload_and_fallbacks():
+    """The split plan must undercut the raw-tile plan by a wide margin
+    on bilevel content, decline when too few tiles qualify, and its
+    packed-bit reconstruction must match the raw tiles exactly."""
+    batch = stack_padded(_text_pages(), (256, 320))
+    plan = page_upload._analyze(batch)
+    split = page_upload._split_bilevel(plan)
+    assert split is not None
+    assert split[-1] < 0.4 * plan[3]
+    # few bilevel tiles → split declines (single-group plan kept)
+    rng = np.random.default_rng(0)
+    noisy = [rng.integers(0, 255, (96, 64, 3), dtype=np.uint8)]
+    nbatch = stack_padded(noisy, (96, 64))
+    nplan = page_upload._analyze(nbatch)
+    assert (nplan is None
+            or page_upload._split_bilevel(nplan) is None)
+
+
+def test_bilevel_failure_degrades_to_dense(monkeypatch):
+    """A tunnel flake inside the bilevel scatter program degrades to the
+    dense transfer (full-transfer ladder), bit-identically."""
+    rt = _rt("on")
+    pages = _text_pages(n=2)
+    expect = _expected(pages, (256, 320))
+
+    def boom(*a, **k):
+        raise RuntimeError("remote_compile: body closed")
+
+    monkeypatch.setattr(page_upload, "_put_sparse", boom)
+    out = page_upload.upload_pages(rt, pages, (256, 320))
+    assert np.array_equal(np.asarray(out), expect)
+    assert rt.degrade_counts.get("sparse_upload") == 1
+
+
 def test_sparse_upload_failure_degrades_to_dense(monkeypatch):
     """A transient device/compile failure inside the sparse or gray
     upload programs (observed: a remote-compile tunnel drop) must
