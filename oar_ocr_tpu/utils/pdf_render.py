@@ -15,12 +15,16 @@ Scope (documented, deliberate):
 - content ops: BT/ET Tf Td TD Tm T* TL Tc Tw Tj TJ ' " for text;
   m l c re h f F f* B S n W for paths (béziers flattened); q Q cm gs;
   rg g k RG G K sc scn cs for colors; Do for image and form XObjects;
-  BI…EI inline images are skipped;
+  BI…ID…EI inline images (raw / Flate / AHx / DCT payloads, gray / RGB
+  / CMYK / indexed / ImageMask stencils);
 - fonts: simple fonts advance by /Widths (+/MissingWidth), Type0 by the
   /W + /DW arrays, with ToUnicode bfchar/bfrange CMaps for text bytes;
-  glyphs draw with cv2's Hershey face scaled to the device font size —
-  legible and correctly placed, not shape-exact (fine for OCR; the
-  reference's own FAQ treats rasterization as input preparation);
+  when the FontDescriptor embeds a font program (FontFile2 TrueType,
+  FontFile3 CFF, FontFile Type1) glyphs draw with their TRUE embedded
+  outlines (utils/font_glyphs.py — the hayro-equivalent path); fonts
+  without an embedded program (the standard 14) or with unparsable
+  programs draw with cv2's Hershey face scaled to the device font
+  size — legible and correctly placed, not shape-exact;
 - non-ASCII glyphs without a usable unicode mapping render as ink boxes
   of the correct advance so detection still sees the text line.
 
@@ -420,22 +424,43 @@ def _png_unpredict(data: bytes, cols: int, colors: int, bpc: int) -> bytes:
 # ----------------------------- fonts -----------------------------
 
 class FontInfo:
-    """Advance widths + byte→unicode decoding for one font resource."""
+    """Advance widths, byte→unicode decoding, and (when the
+    FontDescriptor embeds a font program) glyph outlines for one font
+    resource. Outline parsing failures are swallowed — the renderer
+    falls back to the Hershey approximation per glyph."""
 
     def __init__(self, doc: PdfDocument, fdict: Dict):
         self.two_byte = False
         self.widths: Dict[int, float] = {}
         self.default_width = 500.0
         self.to_unicode: Dict[int, str] = {}
+        self.glyphs = None                       # EmbeddedGlyphs | None
+        self.encoding_names: Dict[int, str] = {}
+        self._glyph_cache: Dict[int, Any] = {}
+        self.charprocs: Dict = {}                # Type3 name → stream Ref
+        self.font_matrix = [0.001, 0, 0, 0.001, 0, 0]
+        self.t3_resources = None
+        self._proc_cache: Dict[int, bytes] = {}
         fdict = doc.resolve(fdict) or {}
         subtype = str(fdict.get("Subtype", ""))
+        fd: Dict = {}
+        cid = False
+        cid_to_gid = None
         if subtype == "Type0":
             self.two_byte = True
+            cid = True
             desc = doc.resolve(fdict.get("DescendantFonts", []))
             if isinstance(desc, list) and desc:
                 d0 = doc.resolve(desc[0]) or {}
                 self.default_width = float(doc.resolve(d0.get("DW", 1000)))
                 self._parse_w(doc, doc.resolve(d0.get("W", [])) or [])
+                fd = doc.resolve(d0.get("FontDescriptor")) or {}
+                c2g = d0.get("CIDToGIDMap")
+                if isinstance(c2g, Ref):
+                    try:
+                        cid_to_gid = doc.stream_bytes(c2g)
+                    except Exception:
+                        pass
         else:
             fc = int(doc.resolve(fdict.get("FirstChar", 0)) or 0)
             ws = doc.resolve(fdict.get("Widths", [])) or []
@@ -444,12 +469,85 @@ class FontInfo:
             fd = doc.resolve(fdict.get("FontDescriptor")) or {}
             self.default_width = float(
                 doc.resolve(fd.get("MissingWidth", 500)))
+            enc = doc.resolve(fdict.get("Encoding"))
+            if isinstance(enc, dict):            # /Differences code→name
+                code = 0
+                for item in doc.resolve(enc.get("Differences", [])) or []:
+                    item = doc.resolve(item)
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    elif isinstance(item, Name):
+                        self.encoding_names[code] = str(item)
+                        code += 1
+            if subtype == "Type3":
+                # glyph programs ARE content streams (run recursively
+                # through the page renderer with the FontMatrix CTM —
+                # matplotlib's default pdf.fonttype=3 output)
+                self.charprocs = doc.resolve(
+                    fdict.get("CharProcs")) or {}
+                fm = doc.resolve(fdict.get("FontMatrix")) or []
+                self.font_matrix = ([float(doc.resolve(v)) for v in fm]
+                                    if len(fm) == 6
+                                    else [0.001, 0, 0, 0.001, 0, 0])
+                self.t3_resources = doc.resolve(fdict.get("Resources"))
+                # Type3 /Widths are GLYPH-space: rescale into the /1000
+                # text-space convention width() callers assume
+                sx = self.font_matrix[0] or 0.001
+                self.widths = {k: v * sx * 1000.0
+                               for k, v in self.widths.items()}
+                self.default_width *= sx * 1000.0
+        for kind in ("FontFile2", "FontFile3", "FontFile"):
+            ref = fd.get(kind)
+            if isinstance(ref, Ref):
+                try:
+                    from .font_glyphs import load_font_program
+
+                    self.glyphs = load_font_program(
+                        kind, doc.stream_bytes(ref), cid=cid,
+                        cid_to_gid=cid_to_gid)
+                except Exception:
+                    self.glyphs = None
+                break
         tu = fdict.get("ToUnicode")
         if isinstance(tu, Ref):
             try:
                 self._parse_tounicode(doc.stream_bytes(tu))
             except Exception:
                 pass
+
+    def charproc_bytes(self, doc: PdfDocument, code: int) -> bytes:
+        """Decoded Type3 glyph content stream for ``code`` (b'' when the
+        encoding or CharProcs has no entry). Cached per code."""
+        if code in self._proc_cache:
+            return self._proc_cache[code]
+        out = b""
+        name = self.encoding_names.get(code)
+        proc = self.charprocs.get(name) if name else None
+        if isinstance(proc, Ref):
+            try:
+                out = doc.stream_bytes(proc)
+            except Exception:
+                out = b""
+        self._proc_cache[code] = out
+        return out
+
+    def glyph_contours(self, code: int, uni: str):
+        """Embedded-outline lookup in text-space units (em == 1.0), or
+        None → Hershey fallback. Cached per code."""
+        if self.glyphs is None:
+            return None
+        if code in self._glyph_cache:
+            return self._glyph_cache[code]
+        try:
+            conts = self.glyphs.contours(
+                code, uni, self.encoding_names.get(code))
+        except Exception:
+            conts = None
+        if conts:
+            s = 1.0 / self.glyphs.units_per_em
+            conts = [c * s for c in conts]
+        self._glyph_cache[code] = conts
+        return conts
 
     def _parse_w(self, doc, arr):
         i = 0
@@ -572,12 +670,14 @@ class _PageRenderer:
 
     # ---- main ----
     def run(self, content: bytes, res: Optional[Dict] = None,
-            ctm: Optional[np.ndarray] = None, depth: int = 0):
+            ctm: Optional[np.ndarray] = None, depth: int = 0,
+            fill=None):
         if depth > 8:
             return
         cv2 = self.cv2
         res = res if res is not None else self.resources
-        gs = _GState(_ID.copy() if ctm is None else ctm.copy())
+        gs = _GState(_ID.copy() if ctm is None else ctm.copy(),
+                     fill=fill if fill is not None else (0, 0, 0))
         stack: List[_GState] = []
         lex = _Lexer(content)
         stackv: List[Any] = []                   # operand stack
@@ -632,6 +732,54 @@ class _PageRenderer:
                 + (tc * len(chars) + tw * raw.count(b" ") / max(
                     2 if font.two_byte else 1, 1)) / max(fsize, 1e-9) \
                 * fsize if chars else 0.0
+            if font.charprocs and fs_dev >= 2 and chars:
+                # Type3 font: each glyph is a content stream run with
+                # the FontMatrix CTM (matplotlib's default pdf output)
+                fmat = _mat(*font.font_matrix)
+                res3 = font.t3_resources or res
+                pen = 0.0
+                for code, ch in chars:
+                    proc = font.charproc_bytes(self.doc, code)
+                    if proc:
+                        cm_ = fmat @ _mat(fsize, 0, 0, fsize, pen, 0) \
+                            @ tm @ gs.ctm
+                        self.run(proc, res3, cm_, depth + 1,
+                                 fill=gs.fill)
+                    pen += font.width(code) / 1000.0 * fsize + tc \
+                        + (tw if code == 32 else 0.0)
+                tm = _mat(1, 0, 0, 1, pen, 0) @ tm
+                return
+            if font.glyphs is not None and fs_dev >= 2 and chars:
+                # embedded font program: true glyph shapes, per-char pen
+                # advance (the reference's hayro path, pdf.rs:8)
+                pen = 0.0
+                for code, ch in chars:
+                    conts = font.glyph_contours(code, ch)
+                    cm_ = _mat(fsize, 0, 0, fsize, pen, 0) @ tm @ gs.ctm
+                    if conts:
+                        polys = [np.round(self._dev(c, cm_)).astype(
+                            np.int32) for c in conts if len(c) >= 3]
+                        if polys:
+                            cv2.fillPoly(self.img, polys,
+                                         self._col(gs.fill),
+                                         cv2.LINE_AA)
+                    elif ch and 32 < ord(ch[0]) < 127:
+                        # glyph missing from the program: Hershey char
+                        d0 = (np.array([[0.0, 0.0, 1.0]])
+                              @ (cm_ @ self.base))[0]
+                        cv2.putText(self.img, ch,
+                                    (int(round(d0[0])),
+                                     int(round(d0[1]))),
+                                    cv2.FONT_HERSHEY_SIMPLEX,
+                                    fs_dev * 0.72 / 22.0,
+                                    self._col(gs.fill),
+                                    max(int(round(fs_dev / 14)), 1),
+                                    cv2.LINE_AA)
+                    pen += font.width(code) / 1000.0 * fsize + tc \
+                        + (tw if code == 32 and not font.two_byte
+                           else 0.0)
+                tm = _mat(1, 0, 0, 1, pen, 0) @ tm
+                return
             if fs_dev >= 2 and chars:
                 x, y = int(round(dev[0])), int(round(dev[1]))
                 printable = sum(1 for _, ch in chars
@@ -818,9 +966,8 @@ class _PageRenderer:
                 elif op == "Do":
                     name = str(stackv.pop()) if stackv else ""
                     self._do_xobject(res, name, gs, depth)
-                elif op == "BI":                 # inline image: skip to EI
-                    e = content.find(b"EI", lex.pos)
-                    lex.pos = len(content) if e < 0 else e + 2
+                elif op == "BI":                 # inline image
+                    self._inline_image(lex, gs)
                 elif op == "gs":
                     if stackv:
                         stackv.pop()
@@ -831,6 +978,158 @@ class _PageRenderer:
                     stackv.clear()               # unknown op: drop operands
             except (IndexError, ValueError):
                 stackv.clear()
+
+    _INLINE_KEYS = {"W": "Width", "H": "Height",
+                    "BPC": "BitsPerComponent", "CS": "ColorSpace",
+                    "F": "Filter", "IM": "ImageMask", "D": "Decode",
+                    "DP": "DecodeParms", "I": "Interpolate"}
+    _FILTER_ABBR = {"AHx": "ASCIIHexDecode", "A85": "ASCII85Decode",
+                    "Fl": "FlateDecode", "LZW": "LZWDecode",
+                    "RL": "RunLengthDecode", "CCF": "CCITTFaxDecode",
+                    "DCT": "DCTDecode"}
+
+    def _inline_image(self, lex: _Lexer, gs: _GState):
+        """BI…ID…EI inline image: parse the abbreviated-key dict, slice
+        the binary payload (length from the sample geometry for raw
+        data, from the decompressor for Flate, by delimiter scan for
+        DCT/AHx), and blit through the unit-square CTM. Inline images
+        carry the scanned content of many real PDFs — the reference's
+        hayro renders them natively (examples/utils/pdf.rs:81)."""
+        cv2 = self.cv2
+        d: Dict[str, Any] = {}
+        while True:
+            tok = lex.next_token()
+            if tok is None:
+                return
+            if tok == "ID":
+                break
+            if isinstance(tok, Name):
+                key = self._INLINE_KEYS.get(str(tok), str(tok))
+                d[key] = lex.next_object()
+        data = lex.data
+        pos = lex.pos
+        if pos < len(data) and data[pos] in _WS:
+            pos += 1                             # single ws after ID
+        filters = d.get("Filter") or []
+        if not isinstance(filters, list):
+            filters = [filters]
+        filters = [self._FILTER_ABBR.get(str(f), str(f))
+                   for f in filters]
+        w = int(self.doc.resolve(d.get("Width", 0)) or 0)
+        h = int(self.doc.resolve(d.get("Height", 0)) or 0)
+        mask_mode = bool(self.doc.resolve(d.get("ImageMask", False)))
+        bpc = 1 if mask_mode else int(
+            self.doc.resolve(d.get("BitsPerComponent", 8)) or 8)
+        cs = self.doc.resolve(d.get("ColorSpace"))
+        palette = None
+        if isinstance(cs, list) and cs and str(
+                self.doc.resolve(cs[0])) in ("I", "Indexed"):
+            base = str(self.doc.resolve(cs[1]))
+            lookup = self.doc.resolve(cs[3]) if len(cs) > 3 else b""
+            if isinstance(lookup, Ref):
+                lookup = self.doc.stream_bytes(cs[3])
+            nb = 3 if base in ("RGB", "DeviceRGB") else 1
+            pal = np.frombuffer(bytes(lookup), np.uint8)
+            pal = pal[:len(pal) // nb * nb].reshape(-1, nb)
+            palette = pal if nb == 3 else np.repeat(pal, 3, axis=1)
+            ncomp = 1
+        else:
+            cs_name = str(cs) if cs is not None else "G"
+            ncomp = {"RGB": 3, "DeviceRGB": 3, "CMYK": 4,
+                     "DeviceCMYK": 4}.get(cs_name, 1)
+        if mask_mode:
+            ncomp = 1
+        img = None
+        stencil = None
+        end = pos
+        try:
+            if "DCTDecode" in filters:
+                e = pos
+                while True:                      # ws-delimited EI scan
+                    e = data.find(b"EI", e + 1)
+                    if e < 0:
+                        e = len(data)
+                        break
+                    before_ws = e > 0 and data[e - 1] in _WS
+                    after = data[e + 2:e + 3]
+                    if before_ws and (not after or after[0] in _WS
+                                      or after[0] in _DELIM):
+                        break
+                arr = cv2.imdecode(
+                    np.frombuffer(data[pos:e].rstrip(), np.uint8),
+                    cv2.IMREAD_COLOR)
+                if arr is not None:
+                    img = arr[:, :, ::-1]
+                end = e
+            else:
+                if "FlateDecode" in filters:
+                    dec = zlib.decompressobj()
+                    samples = dec.decompress(bytes(data[pos:]))
+                    consumed = (len(data) - pos
+                                - len(dec.unused_data))
+                    end = pos + consumed
+                elif "ASCIIHexDecode" in filters:
+                    e = data.find(b">", pos)
+                    e = len(data) if e < 0 else e
+                    hx = re.sub(rb"[^0-9A-Fa-f]", b"", data[pos:e])
+                    if len(hx) % 2:
+                        hx += b"0"
+                    samples = bytes.fromhex(hx.decode("ascii"))
+                    end = e + 1
+                else:
+                    row = (w * ncomp * bpc + 7) // 8
+                    n = row * h
+                    samples = bytes(data[pos:pos + n])
+                    end = pos + n
+                row = (w * ncomp * bpc + 7) // 8
+                if w and h and len(samples) >= row * h:
+                    if bpc == 1:
+                        bits = np.unpackbits(
+                            np.frombuffer(samples[:row * h],
+                                          np.uint8).reshape(h, row),
+                            axis=1)[:, :w]
+                        decode = self.doc.resolve(d.get("Decode"))
+                        inverted = (isinstance(decode, list) and decode
+                                    and float(self.doc.resolve(
+                                        decode[0])) == 1.0)
+                        if mask_mode:
+                            # sample 0 paints (Decode [0 1] default)
+                            paint = (bits == (1 if inverted else 0))
+                            stencil = paint.astype(np.uint8) * 255
+                            img = np.full((h, w, 3),
+                                          self._col(gs.fill), np.uint8)
+                        else:
+                            g = (bits * 255).astype(np.uint8)
+                            if inverted:
+                                g = 255 - g
+                            img = np.repeat(g[:, :, None], 3, 2)
+                    elif bpc == 8:
+                        arr = np.frombuffer(
+                            samples[:w * h * ncomp],
+                            np.uint8).reshape(h, w, ncomp)
+                        if palette is not None:
+                            img = palette[
+                                np.minimum(arr[:, :, 0],
+                                           len(palette) - 1)]
+                        elif ncomp == 1:
+                            img = np.repeat(arr, 3, 2)
+                        elif ncomp == 3:
+                            img = arr
+                        else:                    # CMYK
+                            c = arr.astype(np.float32) / 255.0
+                            rgb = (1 - c[:, :, :3]) * \
+                                (1 - c[:, :, 3:4])
+                            img = (rgb * 255).astype(np.uint8)
+        except Exception:
+            img = None
+        # always resync the lexer past EI, even on a decode failure
+        e2 = data.find(b"EI", end)
+        lex.pos = len(data) if e2 < 0 else e2 + 2
+        if img is not None:
+            self._blit_image(
+                img, gs, stencil=stencil,
+                interpolate=bool(self.doc.resolve(
+                    d.get("Interpolate", False))))
 
     def _do_xobject(self, res: Dict, name: str, gs: _GState, depth: int):
         import cv2
@@ -887,25 +1186,43 @@ class _PageRenderer:
                     img = np.repeat(arr, 3, 2) if n == 1 else arr
         if img is None:
             return
-        # the image op maps the unit square through the CTM
+        self._blit_image(img, gs, interpolate=bool(
+            self.doc.resolve(obj.get("Interpolate", False))))
+
+    def _blit_image(self, img: np.ndarray, gs: _GState,
+                    stencil: Optional[np.ndarray] = None,
+                    interpolate: bool = False):
+        """Draw an RGB image through the unit-square → CTM mapping.
+        ``stencil`` (H, W) uint8, 255 = paint: restricts coverage
+        (ImageMask semantics); None paints the full rectangle.
+        ``interpolate`` mirrors the PDF /Interpolate flag — the spec
+        DEFAULT is false (blocky pixel replication, which tiny inline
+        images rely on)."""
+        cv2 = self.cv2
         corners = self._dev(np.array(
             [(0, 0), (1, 0), (1, 1), (0, 1)], np.float64), gs.ctm)
         dst_w = int(round(max(np.hypot(*(corners[1] - corners[0])), 1)))
         dst_h = int(round(max(np.hypot(*(corners[3] - corners[0])), 1)))
         if dst_w < 1 or dst_h < 1:
             return
-        src = np.array([(0, img.shape[0] - 1), (img.shape[1] - 1,
-                        img.shape[0] - 1), (img.shape[1] - 1, 0),
-                        (0, 0)], np.float32)
+        # half-pixel EDGE coordinates: pixel centers sit at integer
+        # coords, so the image rectangle spans [-0.5, n-0.5] — and a
+        # 1-row/1-col image keeps a non-degenerate source quad
+        ih, iw = img.shape[:2]
+        src = np.array([(-0.5, ih - 0.5), (iw - 0.5, ih - 0.5),
+                        (iw - 0.5, -0.5), (-0.5, -0.5)], np.float32)
         mat = cv2.getPerspectiveTransform(
             src, corners.astype(np.float32))
         warped = cv2.warpPerspective(
             np.ascontiguousarray(img), mat, (self.w_px, self.h_px),
-            flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_TRANSPARENT,
-            dst=self.img.copy())
+            flags=(cv2.INTER_LINEAR if interpolate
+                   else cv2.INTER_NEAREST),
+            borderMode=cv2.BORDER_TRANSPARENT, dst=self.img.copy())
+        mask_src = (stencil if stencil is not None
+                    else np.full(img.shape[:2], 255, np.uint8))
         mask = cv2.warpPerspective(
-            np.full(img.shape[:2], 255, np.uint8), mat,
-            (self.w_px, self.h_px))
+            mask_src, mat, (self.w_px, self.h_px),
+            flags=cv2.INTER_NEAREST)
         self.img[mask > 127] = warped[mask > 127]
 
     def finish(self) -> np.ndarray:

@@ -1,0 +1,384 @@
+"""Embedded-font glyph rendering + BI…EI inline images (VERDICT r4
+item 7): the built-in PDF renderer must draw TRUE embedded outlines —
+TrueType (FontFile2), CFF (FontFile3), classic Type1 (FontFile), and
+Type3 CharProcs — and decode inline-image payloads, matching the
+reference's hayro capability (examples/utils/pdf.rs:8,81).
+
+Oracles: fontTools (baked in as a matplotlib dependency) builds/reads
+the TrueType and CFF fixtures; the Type1 fixture is hand-assembled in
+the test including its eexec/charstring encryption, so the decryptor is
+exercised against an independent encryptor implementation."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.fast
+
+from oar_ocr_tpu.utils.font_glyphs import (  # noqa: E402
+    CFFGlyphs, TrueTypeGlyphs, Type1Glyphs)
+from oar_ocr_tpu.utils.pdf_render import render_vector_pdf  # noqa: E402
+
+
+def _ink(img, r0, r1, c0, c1):
+    region = img[max(r0, 0):r1, max(c0, 0):c1]
+    return float((region < 128).any(axis=-1).mean())
+
+
+def _write_pdf(tmp_path, name, objs, streams):
+    buf = bytearray(b"%PDF-1.5\n")
+    for num in sorted(objs):
+        buf += b"%d 0 obj\n" % num + objs[num]
+        if num in streams:
+            buf += b"\nstream\n" + streams[num] + b"\nendstream"
+        buf += b"\nendobj\n"
+    buf += b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    p = tmp_path / name
+    p.write_bytes(bytes(buf))
+    return str(p)
+
+
+# ------------------------- TrueType -------------------------
+
+def _dejavu_path():
+    mpl = pytest.importorskip("matplotlib")
+    import pathlib
+
+    p = (pathlib.Path(mpl.get_data_path()) / "fonts" / "ttf"
+         / "DejaVuSans.ttf")
+    if not p.exists():
+        pytest.skip("DejaVuSans.ttf not shipped")
+    return str(p)
+
+
+def test_truetype_outlines_match_fonttools_metrics():
+    """Parsed glyf outlines must agree with fontTools on glyph ids and
+    outline bounding boxes (the strongest cheap shape invariant)."""
+    path = _dejavu_path()
+    ft_lib = pytest.importorskip("fontTools.ttLib")
+    pens = pytest.importorskip("fontTools.pens.recordingPen")
+    tt = TrueTypeGlyphs(open(path, "rb").read())
+    ft = ft_lib.TTFont(path)
+    cmap = ft.getBestCmap()
+    order = ft.getGlyphOrder()
+    gs = ft.getGlyphSet()
+    for ch in "AgQ8&m":
+        gid = tt.gid_for_unicode(ch)
+        assert gid == order.index(cmap[ord(ch)])
+        conts = tt.contours_for_gid(gid)
+        assert conts
+        pen = pens.RecordingPen()
+        gs[cmap[ord(ch)]].draw(pen)
+        pts = [p for _, args in pen.value for p in args
+               if isinstance(p, tuple)]
+        mine = np.concatenate(conts)
+        assert abs(mine[:, 0].min() - min(p[0] for p in pts)) <= 2
+        assert abs(mine[:, 1].max() - max(p[1] for p in pts)) <= 2
+
+
+def test_matplotlib_fonttype42_pdf_renders_embedded_glyphs(tmp_path):
+    """A matplotlib pdf.fonttype=42 PDF (Type0/CIDFontType2 with a real
+    FontFile2) must route text through the embedded-outline path and put
+    ink exactly in the text band."""
+    mpl = pytest.importorskip("matplotlib")
+    mpl.use("Agg")
+    mpl.rcParams["pdf.fonttype"] = 42
+    import matplotlib.pyplot as plt
+
+    from oar_ocr_tpu.utils.pdf_render import FontInfo, PdfDocument
+
+    fig = plt.figure(figsize=(6, 4))
+    fig.text(0.1, 0.6, "Embedded Outline", fontsize=24)
+    p = tmp_path / "tt42.pdf"
+    fig.savefig(str(p))
+    plt.close(fig)
+
+    doc = PdfDocument(p.read_bytes())
+    fonts = doc.resolve(doc.resolve(
+        doc.pages()[0]["Resources"])["Font"])
+    kinds = {k: FontInfo(doc, doc.resolve(v)).glyphs
+             for k, v in fonts.items()}
+    assert any(g is not None and g.kind == "tt" for g in kinds.values())
+
+    img = render_vector_pdf(str(p), dpi=150)[0]
+    h, w = img.shape[:2]
+    band = _ink(img, int(h * 0.30), int(h * 0.42), int(w * 0.08),
+                int(w * 0.60))
+    assert band > 0.05
+    assert _ink(img, 0, int(h * 0.15), 0, w) == 0.0
+
+
+def test_matplotlib_type3_charprocs_render(tmp_path):
+    """matplotlib's DEFAULT pdf.fonttype=3 output embeds Type3 fonts
+    whose glyphs are content streams; they must draw as real shapes at
+    correct per-glyph advances (not the Hershey approximation)."""
+    mpl = pytest.importorskip("matplotlib")
+    mpl.use("Agg")
+    mpl.rcParams["pdf.fonttype"] = 3
+    import matplotlib.pyplot as plt
+
+    from oar_ocr_tpu.utils.pdf_render import FontInfo, PdfDocument
+
+    fig = plt.figure(figsize=(6, 2))
+    fig.text(0.1, 0.4, "Type Three", fontsize=24)
+    p = tmp_path / "t3.pdf"
+    fig.savefig(str(p))
+    plt.close(fig)
+
+    doc = PdfDocument(p.read_bytes())
+    fonts = doc.resolve(doc.resolve(
+        doc.pages()[0]["Resources"])["Font"])
+    fis = [FontInfo(doc, doc.resolve(v)) for v in fonts.values()]
+    assert any(fi.charprocs for fi in fis)
+
+    img = render_vector_pdf(str(p), dpi=150)[0]
+    h, w = img.shape[:2]
+    assert _ink(img, int(h * 0.35), int(h * 0.65), int(w * 0.08),
+                int(w * 0.55)) > 0.05
+
+
+# --------------------------- CFF ---------------------------
+
+def _build_cff_otf():
+    fb_mod = pytest.importorskip("fontTools.fontBuilder")
+    pen_mod = pytest.importorskip("fontTools.pens.t2CharStringPen")
+    import io
+
+    fb = fb_mod.FontBuilder(1000, isTTF=False)
+    names = [".notdef", "A", "space"]
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap({ord("A"): "A", ord(" "): "space"})
+
+    pen = pen_mod.T2CharStringPen(600, None)
+    pen.moveTo((50, 0))
+    pen.lineTo((300, 700))
+    pen.lineTo((550, 0))
+    pen.closePath()
+    a_cs = pen.getCharString()
+    empty = pen_mod.T2CharStringPen(300, None).getCharString()
+    fb.setupCFF("T", {}, {".notdef": empty, "A": a_cs,
+                          "space": empty}, {})
+    fb.setupHorizontalMetrics({g: (600, 50) for g in names})
+    fb.setupHorizontalHeader(ascent=800, descent=-200)
+    fb.setupNameTable({"familyName": "T", "styleName": "R"})
+    fb.setupOS2()
+    fb.setupPost()
+    buf = io.BytesIO()
+    fb.save(buf)
+    return buf.getvalue()
+
+
+def test_cff_type2_charstrings_parse():
+    otf = _build_cff_otf()
+    cff = CFFGlyphs(otf)                    # via the OpenType wrapper
+    gid = cff.gid_for_name("A")
+    assert gid > 0
+    pts = np.concatenate(cff.contours_for_gid(gid))
+    assert abs(pts[:, 0].min() - 50) <= 1
+    assert abs(pts[:, 0].max() - 550) <= 1
+    assert abs(pts[:, 1].max() - 700) <= 1
+
+
+def test_cff_fontfile3_renders_in_pdf(tmp_path):
+    """A simple font with /FontFile3 draws the triangle-A outline at
+    the right spot (48pt at (100, 300))."""
+    otf = _build_cff_otf()
+    content = b"BT /F1 48 Tf 100 300 Td (A) Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 400 400] >>"),
+        3: (b"<< /Type /Page /Parent 2 0 R /Resources "
+            b"<< /Font << /F1 4 0 R >> >> /Contents 5 0 R >>"),
+        4: (b"<< /Type /Font /Subtype /Type1 /BaseFont /T "
+            b"/FirstChar 65 /LastChar 65 /Widths [600] "
+            b"/FontDescriptor 6 0 R >>"),
+        5: b"<< /Length %d >>" % len(content),
+        6: (b"<< /Type /FontDescriptor /FontName /T /Flags 4 "
+            b"/FontFile3 7 0 R >>"),
+        7: b"<< /Subtype /Type1C /Length %d >>" % len(otf),
+    }
+    path = _write_pdf(tmp_path, "cff.pdf", objs,
+                      {5: content, 7: otf})
+    img = render_vector_pdf(path, dpi=150)[0]
+    s = 150 / 72.0
+    h = img.shape[0]
+    # triangle spans x 100+[50..550]/1000*48 pt, y 300+[0..700]/1000*48
+    r1 = int(round(h - 300 * s))
+    r0 = int(round(h - (300 + 0.7 * 48) * s))
+    c0 = int(round((100 + 0.05 * 48) * s))
+    c1 = int(round((100 + 0.55 * 48) * s))
+    assert _ink(img, r0, r1, c0, c1) > 0.3
+    assert _ink(img, 0, r0 - 20, 0, img.shape[1]) == 0.0
+
+
+# -------------------------- Type1 --------------------------
+
+def _t1_num(v: int) -> bytes:
+    if -107 <= v <= 107:
+        return bytes([v + 139])
+    if 108 <= v <= 1131:
+        v -= 108
+        return bytes([247 + (v >> 8), v & 0xFF])
+    if -1131 <= v <= -108:
+        v = -v - 108
+        return bytes([251 + (v >> 8), v & 0xFF])
+    return b"\xff" + struct.pack(">i", v)
+
+
+def _t1_encrypt(plain: bytes, r: int) -> bytes:
+    """Independent implementation of the Type1 encryption (the module
+    under test only decrypts)."""
+    c1, c2 = 52845, 22719
+    out = bytearray()
+    for p in b"\x55\x55\x55\x55" + plain:        # 4 random lead bytes
+        c = p ^ (r >> 8)
+        r = ((c + r) * c1 + c2) & 0xFFFF
+        out.append(c)
+    return bytes(out)
+
+
+def _build_type1() -> bytes:
+    # /A: box from (100,100) to (500,600) in a 1000-unit em
+    cs = (_t1_num(0) + _t1_num(600) + bytes([13])        # hsbw
+          + _t1_num(100) + _t1_num(100) + bytes([21])    # rmoveto
+          + _t1_num(400) + _t1_num(0) + bytes([5])       # rlineto
+          + _t1_num(0) + _t1_num(500) + bytes([5])
+          + _t1_num(-400) + _t1_num(0) + bytes([5])
+          + bytes([9, 14]))                              # closepath end
+    enc_cs = _t1_encrypt(cs, 4330)
+    private = (b"/lenIV 4 def /CharStrings 1 dict dup begin "
+               b"/A %d RD " % len(enc_cs) + enc_cs + b" ND end")
+    clear = (b"%!PS-AdobeFont-1.0: TestT1\n"
+             b"/FontName /TestT1 def\n"
+             b"/Encoding 256 array\n"
+             b"dup 65 /A put\nreadonly def\n"
+             b"currentfile eexec\n")
+    return clear[:-len(b"currentfile eexec\n")] \
+        + b"currentfile eexec\n" + _t1_encrypt(private, 55665)
+
+
+def test_type1_charstrings_decrypt_and_parse():
+    t1 = Type1Glyphs(_build_type1())
+    assert t1.name_for_code(65) == "A"
+    conts = t1.contours_for_name("A")
+    pts = np.concatenate(conts)
+    assert abs(pts[:, 0].min() - 100) <= 1
+    assert abs(pts[:, 0].max() - 500) <= 1
+    assert abs(pts[:, 1].min() - 100) <= 1
+    assert abs(pts[:, 1].max() - 600) <= 1
+
+
+def test_type1_fontfile_renders_in_pdf(tmp_path):
+    t1 = _build_type1()
+    content = b"BT /F1 50 Tf 80 200 Td (A) Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 300 300] >>"),
+        3: (b"<< /Type /Page /Parent 2 0 R /Resources "
+            b"<< /Font << /F1 4 0 R >> >> /Contents 5 0 R >>"),
+        4: (b"<< /Type /Font /Subtype /Type1 /BaseFont /TestT1 "
+            b"/FirstChar 65 /LastChar 65 /Widths [600] "
+            b"/FontDescriptor 6 0 R >>"),
+        5: b"<< /Length %d >>" % len(content),
+        6: (b"<< /Type /FontDescriptor /FontName /TestT1 /Flags 4 "
+            b"/FontFile 7 0 R >>"),
+        7: b"<< /Length %d /Length1 64 /Length2 %d /Length3 0 >>"
+           % (len(t1), len(t1) - 64),
+    }
+    path = _write_pdf(tmp_path, "t1.pdf", objs, {5: content, 7: t1})
+    img = render_vector_pdf(path, dpi=144)[0]
+    s = 144 / 72.0
+    h = img.shape[0]
+    # box: x 80+[100..500]/1000*50, y 200+[100..600]/1000*50 (pt)
+    r0 = int(round(h - (200 + 0.6 * 50) * s)) + 2
+    r1 = int(round(h - (200 + 0.1 * 50) * s)) - 2
+    c0 = int(round((80 + 0.1 * 50) * s)) + 2
+    c1 = int(round((80 + 0.5 * 50) * s)) - 2
+    assert _ink(img, r0, r1, c0, c1) > 0.95    # solid filled box
+    assert _ink(img, 0, r0 - 15, 0, img.shape[1]) == 0.0
+
+
+# ----------------------- inline images -----------------------
+
+def _one_page_pdf(tmp_path, name, content: bytes):
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 400 400] >>"),
+        3: (b"<< /Type /Page /Parent 2 0 R /Resources << >> "
+            b"/Contents 5 0 R >>"),
+        5: b"<< /Length %d >>" % len(content),
+    }
+    return _write_pdf(tmp_path, name, objs, {5: content})
+
+
+def test_inline_image_raw_gray(tmp_path):
+    """Uncompressed 2x2 gray inline image: dark left column, light
+    right column, stretched over a 200x100pt box at (50, 250)."""
+    data = bytes([0, 255, 0, 255])
+    content = (b"q 200 0 0 100 50 250 cm BI /W 2 /H 2 /BPC 8 /CS /G ID "
+               + data + b" EI Q")
+    img = render_vector_pdf(_one_page_pdf(tmp_path, "ii.pdf", content),
+                            dpi=72)[0]
+    h = img.shape[0]
+    # box rows: y 250..350 -> img rows h-350..h-250. The blit
+    # interpolates (a 2-px source stretched 100x blends the middle),
+    # so sample thin strips at the extreme edges.
+    left = img[h - 340:h - 260, 52:66]
+    right = img[h - 340:h - 260, 234:248]
+    assert (left < 100).all()
+    assert (right > 200).all()
+
+
+def test_inline_image_flate_rgb(tmp_path):
+    """Flate-compressed RGB inline image with trailing content after EI
+    (the decompressor must find the exact payload end)."""
+    rgb = np.zeros((2, 2, 3), np.uint8)
+    rgb[:, 0] = [255, 0, 0]
+    rgb[:, 1] = [0, 0, 255]
+    comp = zlib.compress(rgb.tobytes())
+    content = (b"q 100 0 0 100 50 250 cm BI /W 2 /H 2 /BPC 8 /CS /RGB "
+               b"/F /Fl ID " + comp + b" EI Q\n"
+               b"0 0 0 rg 300 50 50 50 re f")
+    img = render_vector_pdf(_one_page_pdf(tmp_path, "fl.pdf", content),
+                            dpi=72)[0]
+    h = img.shape[0]
+    left = img[h - 340:h - 260, 52:60]       # edge strips (blit blends)
+    right = img[h - 340:h - 260, 140:148]
+    assert (left[:, :, 0] > 200).all() and (left[:, :, 2] < 60).all()
+    assert (right[:, :, 2] > 200).all() and (right[:, :, 0] < 60).all()
+    # the rect AFTER the inline image still parsed (lexer resynced)
+    assert _ink(img, h - 100, h - 52, 302, 348) > 0.95
+
+
+def test_inline_image_mask_paints_fill_color(tmp_path):
+    """1-bit ImageMask stencil: sample 0 paints the current fill color,
+    sample 1 leaves the background."""
+    # 2x2 mask: paint (0,0) and (1,1)
+    data = bytes([0b01000000, 0b10000000])
+    content = (b"q 1 0 0 rg 100 0 0 100 100 100 cm "
+               b"BI /IM true /W 2 /H 2 /BPC 1 ID " + data + b" EI Q")
+    img = render_vector_pdf(_one_page_pdf(tmp_path, "im.pdf", content),
+                            dpi=72)[0]
+    h = img.shape[0]
+    tl = img[h - 190:h - 160, 110:140]       # top-left: painted red
+    tr = img[h - 190:h - 160, 160:190]       # top-right: background
+    br = img[h - 140:h - 110, 160:190]       # bottom-right: painted
+    assert (tl[:, :, 0] > 200).all() and (tl[:, :, 1] < 60).all()
+    assert (tr > 200).all()
+    assert (br[:, :, 0] > 200).all() and (br[:, :, 1] < 60).all()
+
+
+def test_inline_image_ahx(tmp_path):
+    data = bytes([10, 240])
+    content = (b"q 100 0 0 50 200 200 cm BI /W 2 /H 1 /BPC 8 /CS /G "
+               b"/F /AHx ID " + data.hex().encode() + b"> EI Q")
+    img = render_vector_pdf(_one_page_pdf(tmp_path, "ax.pdf", content),
+                            dpi=72)[0]
+    h = img.shape[0]
+    assert (img[h - 245:h - 215, 202:215] < 110).all()
+    assert (img[h - 245:h - 215, 285:298] > 180).all()
