@@ -234,13 +234,20 @@ def _native_plan(images, h: int, w: int, dense_bytes: int):
     n_occ = int(occ.sum())
     total = occ.size
     buckets = _tile_buckets(total)
+    rescue = False
     if n_occ > buckets[-1]:
-        return gray, None, None
+        if not _native_rescue_ok(images, h, w, occ, gray):
+            return gray, None, None
+        buckets = buckets + (total,)
+        rescue = True
     n_pad = next(s for s in buckets if s >= max(n_occ, 1))
     payload = (n_pad * TILE * TILE * c) + base.nbytes + n_pad * 4
     best_dense = dense_bytes // 3 if gray else dense_bytes
-    if payload >= _WIN_RATIO * best_dense:
-        return gray, None, None
+    if payload >= _WIN_RATIO * best_dense and not rescue:
+        # raw tiles don't pay; gathering is still worth it when the
+        # content is bilevel (the split packs it ~8x)
+        if not _native_rescue_ok(images, h, w, occ, gray):
+            return gray, None, None
     if n_occ == 0:
         tiles = np.broadcast_to(
             base[0, 0, 0][None, None, None, :], (1, TILE, TILE, c)).copy()
@@ -256,10 +263,26 @@ def _native_plan(images, h: int, w: int, dense_bytes: int):
     return gray, (base, tiles, idx, payload), None
 
 
+def _native_rescue_ok(images, h: int, w: int, occ, gray: bool) -> bool:
+    """Sampled bilevel check for the high-occupancy rescue, native
+    gather variant (a handful of tiles, negligible cost)."""
+    from .. import native as native_mod
+
+    flat = np.flatnonzero(occ.reshape(-1)).astype(np.int32)
+    if flat.size == 0:
+        return False
+    step = max(1, flat.size // _RESCUE_SAMPLE)
+    sample = native_mod.gather_tiles(images, h, w, TILE, flat[::step],
+                                     gray)
+    return _bilevel_frac(sample) >= _RESCUE_FRAC
+
+
 def _analyze(batch: np.ndarray):
     """Per-tile constancy analysis on the padded (B, H, W[, C]) batch.
-    Returns (base, tiles, idx, payload_bytes) or None when the content is
-    too dense for the largest occupancy bucket."""
+    Returns (base, tiles, idx, payload_bytes), or None when the content
+    is too dense for the largest occupancy bucket AND a sampled bilevel
+    check fails (dense-TEXT pages pass and proceed at full occupancy —
+    the bilevel split still packs them ~8x)."""
     if batch.ndim == 3:
         batch = batch[..., None]
     b, h, w, c = batch.shape
@@ -272,7 +295,13 @@ def _analyze(batch: np.ndarray):
     total = b * nth * ntw
     buckets = _tile_buckets(total)
     if n_occ > buckets[-1]:
-        return None
+        bi, ti, tj = np.nonzero(occ)
+        step = max(1, len(bi) // _RESCUE_SAMPLE)
+        sample = np.ascontiguousarray(
+            t[bi[::step], ti[::step], :, tj[::step], :, :])
+        if _bilevel_frac(sample) < _RESCUE_FRAC:
+            return None
+        buckets = buckets + (total,)
     n_pad = next(s for s in buckets if s >= max(n_occ, 1))
     bi, ti, tj = np.nonzero(occ)
     # advanced indexing copies only the occupied tiles (no full transpose)
@@ -298,10 +327,31 @@ def _bl_buckets(total: int) -> Tuple[int, ...]:
     """Coarse occupancy buckets for the SPLIT (dense, bilevel) upload:
     each distinct (dense-bucket, bilevel-bucket) pair is one compiled
     scatter program on a minutes-per-compile tunnel, so both groups
-    quantize to three sizes (content is stable across a session, so a
-    run typically compiles exactly one pair)."""
-    fracs = (1 / 16, 1 / 4, 3 / 4)
+    quantize to four sizes (content is stable across a session, so a
+    run typically compiles exactly one pair). The full bucket exists
+    for dense-TEXT pages (high occupancy, bilevel content)."""
+    fracs = (1 / 16, 1 / 4, 3 / 4, 1.0)
     return tuple(sorted({max(1, math.ceil(total * f)) for f in fracs}))
+
+
+# high-occupancy bilevel rescue: sample this many occupied tiles and
+# proceed with the (otherwise losing) full gather only when at least
+# this fraction of them are bilevel — dense-TEXT pages pass (bilevel
+# packs them ~8x), noise/photo pages fail and stay on the dense upload
+_RESCUE_SAMPLE = 48
+_RESCUE_FRAC = 0.9
+
+
+def _bilevel_frac(tiles: np.ndarray) -> float:
+    """Fraction of tiles whose every pixel equals the tile's min or max
+    vector (the _split_bilevel membership test)."""
+    if tiles.shape[0] == 0:
+        return 0.0
+    tmin = tiles.min(axis=(1, 2), keepdims=True)
+    tmax = tiles.max(axis=(1, 2), keepdims=True)
+    is_bl = (((tiles == tmax).all(axis=-1))
+             | ((tiles == tmin).all(axis=-1))).all(axis=(1, 2))
+    return float(is_bl.mean())
 
 
 def _pad_group(tiles, idx, buckets):

@@ -210,6 +210,41 @@ def test_bilevel_split_payload_and_fallbacks():
             or page_upload._split_bilevel(nplan) is None)
 
 
+def _dense_text_page(hw=(512, 640)):
+    """Text lines every 12 px: nearly every tile occupied but bilevel —
+    the high-occupancy rescue's target content."""
+    img = np.full(hw + (3,), 255, np.uint8)
+    for y in range(6, hw[0] - 12, 12):
+        img[y:y + 8, 8:hw[1] - 8] = 15
+    return img
+
+
+def test_high_occupancy_text_rescued(rng):
+    """Occupancy above the raw bucket cap used to force the full dense
+    transfer; bilevel content now proceeds at full occupancy (sampled
+    gate) and ships ~15x fewer bytes, bit-exactly."""
+    rt = _rt("on")
+    pages = [_dense_text_page() for _ in range(2)]
+    hw = (512, 640)
+    plan = page_upload._analyze(stack_padded(pages, hw))
+    assert plan is not None          # rescued past the bucket cap
+    h2d0 = rt.h2d_bytes_total
+    out = np.asarray(page_upload.upload_pages(rt, pages, hw))
+    ref = _expected(pages, hw)
+    assert np.array_equal(out, ref)
+    assert rt.h2d_bytes_total - h2d0 < 0.4 * ref.nbytes
+
+
+def test_high_occupancy_noise_stays_dense(rng):
+    """Same occupancy, non-bilevel content: the sampled gate fails and
+    the upload stays dense (no wasted full gather)."""
+    pages = [rng.integers(0, 255, (512, 640, 3), dtype=np.uint8)]
+    assert page_upload._analyze(stack_padded(pages, (512, 640))) is None
+    out = np.asarray(page_upload.upload_pages(_rt("on"), pages,
+                                              (512, 640)))
+    assert np.array_equal(out, _expected(pages, (512, 640)))
+
+
 def test_bilevel_failure_degrades_to_dense(monkeypatch):
     """A tunnel flake inside the bilevel scatter program degrades to the
     dense transfer (full-transfer ladder), bit-identically."""
