@@ -339,8 +339,11 @@ class TrueTypeGlyphs:
                 p += 8
                 m = np.array([[a, b], [c, d]]) / 16384.0
             dx, dy = (a1, a2) if flags & 2 else (0, 0)  # XY values
+            # spec entry order (xscale, scale01, scale10, yscale) with
+            # x' = a·x + c·y, y' = b·x + d·y — row-vector p @ [[a,b],
+            # [c,d]] applies exactly that (no transpose)
             for c in self.contours_for_gid(gi, depth + 1):
-                out.append(c @ m.T + np.array([dx, dy], np.float64))
+                out.append(c @ m + np.array([dx, dy], np.float64))
             if not flags & 0x20:                 # MORE_COMPONENTS
                 break
         return out
@@ -736,19 +739,33 @@ class _Type2Interp:
             elif b == 12:                        # escape
                 b2 = cs[i]
                 i += 1
-                if b2 == 35 and len(st) >= 13:   # flex
+                if b2 == 35 and len(st) >= 13:   # flex (fd ignored)
                     self._rel_curve(*st[0:6])
                     self._rel_curve(*st[6:12])
                 elif b2 == 34 and len(st) >= 7:  # hflex
-                    dy = self.y
+                    sy = self.y
                     self._rel_curve(st[0], 0, st[1], st[2], st[3], 0)
                     self._rel_curve(st[4], 0, st[5],
-                                    dy - self.y, st[6], 0)
-                elif b2 in (36, 37) and len(st) >= 9:
+                                    sy - self.y, st[6], 0)
+                elif b2 == 36 and len(st) >= 9:  # hflex1
+                    sy = self.y
+                    self._rel_curve(st[0], st[1], st[2], st[3],
+                                    st[4], 0)
+                    self._rel_curve(st[5], 0, st[6], st[7], st[8],
+                                    sy - (self.y + st[7]))
+                elif b2 == 37 and len(st) >= 11:  # flex1
+                    sx, sy = self.x, self.y
+                    dx = st[0] + st[2] + st[4] + st[6] + st[8]
+                    dy = st[1] + st[3] + st[5] + st[7] + st[9]
                     self._rel_curve(*st[0:6])
-                    if b2 == 36 and len(st) >= 9:
-                        self._rel_curve(st[6], 0, st[7], st[8],
-                                        st[9] if len(st) > 9 else 0, 0)
+                    if abs(dx) > abs(dy):
+                        self._rel_curve(
+                            st[6], st[7], st[8], st[9], st[10],
+                            sy - (self.y + st[7] + st[9]))
+                    else:
+                        self._rel_curve(
+                            st[6], st[7], st[8], st[9],
+                            sx - (self.x + st[6] + st[8]), st[10])
                 st.clear()
             else:
                 st.clear()
@@ -1085,7 +1102,7 @@ class EmbeddedGlyphs:
                 if not gid:
                     gid = f._cmap.get(code, 0) or f._cmap.get(
                         0xF000 | code, 0)
-            if not gid:
+            if not gid or gid >= f.num_glyphs:
                 return None
             return f.contours_for_gid(gid)
         if self.kind == "cff":
@@ -1098,16 +1115,17 @@ class EmbeddedGlyphs:
                 if not gid and uni:
                     sn = STANDARD_ENCODING.get(ord(uni[0]))
                     gid = f.gid_for_name(sn) if sn else 0
-            if not gid:
+            if not gid or gid >= f.nglyphs:
                 return None
             return f.contours_for_gid(gid)
-        # type1
+        # type1. A name that RESOLVES to an empty charstring (a space)
+        # returns [] — "resolved empty", distinct from None
+        # ("unresolvable", which the renderer ink-boxes).
         n = name or f.name_for_code(code) \
             or (STANDARD_ENCODING.get(ord(uni[0])) if uni else None)
-        if not n:
+        if not n or n not in f.charstrings:
             return None
-        out = f.contours_for_name(n)
-        return out or None
+        return f.contours_for_name(n)
 
 
 def load_font_program(kind: str, data: bytes, *, cid: bool = False,

@@ -763,7 +763,7 @@ class _PageRenderer:
                             cv2.fillPoly(self.img, polys,
                                          self._col(gs.fill),
                                          cv2.LINE_AA)
-                    elif ch and 32 < ord(ch[0]) < 127:
+                    elif conts is None and ch and 32 < ord(ch[0]) < 127:
                         # glyph missing from the program: Hershey char
                         d0 = (np.array([[0.0, 0.0, 1.0]])
                               @ (cm_ @ self.base))[0]
@@ -775,6 +775,22 @@ class _PageRenderer:
                                     self._col(gs.fill),
                                     max(int(round(fs_dev / 14)), 1),
                                     cv2.LINE_AA)
+                    elif conts is None and \
+                            (ch or font.width(code) > 0) and \
+                            not (ch and ch.isspace()):
+                        # unresolvable non-ASCII glyph: ink box of the
+                        # correct advance so detection still sees the
+                        # text line (the module's load-bearing
+                        # guarantee — docstring scope note)
+                        wadv = font.width(code) / 1000.0 * fsize
+                        box = np.array(
+                            [(pen, 0.0), (pen + wadv, 0.0),
+                             (pen + wadv, 0.66 * fsize),
+                             (pen, 0.66 * fsize)], np.float64)
+                        poly = np.round(self._dev(
+                            box, tm @ gs.ctm)).astype(np.int32)
+                        cv2.fillPoly(self.img, [poly],
+                                     self._col(gs.fill))
                     pen += font.width(code) / 1000.0 * fsize + tc \
                         + (tw if code == 32 and not font.two_byte
                            else 0.0)
@@ -1010,51 +1026,53 @@ class _PageRenderer:
         pos = lex.pos
         if pos < len(data) and data[pos] in _WS:
             pos += 1                             # single ws after ID
-        filters = d.get("Filter") or []
-        if not isinstance(filters, list):
-            filters = [filters]
-        filters = [self._FILTER_ABBR.get(str(f), str(f))
-                   for f in filters]
-        w = int(self.doc.resolve(d.get("Width", 0)) or 0)
-        h = int(self.doc.resolve(d.get("Height", 0)) or 0)
-        mask_mode = bool(self.doc.resolve(d.get("ImageMask", False)))
-        bpc = 1 if mask_mode else int(
-            self.doc.resolve(d.get("BitsPerComponent", 8)) or 8)
-        cs = self.doc.resolve(d.get("ColorSpace"))
-        palette = None
-        if isinstance(cs, list) and cs and str(
-                self.doc.resolve(cs[0])) in ("I", "Indexed"):
-            base = str(self.doc.resolve(cs[1]))
-            lookup = self.doc.resolve(cs[3]) if len(cs) > 3 else b""
-            if isinstance(lookup, Ref):
-                lookup = self.doc.stream_bytes(cs[3])
-            nb = 3 if base in ("RGB", "DeviceRGB") else 1
-            pal = np.frombuffer(bytes(lookup), np.uint8)
-            pal = pal[:len(pal) // nb * nb].reshape(-1, nb)
-            palette = pal if nb == 3 else np.repeat(pal, 3, axis=1)
-            ncomp = 1
-        else:
-            cs_name = str(cs) if cs is not None else "G"
-            ncomp = {"RGB": 3, "DeviceRGB": 3, "CMYK": 4,
-                     "DeviceCMYK": 4}.get(cs_name, 1)
-        if mask_mode:
-            ncomp = 1
         img = None
         stencil = None
         end = pos
+        interpolate = False
         try:
-            if "DCTDecode" in filters:
-                e = pos
-                while True:                      # ws-delimited EI scan
-                    e = data.find(b"EI", e + 1)
-                    if e < 0:
-                        e = len(data)
-                        break
-                    before_ws = e > 0 and data[e - 1] in _WS
-                    after = data[e + 2:e + 3]
-                    if before_ws and (not after or after[0] in _WS
-                                      or after[0] in _DELIM):
-                        break
+            filters = d.get("Filter") or []
+            if not isinstance(filters, list):
+                filters = [filters]
+            filters = [self._FILTER_ABBR.get(str(f), str(f))
+                       for f in filters]
+            interpolate = bool(self.doc.resolve(
+                d.get("Interpolate", False)))
+            w = int(self.doc.resolve(d.get("Width", 0)) or 0)
+            h = int(self.doc.resolve(d.get("Height", 0)) or 0)
+            mask_mode = bool(self.doc.resolve(d.get("ImageMask",
+                                                    False)))
+            bpc = 1 if mask_mode else int(
+                self.doc.resolve(d.get("BitsPerComponent", 8)) or 8)
+            cs = self.doc.resolve(d.get("ColorSpace"))
+            palette = None
+            if isinstance(cs, list) and cs and str(
+                    self.doc.resolve(cs[0])) in ("I", "Indexed"):
+                base = str(self.doc.resolve(cs[1]))
+                lookup = self.doc.resolve(cs[3]) if len(cs) > 3 else b""
+                if isinstance(lookup, Ref):
+                    lookup = self.doc.stream_bytes(cs[3])
+                nb = 3 if base in ("RGB", "DeviceRGB") else 1
+                pal = np.frombuffer(bytes(lookup), np.uint8)
+                pal = pal[:len(pal) // nb * nb].reshape(-1, nb)
+                palette = pal if nb == 3 else np.repeat(pal, 3, axis=1)
+                ncomp = 1
+            else:
+                cs_name = str(cs) if cs is not None else "G"
+                ncomp = {"RGB": 3, "DeviceRGB": 3, "CMYK": 4,
+                         "DeviceCMYK": 4}.get(cs_name, 1)
+            if mask_mode:
+                ncomp = 1
+            handled = {"FlateDecode", "ASCIIHexDecode", "DCTDecode"}
+            unknown = [f for f in filters if f not in handled]
+            if unknown:
+                # undecodable payload (A85/RL/LZW/CCITT): skip the
+                # image but resync safely via the ws-delimited EI scan
+                # (decoding raw encoded bytes as pixels — or trusting
+                # the raw-size offset — corrupts the rest of the page)
+                end = self._scan_inline_end(data, pos)
+            elif "DCTDecode" in filters:
+                e = self._scan_inline_end(data, pos)
                 arr = cv2.imdecode(
                     np.frombuffer(data[pos:e].rstrip(), np.uint8),
                     cv2.IMREAD_COLOR)
@@ -1068,6 +1086,19 @@ class _PageRenderer:
                     consumed = (len(data) - pos
                                 - len(dec.unused_data))
                     end = pos + consumed
+                    parms = self.doc.resolve(d.get("DecodeParms")) or {}
+                    if isinstance(parms, list):
+                        parms = self.doc.resolve(parms[0]) or {}
+                    if int(self.doc.resolve(
+                            parms.get("Predictor", 1)) or 1) >= 10:
+                        samples = _png_unpredict(
+                            samples,
+                            int(self.doc.resolve(
+                                parms.get("Columns", 1))),
+                            int(self.doc.resolve(
+                                parms.get("Colors", 1))),
+                            int(self.doc.resolve(
+                                parms.get("BitsPerComponent", 8))))
                 elif "ASCIIHexDecode" in filters:
                     e = data.find(b">", pos)
                     e = len(data) if e < 0 else e
@@ -1126,10 +1157,24 @@ class _PageRenderer:
         e2 = data.find(b"EI", end)
         lex.pos = len(data) if e2 < 0 else e2 + 2
         if img is not None:
-            self._blit_image(
-                img, gs, stencil=stencil,
-                interpolate=bool(self.doc.resolve(
-                    d.get("Interpolate", False))))
+            self._blit_image(img, gs, stencil=stencil,
+                             interpolate=interpolate)
+
+    @staticmethod
+    def _scan_inline_end(data: bytes, pos: int) -> int:
+        """End offset of an inline-image payload whose length cannot be
+        computed (DCT / undecodable filters): the first ``EI`` that is
+        whitespace-delimited on both sides."""
+        e = pos
+        while True:
+            e = data.find(b"EI", e + 1)
+            if e < 0:
+                return len(data)
+            after = data[e + 2:e + 3]
+            if (e > 0 and data[e - 1] in _WS
+                    and (not after or after[0] in _WS
+                         or after[0] in _DELIM)):
+                return e
 
     def _do_xobject(self, res: Dict, name: str, gs: _GState, depth: int):
         import cv2
@@ -1197,7 +1242,10 @@ class _PageRenderer:
         (ImageMask semantics); None paints the full rectangle.
         ``interpolate`` mirrors the PDF /Interpolate flag — the spec
         DEFAULT is false (blocky pixel replication, which tiny inline
-        images rely on)."""
+        images rely on). DOWNSCALES always filter regardless: scanners
+        almost never set /Interpolate, and nearest-neighbor decimation
+        of a 300-dpi scan at 150-dpi render drops 1-px strokes
+        entirely — the primary scanned-PDF OCR workload."""
         cv2 = self.cv2
         corners = self._dev(np.array(
             [(0, 0), (1, 0), (1, 1), (0, 1)], np.float64), gs.ctm)
@@ -1213,9 +1261,10 @@ class _PageRenderer:
                         (iw - 0.5, -0.5), (-0.5, -0.5)], np.float32)
         mat = cv2.getPerspectiveTransform(
             src, corners.astype(np.float32))
+        downscale = dst_w * dst_h < iw * ih
         warped = cv2.warpPerspective(
             np.ascontiguousarray(img), mat, (self.w_px, self.h_px),
-            flags=(cv2.INTER_LINEAR if interpolate
+            flags=(cv2.INTER_LINEAR if (interpolate or downscale)
                    else cv2.INTER_NEAREST),
             borderMode=cv2.BORDER_TRANSPARENT, dst=self.img.copy())
         mask_src = (stencil if stencil is not None

@@ -373,6 +373,107 @@ def test_inline_image_mask_paints_fill_color(tmp_path):
     assert (br[:, :, 0] > 200).all() and (br[:, :, 1] < 60).all()
 
 
+def test_type2_flex1_returns_to_start_y():
+    """flex1 (12 37) draws BOTH half-curves and (|dx|>|dy| case) ends
+    at the starting y — a regression test for the second-curve drop."""
+    from oar_ocr_tpu.utils.font_glyphs import _Type2Interp
+
+    class _F:
+        subrs = []
+        gsubrs = []
+
+    def num(v):
+        v = int(v)
+        assert -107 <= v <= 107
+        return bytes([v + 139])
+
+    cs = (num(100) + num(100) + bytes([21])          # rmoveto
+          + num(20) + num(10) + num(20) + num(10) + num(20) + num(5)
+          + num(20) + num(-5) + num(20) + num(-10) + num(20)
+          + bytes([12, 37])                          # flex1
+          + bytes([14]))                             # endchar
+    conts = _Type2Interp(_F()).run(cs)
+    pts = np.concatenate(conts)
+    # both curves drawn: x reaches 100 + 5*20 + dx6=20 -> 220
+    assert abs(pts[:, 0].max() - 220) <= 1
+    # endpoint returns to the starting y (100)
+    assert abs(pts[-1, 1] - 100) <= 1e-6
+    assert pts[:, 1].max() > 115                     # bulge was drawn
+
+
+def test_inline_image_unknown_filter_skips_and_resyncs(tmp_path):
+    """An undecodable inline filter (A85) must NOT blit encoded bytes
+    as pixels, and the lexer must resync so content after EI still
+    renders."""
+    content = (b"q 100 0 0 100 50 250 cm BI /W 4 /H 4 /BPC 8 /CS /RGB "
+               b"/F /A85 ID s4IA>!\"M;*Ddm8XA,lT0!!*'!z!! EI Q\n"
+               b"0 0 0 rg 300 50 50 50 re f")
+    img = render_vector_pdf(_one_page_pdf(tmp_path, "a85.pdf",
+                                          content), dpi=72)[0]
+    h = img.shape[0]
+    # image region untouched (white), trailing rect rendered
+    assert (img[h - 340:h - 260, 60:140] > 240).all()
+    assert _ink(img, h - 100, h - 52, 302, 348) > 0.95
+
+
+def test_inline_image_flate_png_predictor(tmp_path):
+    """Flate + /DP PNG predictor: samples must be un-predicted (the
+    shared _png_unpredict path), not reshaped raw."""
+    rows = np.array([[10, 200, 10, 200],
+                     [10, 200, 10, 200]], np.uint8)
+    # PNG filter type 2 (Up): first row vs zeros, second row deltas 0
+    enc = bytes([2]) + bytes(rows[0]) + bytes([2]) + bytes(
+        (rows[1] - rows[0]) & 0xFF)
+    comp = zlib.compress(enc)
+    content = (b"q 100 0 0 50 50 250 cm BI /W 4 /H 2 /BPC 8 /CS /G "
+               b"/F /Fl /DP << /Predictor 12 /Colors 1 /Columns 4 >> "
+               b"ID " + comp + b" EI Q")
+    img = render_vector_pdf(_one_page_pdf(tmp_path, "pred.pdf",
+                                          content), dpi=72)[0]
+    h = img.shape[0]
+    # columns alternate dark/light after unpredict
+    assert (img[h - 295:h - 255, 52:60] < 80).all()       # col 0 dark
+    assert (img[h - 295:h - 255, 140:148] > 150).all()    # col 3 light
+
+
+def test_unresolvable_cjk_glyph_draws_ink_box(tmp_path):
+    """A char whose embedded program has no glyph and whose unicode is
+    non-ASCII must still draw an ink box of the correct advance (the
+    'detection still sees the text line' guarantee)."""
+    t1 = _build_type1()                  # has only /A
+    tou = (b"/CIDInit /ProcSet findresource begin 12 dict begin "
+           b"begincmap 1 begincodespacerange <00> <ff> "
+           b"endcodespacerange 1 beginbfchar <42> <4E2D> endbfchar "
+           b"endcmap end end")
+    content = b"BT /F1 50 Tf 80 200 Td (B) Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/MediaBox [0 0 300 300] >>"),
+        3: (b"<< /Type /Page /Parent 2 0 R /Resources "
+            b"<< /Font << /F1 4 0 R >> >> /Contents 5 0 R >>"),
+        4: (b"<< /Type /Font /Subtype /Type1 /BaseFont /TestT1 "
+            b"/FirstChar 66 /LastChar 66 /Widths [600] "
+            b"/ToUnicode 8 0 R /FontDescriptor 6 0 R >>"),
+        5: b"<< /Length %d >>" % len(content),
+        6: (b"<< /Type /FontDescriptor /FontName /TestT1 /Flags 4 "
+            b"/FontFile 7 0 R >>"),
+        7: b"<< /Length %d >>" % len(t1),
+        8: b"<< /Length %d >>" % len(tou),
+    }
+    path = _write_pdf(tmp_path, "cjk.pdf", objs,
+                      {5: content, 7: t1, 8: tou})
+    img = render_vector_pdf(path, dpi=144)[0]
+    s = 144 / 72.0
+    h = img.shape[0]
+    # ink box spans the 600/1000*50pt advance above the baseline
+    r0 = int(round(h - (200 + 0.6 * 50) * s)) + 4
+    r1 = int(round(h - 200 * s)) - 2
+    c0 = int(round(80 * s)) + 2
+    c1 = int(round((80 + 0.55 * 50) * s))
+    assert _ink(img, r0, r1, c0, c1) > 0.9
+
+
 def test_inline_image_ahx(tmp_path):
     data = bytes([10, 240])
     content = (b"q 100 0 0 50 200 200 cm BI /W 2 /H 1 /BPC 8 /CS /G "
