@@ -330,7 +330,8 @@ class DBDetector:
             if (rt.cfg.det_sparse_fetch == "auto"
                     and rt.d2h_recovery_due()):
                 rt.note_recovery("det_full")
-                mask = None
+                rt.note_d2h_probe()     # small bitmaps can be under the
+                mask = None             # 64 KB measurement floor
         if mask is not None:
             # any failure inside a budgeted gather (typically a
             # transient remote-compile tunnel drop on a first-seen

@@ -460,6 +460,9 @@ def _put_gray(runtime, batch: np.ndarray):
     t0 = time.perf_counter()
     dev = jax.device_put(batch, _placement(runtime))
     out = gray3(dev)
+    # a full-size (1/3) transfer is a real link measurement via the
+    # checkpoint observation — reset the probe clock like dense does
+    runtime.note_dense_upload()
     _finish_timed(runtime, out, batch.nbytes, t0, ("gray", batch.shape))
     return out
 

@@ -359,11 +359,25 @@ class Runtime:
         ≥64 KB fetch has landed a note_d2h measurement within
         ``link_recovery_interval_s``). Sparse payloads above the floor
         keep the EMA live for free: a recovered link reads high on the
-        next sparse fetch and auto mode disengages without any probe."""
+        next sparse fetch and auto mode disengages without any probe.
+        Callers MUST pair a fired probe with :meth:`note_d2h_probe` —
+        a probe whose full transfer is still under note_d2h's 64 KB
+        floor would otherwise leave the clock stale and fire on every
+        batch."""
         import time as _time
 
         return (_time.monotonic() - self._d2h_meas_t
                 > self.cfg.link_recovery_interval_s)
+
+    def note_d2h_probe(self) -> None:
+        """Reset the d2h probe clock when a scheduled full-transfer
+        probe is ISSUED (not merely measured): small det buckets pack
+        under the 64 KB measurement floor, and without this reset the
+        at-most-one-per-interval probe degenerates into a full fetch
+        on every batch."""
+        import time as _time
+
+        self._d2h_meas_t = _time.monotonic()
 
     def put_pages(self, images, target_hw) -> jax.Array:
         """Upload variable-size HWC uint8 pages as one padded

@@ -115,6 +115,34 @@ def test_d2h_recovery_starvation_gated(rt):
     assert not rt.d2h_recovery_due()
 
 
+def test_d2h_probe_issuance_resets_clock(rt):
+    """A fired probe resets the clock at ISSUANCE: small det buckets
+    pack under note_d2h's 64 KB floor, and without the reset the
+    at-most-one-per-interval probe would fire on every batch."""
+    rt._d2h_meas_t -= rt.cfg.link_recovery_interval_s + 1
+    assert rt.d2h_recovery_due()
+    rt.note_d2h_probe()                       # probe issued
+    assert not rt.d2h_recovery_due()          # next batch: no probe
+    rt.note_d2h(32 * 1024, 0.01)              # sub-floor full fetch
+    assert not rt.d2h_recovery_due()
+
+
+def test_gray_upload_resets_h2d_probe_clock(monkeypatch):
+    """_put_gray is a full-size (1/3) transfer — a real link
+    measurement — so it must reset the dense-probe clock like
+    _put_dense does (otherwise an hour of healthy gray traffic is
+    followed by a pointless full-price dense probe)."""
+    from oar_ocr_tpu.config.runtime import RuntimeConfig
+    from oar_ocr_tpu.runtime import page_upload as P
+
+    rt2 = Runtime(RuntimeConfig(page_upload="on"))
+    rt2._h2d_dense_t -= rt2.cfg.link_recovery_interval_s + 1
+    g = np.random.default_rng(0).integers(0, 255, (96, 64, 1),
+                                          dtype=np.uint8)
+    P.upload_pages(rt2, [np.repeat(g, 3, axis=2)], (96, 64))
+    assert not rt2.h2d_recovery_due()
+
+
 def test_no_keepalive_thread_on_cpu():
     import threading
 
