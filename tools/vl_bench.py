@@ -118,6 +118,20 @@ def bench_glm_spec(max_new: int = 128, tiny: bool = False) -> dict:
     glm = glm_speculative_exact(tiny=tiny, fast_init=True, draft_k=4)
     img = _page(56 if tiny else 224, seed=1)
 
+    # OCR decodes are LOW-entropy (small effective charset, looping
+    # structure); an unrestricted random decoder over a ~100k vocab is
+    # the unrealistically-HIGH-entropy case and starves prompt-lookup
+    # of any repetition. Confine the random lm_head's argmax to tokens
+    # [8, 56): every other column copies column 8, so ties resolve to
+    # token 0 — never eos_id (2) — and the decode always runs the full
+    # max_new (greedy/speculative walls stay comparable). Same realism
+    # trick as bench.py's blank-biased CTC head; timings unchanged
+    # (identical shapes/programs).
+    k = glm.params["params"]["lm_head"]["kernel"]
+    ref = k[:, 8:9]
+    k = k.at[:, :8].set(ref)
+    glm.params["params"]["lm_head"]["kernel"] = k.at[:, 56:].set(ref)
+
     # greedy baseline (one scan program)
     print("[vl_bench] glm greedy (compiles)…", file=sys.stderr)
     glm.generate([img], max_new_tokens=max_new)
@@ -128,18 +142,28 @@ def bench_glm_spec(max_new: int = 128, tiny: bool = False) -> dict:
     print("[vl_bench] glm mtp-speculative (compiles)…", file=sys.stderr)
     glm.generate_speculative([img], max_new_tokens=max_new)
     stats: dict = {}
-    t_mtp = _best(lambda: glm.generate_speculative(
-        [img], max_new_tokens=max_new, stats=stats), runs=2)
+
+    def run_mtp():
+        stats.clear()                 # per-run stats, not best-of sums
+        return glm.generate_speculative([img], max_new_tokens=max_new,
+                                        stats=stats)
+
+    t_mtp = _best(run_mtp, runs=2)
 
     # training-free n-gram prompt-lookup drafts on the same stack —
-    # random decoders loop, the regime prompt-lookup exploits
+    # low-entropy decodes loop, the regime prompt-lookup exploits
     from oar_ocr_tpu.vl.exact_models import ExactVLM
 
     print("[vl_bench] glm ngram-speculative (compiles)…", file=sys.stderr)
     ExactVLM.generate_speculative(glm, [img], max_new_tokens=max_new)
     nstats: dict = {}
-    t_ng = _best(lambda: ExactVLM.generate_speculative(
-        glm, [img], max_new_tokens=max_new, stats=nstats), runs=2)
+
+    def run_ng():
+        nstats.clear()
+        return ExactVLM.generate_speculative(
+            glm, [img], max_new_tokens=max_new, stats=nstats)
+
+    t_ng = _best(run_ng, runs=2)
 
     def acc(s):
         return {**s, "acceptance_rate": round(
