@@ -191,6 +191,13 @@ class _Traffic:
         self.d2h_n = rt.d2h_fetch_count
         self.h2d_b = rt.h2d_bytes_total
         self.ex_d2h_b = self.ex_d2h_n = self.ex_h2d_b = 0
+        self._frozen = None
+
+    def freeze(self):
+        """Pin totals() at phase end so later phases' traffic can't leak
+        into this phase's floor model (the r5 seq_link_floor was ~2×
+        inflated by the pipelined phase's bytes before this)."""
+        self._frozen = self.totals()
 
     def snapshot(self):
         rt = self.rt
@@ -203,6 +210,8 @@ class _Traffic:
         self.ex_h2d_b += rt.h2d_bytes_total - snap[2]
 
     def totals(self):
+        if self._frozen is not None:
+            return self._frozen
         rt = self.rt
         return (rt.d2h_bytes_total - self.d2h_b - self.ex_d2h_b,
                 rt.d2h_fetch_count - self.d2h_n - self.ex_d2h_n,
@@ -289,6 +298,7 @@ def _sequential_phase(pipe, pages_np, metrics):
         summaries.append(metrics.summary())
         print(f"iter: {N_PAGES / dt:.2f} pages/s ({dt*1e3:.0f} ms)",
               file=sys.stderr)
+    traffic.freeze()
     return times, summaries, flake_msgs, traffic
 
 
@@ -326,6 +336,7 @@ def _pipelined_phase(pipe, pages_np, n_iters: int, label: str = "pipelined"):
             traffic = _Traffic(rt)
     print(f"[{label}] {n_iters} iters in {total*1e3:.0f} ms = "
           f"{n_iters * N_PAGES / total:.2f} pages/s", file=sys.stderr)
+    traffic.freeze()
     return total, times, flakes, traffic
 
 
@@ -478,6 +489,7 @@ def main():
                            if seq_floor["total_ms"] else None),
         "link_retries": rt.link_retry_count,
         "degrade_counts": rt.degrade_counts,
+        "overflow_counts": rt.overflow_counts,
         "recovery_counts": rt.recovery_counts,
         "dense_content": dense,
         "accuracy": accuracy,

@@ -381,6 +381,9 @@ class DBDetector:
                 np.put_along_axis(out_t, idx[:, :, None], tiles, axis=1)
                 return (out_t.reshape(b, nth, ntw, DET_TILE_H, DET_TILE_W8)
                         .transpose(0, 1, 3, 2, 4).reshape(packed.shape))
+            # expected speculative-budget miss (dense batch / workload
+            # shift): the history just rose, so the next guess widens
+            rt.note_overflow("det_tile_spec")
         elif mode == "tile":
             from ...ops.det_device import (DET_TILE_H, DET_TILE_W8,
                                            gather_occupied_tiles)

@@ -555,7 +555,7 @@ class CTCRecognizer:
             return raw
         import time as _time
 
-        self.runtime.note_degrade("kept_rec_overflow")
+        self.runtime.note_overflow("kept_rec")
         with stage_timer("rec.kept_overflow", batch=n, t=t, k=k):
             t0 = _time.perf_counter()
             full = np.asarray(packed_dev)

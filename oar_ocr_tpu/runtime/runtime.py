@@ -125,6 +125,10 @@ class Runtime:
         # link_retry_count — io_submit transient-read retries.
         self.degrade_counts: dict = {}
         self.recovery_counts: dict = {}
+        # overflow_counts — EXPECTED, self-correcting speculative-budget
+        # misses (e.g. kept-CTC k-budget exceeded → one extra full RTT,
+        # history widens); neither a failure nor a scheduled probe.
+        self.overflow_counts: dict = {}
         self.link_retry_count = 0
         # single-worker link executor: all d2h fetches are submitted here
         # so the (GIL-releasing) tunnel waits overlap main-thread host CPU
@@ -197,6 +201,11 @@ class Runtime:
         """Count one SCHEDULED full/dense transfer (periodic link
         re-measurement while an adaptive path is active)."""
         self.recovery_counts[path] = self.recovery_counts.get(path, 0) + 1
+
+    def note_overflow(self, path: str) -> None:
+        """Count one EXPECTED speculative-budget overflow (refetch + budget
+        raise — self-correcting, not a degradation)."""
+        self.overflow_counts[path] = self.overflow_counts.get(path, 0) + 1
 
     KEEPALIVE_IDLE_S = 8.0
 

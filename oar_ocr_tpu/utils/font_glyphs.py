@@ -453,6 +453,8 @@ class CFFGlyphs:
         self.nglyphs = len(self.charstrings)
         self.is_cid = 0x0C1E in top                    # ROS
         self.subrs: List[bytes] = []
+        self.fd_subrs: List[List[bytes]] = []
+        self.fd_select: Optional[List[int]] = None
         priv = top.get(18)
         if priv and len(priv) == 2:
             psz, poff = int(priv[0]), int(priv[1])
@@ -461,17 +463,26 @@ class CFFGlyphs:
                 self.subrs, _ = _cff_index(
                     data, poff + int(pdict[19][0]))
         elif self.is_cid and 0x0C24 in top:            # FDArray
+            # every FD keeps its OWN local-subr table; charstrings are
+            # routed to their FD via FDSelect (a callsubr index is only
+            # meaningful against the owning FD's table + bias)
             fds, _ = _cff_index(data, int(top[0x0C24][0]))
             for fd in fds:
+                fd_subrs: List[bytes] = []
                 fdd = _cff_dict(fd)
                 pv = fdd.get(18)
                 if pv and len(pv) == 2:
                     psz, poff = int(pv[0]), int(pv[1])
                     pdict = _cff_dict(data[poff:poff + psz])
                     if 19 in pdict:
-                        self.subrs, _ = _cff_index(
+                        fd_subrs, _ = _cff_index(
                             data, poff + int(pdict[19][0]))
-                    break
+                self.fd_subrs.append(fd_subrs)
+            if 0x0C25 in top:                          # FDSelect
+                self.fd_select = self._parse_fd_select(
+                    int(top[0x0C25][0]))
+            if self.fd_subrs:
+                self.subrs = self.fd_subrs[0]          # default FD 0
         self._parse_charset(int(top.get(15, [0])[0]))
         self._parse_encoding(int(top.get(16, [0])[0]))
         self._cache: Dict[int, Contours] = {}
@@ -542,6 +553,39 @@ class CFFGlyphs:
                     self.code_to_gid[first + k] = gid
                     gid += 1
 
+    def _parse_fd_select(self, off: int) -> Optional[List[int]]:
+        """FDSelect (CFF spec §19): glyph → FDArray index. Format 0 is
+        one byte per glyph; format 3 is (first, fd) ranges + sentinel."""
+        d = self.data
+        if off <= 0 or off >= len(d):
+            return None
+        fmt = d[off]
+        sel = [0] * self.nglyphs
+        if fmt == 0:
+            for gid in range(self.nglyphs):
+                sel[gid] = d[off + 1 + gid]
+        elif fmt == 3:
+            (nr,) = struct.unpack(">H", d[off + 1:off + 3])
+            p = off + 3
+            for _ in range(nr):
+                (first,) = struct.unpack(">H", d[p:p + 2])
+                fd = d[p + 2]
+                (nxt,) = struct.unpack(">H", d[p + 3:p + 5])
+                for gid in range(first, min(nxt, self.nglyphs)):
+                    sel[gid] = fd
+                p += 3
+        else:
+            return None
+        return sel
+
+    def _subrs_for_gid(self, gid: int) -> List[bytes]:
+        if self.fd_subrs:
+            fd = (self.fd_select[gid]
+                  if self.fd_select and gid < len(self.fd_select) else 0)
+            if 0 <= fd < len(self.fd_subrs):
+                return self.fd_subrs[fd]
+        return self.subrs
+
     def gid_for_name(self, name: str) -> int:
         return self.name_to_gid.get(name, 0)
 
@@ -553,7 +597,8 @@ class CFFGlyphs:
             return self._cache[gid]
         if gid < 0 or gid >= self.nglyphs:
             return []
-        out = _Type2Interp(self).run(self.charstrings[gid])
+        out = _Type2Interp(self, self._subrs_for_gid(gid)).run(
+            self.charstrings[gid])
         self._cache[gid] = out
         return out
 
@@ -561,9 +606,11 @@ class CFFGlyphs:
 class _Type2Interp:
     """Type2 charstring interpreter → polygon contours."""
 
-    def __init__(self, font: CFFGlyphs):
+    def __init__(self, font: CFFGlyphs,
+                 subrs: Optional[List[bytes]] = None):
         self.font = font
-        self.lbias = _subr_bias(len(font.subrs))
+        self.subrs = font.subrs if subrs is None else subrs
+        self.lbias = _subr_bias(len(self.subrs))
         self.gbias = _subr_bias(len(font.gsubrs))
 
     def run(self, cs: bytes) -> Contours:
@@ -721,8 +768,8 @@ class _Type2Interp:
             elif b == 10:                        # callsubr
                 if st:
                     idx = int(st.pop()) + self.lbias
-                    if 0 <= idx < len(self.font.subrs):
-                        if self._exec(self.font.subrs[idx], depth + 1):
+                    if 0 <= idx < len(self.subrs):
+                        if self._exec(self.subrs[idx], depth + 1):
                             return True
             elif b == 29:                        # callgsubr
                 if st:

@@ -1114,23 +1114,38 @@ class _PageRenderer:
                     end = pos + n
                 row = (w * ncomp * bpc + 7) // 8
                 if w and h and len(samples) >= row * h:
-                    if bpc == 1:
+                    if bpc in (1, 2, 4):
                         bits = np.unpackbits(
                             np.frombuffer(samples[:row * h],
                                           np.uint8).reshape(h, row),
-                            axis=1)[:, :w]
+                            axis=1)[:, :w * bpc]
+                        if bpc == 1:
+                            idx = bits
+                        else:            # big-endian sub-byte samples
+                            weights = 1 << np.arange(
+                                bpc - 1, -1, -1, dtype=np.uint8)
+                            idx = (bits.reshape(h, w, bpc)
+                                   * weights).sum(axis=2).astype(np.uint8)
                         decode = self.doc.resolve(d.get("Decode"))
                         inverted = (isinstance(decode, list) and decode
                                     and float(self.doc.resolve(
-                                        decode[0])) == 1.0)
+                                        decode[0])) != 0.0)
                         if mask_mode:
                             # sample 0 paints (Decode [0 1] default)
-                            paint = (bits == (1 if inverted else 0))
+                            paint = (idx == (1 if inverted else 0))
                             stencil = paint.astype(np.uint8) * 255
                             img = np.full((h, w, 3),
                                           self._col(gs.fill), np.uint8)
+                        elif palette is not None and len(palette):
+                            # Indexed: sample value IS the palette index
+                            # (spec 8.9.5.2 — a 1-bit indexed image maps
+                            # 0→palette[0], NOT to raw black/white)
+                            img = palette[np.minimum(
+                                idx, len(palette) - 1)]
                         else:
-                            g = (bits * 255).astype(np.uint8)
+                            maxv = (1 << bpc) - 1
+                            g = (idx.astype(np.uint16)
+                                 * 255 // maxv).astype(np.uint8)
                             if inverted:
                                 g = 255 - g
                             img = np.repeat(g[:, :, None], 3, 2)
@@ -1253,26 +1268,41 @@ class _PageRenderer:
         dst_h = int(round(max(np.hypot(*(corners[3] - corners[0])), 1)))
         if dst_w < 1 or dst_h < 1:
             return
+        ih, iw = img.shape[:2]
+        mask_src = (stencil if stencil is not None
+                    else np.full((ih, iw), 255, np.uint8))
+        downscale = dst_w * dst_h < iw * ih
+        # Heavy decimation needs a real low-pass first: warpPerspective's
+        # INTER_LINEAR taps only 2 neighbors, so at ≥2× shrink a 1-px
+        # stroke (of a 300-dpi scan OR an ImageMask stencil — the
+        # stencil carries the ink) falls between the taps and vanishes.
+        # INTER_AREA pre-shrink to ~destination scale is the mipmap
+        # step; the residual warp is then ≈1:1 and INTER_LINEAR is safe.
+        if downscale and (iw >= 2 * dst_w or ih >= 2 * dst_h):
+            img = cv2.resize(np.ascontiguousarray(img), (dst_w, dst_h),
+                             interpolation=cv2.INTER_AREA)
+            mask_src = cv2.resize(mask_src, (dst_w, dst_h),
+                                  interpolation=cv2.INTER_AREA)
+            ih, iw = dst_h, dst_w
         # half-pixel EDGE coordinates: pixel centers sit at integer
         # coords, so the image rectangle spans [-0.5, n-0.5] — and a
         # 1-row/1-col image keeps a non-degenerate source quad
-        ih, iw = img.shape[:2]
         src = np.array([(-0.5, ih - 0.5), (iw - 0.5, ih - 0.5),
                         (iw - 0.5, -0.5), (-0.5, -0.5)], np.float32)
         mat = cv2.getPerspectiveTransform(
             src, corners.astype(np.float32))
-        downscale = dst_w * dst_h < iw * ih
+        filt = interpolate or downscale
         warped = cv2.warpPerspective(
             np.ascontiguousarray(img), mat, (self.w_px, self.h_px),
-            flags=(cv2.INTER_LINEAR if (interpolate or downscale)
-                   else cv2.INTER_NEAREST),
+            flags=(cv2.INTER_LINEAR if filt else cv2.INTER_NEAREST),
             borderMode=cv2.BORDER_TRANSPARENT, dst=self.img.copy())
-        mask_src = (stencil if stencil is not None
-                    else np.full(img.shape[:2], 255, np.uint8))
         mask = cv2.warpPerspective(
             mask_src, mat, (self.w_px, self.h_px),
-            flags=cv2.INTER_NEAREST)
-        self.img[mask > 127] = warped[mask > 127]
+            flags=(cv2.INTER_LINEAR if filt else cv2.INTER_NEAREST))
+        # ≥1/8 source coverage paints: errs toward thickening a
+        # decimated stroke over dropping it (OCR prefers bold to blank)
+        keep = mask > (31 if filt else 127)
+        self.img[keep] = warped[keep]
 
     def finish(self) -> np.ndarray:
         if self.rotate:

@@ -75,6 +75,10 @@ def test_kept_overflow_refetches(det_params, rng):
     pipe.recognizer._kept_budget = lambda t: 1   # force overflow
     kept = [_key(r) for r in pipe.predict(pages)]
     assert kept == full
+    # an expected budget miss is an OVERFLOW, never a degradation
+    # (degrade_counts is reserved for unplanned tunnel/compile failures)
+    assert pipe.runtime.overflow_counts.get("kept_rec", 0) >= 1
+    assert "kept_rec_overflow" not in pipe.runtime.degrade_counts
 
 
 def test_kept_auto_policy():

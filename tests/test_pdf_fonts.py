@@ -214,6 +214,110 @@ def test_cff_fontfile3_renders_in_pdf(tmp_path):
     assert _ink(img, 0, r0 - 20, 0, img.shape[1]) == 0.0
 
 
+def _cff_index_bytes(items):
+    """Assemble a CFF INDEX (offSize 1 — all fixtures are tiny)."""
+    if not items:
+        return b"\x00\x00"
+    out = bytearray(struct.pack(">H", len(items)) + b"\x01")
+    off = 1
+    offs = [off]
+    for it in items:
+        off += len(it)
+        offs.append(off)
+    out += bytes(offs)
+    for it in items:
+        out += it
+    return bytes(out)
+
+
+def _cff_int32(v: int) -> bytes:
+    return b"\x1d" + struct.pack(">i", v)     # DICT op 29: fixed-width
+
+
+def _build_cid_cff_two_fds() -> bytes:
+    """Hand-assembled CID-keyed CFF: gid1 routed to FD0, gid2 to FD1
+    via FDSelect fmt 3. Each FD has ONE local subr with DIFFERENT
+    geometry (FD0: 400-unit square at (50,50); FD1: triangle x 100..500
+    y 0..700) and both glyph charstrings are the same bytes
+    (`callsubr 0; endchar`) — so the outlines only differ if the
+    interpreter honors FDSelect when picking the local-subr table."""
+    # charstrings: push -107 (bias-107 → subr 0), callsubr, endchar
+    gid_cs = b"\x20\x0a\x0e"
+    notdef = b"\x0e"
+    charstrings = _cff_index_bytes([notdef, gid_cs, gid_cs])
+    # FD0 subr: 50 50 rmoveto 400 hlineto 400 vlineto -400 hlineto return
+    fd0_subr = (b"\xbd\xbd\x15" b"\xf8\x24\x06" b"\xf8\x24\x07"
+                b"\xfc\x24\x06" b"\x0b")
+    # FD1 subr: 100 0 rmoveto 200 700 rlineto 200 -700 rlineto return
+    fd1_subr = (b"\xef\x8b\x15" b"\xf7\x5c\xf9\x50\x05"
+                b"\xf7\x5c\xfd\x50\x05" b"\x0b")
+    fd0_subrs = _cff_index_bytes([fd0_subr])
+    fd1_subrs = _cff_index_bytes([fd1_subr])
+    # Private DICT: Subrs (op 19) at offset = len(private dict)
+    priv = _cff_int32(6) + b"\x13"
+    assert len(priv) == 6
+    # charset fmt 0: CIDs 1, 2 for gid1, gid2
+    charset = b"\x00" + struct.pack(">HH", 1, 2)
+    # FDSelect fmt 3: gids [0,2) → FD0, [2,3) → FD1
+    fdselect = (b"\x03" + struct.pack(">H", 2)
+                + struct.pack(">HB", 0, 0) + struct.pack(">HB", 2, 1)
+                + struct.pack(">H", 3))
+    header = b"\x01\x00\x04\x01"
+    name_index = _cff_index_bytes([b"TestCID"])
+    string_index = _cff_index_bytes([b"Adobe", b"Identity"])
+    gsubr_index = b"\x00\x00"
+    # Top DICT: fixed width (all offsets 0x1d int32) → one-pass layout
+    def top_dict(cs_off, charset_off, fdarray_off, fdselect_off):
+        d = _cff_int32(391) + _cff_int32(392) + _cff_int32(0) \
+            + b"\x0c\x1e"                            # ROS
+        d += _cff_int32(charset_off) + b"\x0f"       # charset
+        d += _cff_int32(cs_off) + b"\x11"            # CharStrings
+        d += _cff_int32(fdarray_off) + b"\x0c\x24"   # FDArray
+        d += _cff_int32(fdselect_off) + b"\x0c\x25"  # FDSelect
+        return d
+    td_len = len(top_dict(0, 0, 0, 0))
+    top_index_len = 2 + 1 + 2 + td_len
+    prefix = (len(header) + len(name_index) + top_index_len
+              + len(string_index) + len(gsubr_index))
+    charset_off = prefix
+    fdselect_off = charset_off + len(charset)
+    cs_off = fdselect_off + len(fdselect)
+    fdarray_off = cs_off + len(charstrings)
+    # FD Font DICTs: Private (op 18) [size, abs offset] — also fixed
+    # width, so FDArray INDEX length is offset-independent
+    def fd_dict(priv_off):
+        return _cff_int32(len(priv)) + _cff_int32(priv_off) + b"\x12"
+    fdarray_len = len(_cff_index_bytes([fd_dict(0), fd_dict(0)]))
+    fd0_priv_off = fdarray_off + fdarray_len
+    fd1_priv_off = fd0_priv_off + len(priv) + len(fd0_subrs)
+    fdarray = _cff_index_bytes(
+        [fd_dict(fd0_priv_off), fd_dict(fd1_priv_off)])
+    assert len(fdarray) == fdarray_len
+    top = top_dict(cs_off, charset_off, fdarray_off, fdselect_off)
+    top_index = _cff_index_bytes([top])
+    assert len(top_index) == top_index_len
+    return (header + name_index + top_index + string_index
+            + gsubr_index + charset + fdselect + charstrings
+            + fdarray + priv + fd0_subrs + priv + fd1_subrs)
+
+
+def test_cid_cff_fdselect_routes_local_subrs():
+    """A CID-keyed CFF with two FDArray entries must execute each
+    glyph's charstring against ITS FD's local-subr table (FDSelect),
+    not the first FD's — identical callsubr bytes, different outlines."""
+    cff = CFFGlyphs(_build_cid_cff_two_fds())
+    assert cff.is_cid and len(cff.fd_subrs) == 2
+    assert cff.fd_select == [0, 0, 1]
+    sq = np.concatenate(cff.contours_for_gid(cff.gid_for_cid(1)))
+    tri = np.concatenate(cff.contours_for_gid(cff.gid_for_cid(2)))
+    assert abs(sq[:, 0].min() - 50) <= 1 and abs(
+        sq[:, 0].max() - 450) <= 1
+    assert abs(sq[:, 1].max() - 450) <= 1
+    assert abs(tri[:, 0].min() - 100) <= 1 and abs(
+        tri[:, 0].max() - 500) <= 1
+    assert abs(tri[:, 1].max() - 700) <= 1
+
+
 # -------------------------- Type1 --------------------------
 
 def _t1_num(v: int) -> bytes:
@@ -371,6 +475,63 @@ def test_inline_image_mask_paints_fill_color(tmp_path):
     assert (tl[:, :, 0] > 200).all() and (tl[:, :, 1] < 60).all()
     assert (tr > 200).all()
     assert (br[:, :, 0] > 200).all() and (br[:, :, 1] < 60).all()
+
+
+def test_inline_image_1bit_indexed_uses_palette(tmp_path):
+    """A 1-bit Indexed inline image maps sample→palette (spec 8.9.5.2):
+    palette[0]=white, palette[1]=red — NOT raw 0/255 gray (which would
+    invert the page)."""
+    # 2x2: left column index 1 (red), right column index 0 (white)
+    data = bytes([0b10000000, 0b10000000])
+    content = (b"q 100 0 0 100 50 250 cm BI /W 2 /H 2 /BPC 1 "
+               b"/CS [/I /RGB 1 <FFFFFFFF0000>] ID " + data + b" EI Q")
+    img = render_vector_pdf(_one_page_pdf(tmp_path, "ix.pdf", content),
+                            dpi=72)[0]
+    h = img.shape[0]
+    left = img[h - 340:h - 260, 52:60]
+    right = img[h - 340:h - 260, 140:148]
+    assert (left[:, :, 0] > 200).all() and (left[:, :, 1] < 60).all()
+    assert (right > 200).all()
+
+
+def test_inline_image_2bit_gray(tmp_path):
+    """2-bit gray inline images decode (scaled 0..3 → 0..255); they
+    were previously skipped entirely."""
+    # 2x2: left column 0 (black), right column 3 (white); 2 bits/sample,
+    # row-packed MSB-first: row = 00 11 ....
+    data = bytes([0b00110000, 0b00110000])
+    content = (b"q 100 0 0 100 50 250 cm BI /W 2 /H 2 /BPC 2 /CS /G ID "
+               + data + b" EI Q")
+    img = render_vector_pdf(_one_page_pdf(tmp_path, "g2.pdf", content),
+                            dpi=72)[0]
+    h = img.shape[0]
+    left = img[h - 340:h - 260, 52:60]
+    right = img[h - 340:h - 260, 140:148]
+    assert (left < 80).all()
+    assert (right > 200).all()
+
+
+def test_imagemask_downscale_keeps_thin_strokes(tmp_path):
+    """A 1-px stencil stroke must survive 4× decimation: the stencil is
+    area-filtered like the image (nearest/bilinear decimation both drop
+    rows that fall between sample taps)."""
+    # 64x64 mask, background 1 (clear); single painted row 8 + painted
+    # column 8 (sample 0 paints). Rendered into a 16x16pt box at 72dpi
+    # → 4x downscale; nearest sampling at src 4k+1.5 misses row 8.
+    mask = np.ones((64, 64), np.uint8)
+    mask[8, :] = 0
+    mask[:, 8] = 0
+    data = np.packbits(mask, axis=1).tobytes()
+    content = (b"q 0 0 1 rg 16 0 0 16 100 100 cm "
+               b"BI /IM true /W 64 /H 64 /BPC 1 ID " + data + b" EI Q")
+    img = render_vector_pdf(_one_page_pdf(tmp_path, "th.pdf", content),
+                            dpi=72)[0]
+    h = img.shape[0]
+    box = img[h - 116:h - 100, 100:116]
+    blue_ink = ((box[:, :, 2] > 150) & (box[:, :, 0] < 150)).sum()
+    # the two 1-px strokes span ~2x16 destination pixels; require most
+    # of at least one full stroke to survive
+    assert blue_ink >= 16, f"thin strokes vanished ({blue_ink} px)"
 
 
 def test_type2_flex1_returns_to_start_y():
