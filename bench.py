@@ -13,14 +13,17 @@ Workload: the REAL `OAROCR.predict` path — page upload, fused
 preprocess+DBNet+host postprocess detection, pooled ratio-sorted
 recognition on the DETECTOR'S OWN boxes, and result assembly, all inside
 the timer (VERDICT r2 item 2: no fixture quads, no pre-uploaded pages).
-TWO content classes are measured (VERDICT r4 item 2 — the adaptive
+THREE content classes are measured (VERDICT r4 item 2 — the adaptive
 sparse upload is content-dependent):
 
 - ``flat``: white pages with uniform dark text blocks (near-best case
   for the constant-tile sparse upload; the headline workload);
-- ``dense_content``: per-pixel noise background + the same text blocks
-  (incompressible — the sparse upload falls back to the full dense
-  transfer; the honest degraded-link worst case).
+- ``dense_content``: per-pixel RGB noise background + the same text
+  blocks (incompressible — the sparse upload falls back to the full
+  dense transfer; the honest degraded-link worst case);
+- ``scanned_gray``: true-grayscale pages with per-pixel paper noise
+  (the realistic document-scan middle: tile sparsity loses but the
+  gray collapse ships 1/3 of the bytes).
 
 Accuracy (VERDICT r4 item 3): after the timed phases a scrubbed-CPU
 subprocess (tools/bench_accuracy.py) runs `OAROCR.predict` on bench
@@ -93,17 +96,26 @@ _LINK_GROUPS = {
 }
 
 
-def _make_pages(rng, dense_background: bool = False):
+def _make_pages(rng, dense_background: bool = False,
+                scanned_gray: bool = False):
     """Bench pages: 20 dark text blocks on white. ``dense_background``
-    swaps the flat white for per-pixel light noise — zero constant
+    swaps the flat white for per-pixel RGB noise — zero constant
     32×32 tiles, so the sparse page upload cannot win and the full
     dense batch crosses the link (the content class the flat pages
-    flatter)."""
+    flatter). ``scanned_gray`` is the realistic middle class: true
+    grayscale (R==G==B — what flatbed/phone scans of documents are
+    after most scan software's gray conversion) with per-pixel paper
+    noise — tile sparsity loses, but the gray collapse ships 1/3 of
+    the bytes."""
     pages = []
     for _ in range(N_PAGES):
         if dense_background:
             img = rng.integers(215, 256, (PAGE_H, PAGE_W, 3),
                                dtype=np.uint8)
+        elif scanned_gray:
+            g = rng.integers(225, 256, (PAGE_H, PAGE_W, 1),
+                             dtype=np.uint8)
+            img = np.repeat(g, 3, axis=2)
         else:
             img = np.full((PAGE_H, PAGE_W, 3), 255, np.uint8)
         for r in range(REGIONS_PER_PAGE):
@@ -416,40 +428,47 @@ def main():
     h2d_ema, d2h_ema, rtt_ema = rt.h2d_mbps, rt.d2h_mbps, rt._d2h_rtt
     seq_floor = _link_floor_ms(rt, N_ITERS, seq_traffic)
 
-    # --- phase 3: dense-content workload (VERDICT r4 item 2) —
-    # incompressible pages; the sparse upload falls back to the full
-    # dense transfer, so this is the degraded-link worst case ---
-    dense_pages = _make_pages(np.random.default_rng(1),
-                              dense_background=True)
-    dense = None
-    try:
-        for attempt in range(2):        # new shapes can flake a compile
-            try:
-                dense_res = pipe.predict(dense_pages)   # warmup + policy
-                break
-            except Exception as e:
-                if attempt == 1:
-                    raise
-                print(f"[dense] warmup failed ({e}); retrying",
-                      file=sys.stderr)
-        dense_regions = sum(len(r.regions) for r in dense_res)
-        d_total, d_times, d_flakes, d_traffic = _pipelined_phase(
-            pipe, dense_pages, DENSE_ITERS, label="dense")
-        d_floor = _link_floor_ms(rt, DENSE_ITERS, d_traffic)
-        dense = {
-            "pages_per_sec": round(DENSE_ITERS * N_PAGES / d_total, 2),
-            "p50_ms": round(statistics.median(d_times) * 1e3),
-            "iter_ms": [round(t * 1e3) for t in d_times],
-            "regions": dense_regions,
-            "h2d_mb_per_iter": d_floor["h2d_mb_per_iter"],
-            "d2h_mb_per_iter": d_floor["d2h_mb_per_iter"],
-            "flakes": d_flakes,
-        }
-    except Exception as e:
-        # the dense workload must not zero the headline artifact; emit
-        # the failure itself so the gap is visible, not silent
-        dense = {"error": str(e)[:300]}
-        print(f"[dense] phase failed: {e}", file=sys.stderr)
+    # --- phase 3: content-class workloads (VERDICT r4 item 2) ---
+    # dense: incompressible RGB noise — the sparse upload falls back to
+    # the full dense transfer (the degraded-link worst case);
+    # scanned_gray: realistic document scans — true grayscale with
+    # paper noise, the gray collapse ships 1/3 of the bytes.
+    def _content_phase(pages, n_iters, label):
+        try:
+            for attempt in range(2):    # new shapes can flake a compile
+                try:
+                    res = pipe.predict(pages)           # warmup + policy
+                    break
+                except Exception as e:
+                    if attempt == 1:
+                        raise
+                    print(f"[{label}] warmup failed ({e}); retrying",
+                          file=sys.stderr)
+            regions = sum(len(r.regions) for r in res)
+            total, times, flakes, traffic = _pipelined_phase(
+                pipe, pages, n_iters, label=label)
+            w_floor = _link_floor_ms(rt, n_iters, traffic)
+            return {
+                "pages_per_sec": round(n_iters * N_PAGES / total, 2),
+                "p50_ms": round(statistics.median(times) * 1e3),
+                "iter_ms": [round(t * 1e3) for t in times],
+                "regions": regions,
+                "h2d_mb_per_iter": w_floor["h2d_mb_per_iter"],
+                "d2h_mb_per_iter": w_floor["d2h_mb_per_iter"],
+                "flakes": flakes,
+            }
+        except Exception as e:
+            # a content workload must not zero the headline artifact;
+            # emit the failure itself so the gap is visible, not silent
+            print(f"[{label}] phase failed: {e}", file=sys.stderr)
+            return {"error": str(e)[:300]}
+
+    dense = _content_phase(
+        _make_pages(np.random.default_rng(1), dense_background=True),
+        DENSE_ITERS, "dense")
+    scanned = _content_phase(
+        _make_pages(np.random.default_rng(2), scanned_gray=True),
+        DENSE_ITERS, "scanned_gray")
 
     # --- phase 4: accuracy bit (VERDICT r4 item 3) ---
     accuracy = _accuracy_subprocess()
@@ -492,6 +511,7 @@ def main():
         "overflow_counts": rt.overflow_counts,
         "recovery_counts": rt.recovery_counts,
         "dense_content": dense,
+        "scanned_gray": scanned,
         "accuracy": accuracy,
         "mfu": round(flops / pipe_p50 / (PEAK_TFLOPS * 1e12), 4),
         "device_gflops_est": round(flops / 1e9),
