@@ -89,7 +89,8 @@ class AttnLayer(nn.Module):
     layer_idx: int
 
     @nn.compact
-    def __call__(self, x, cos, sin, cache: KVCache, pos, mask, dstate):
+    def __call__(self, x, cos, sin, cache: KVCache, pos, mask, dstate,
+                 pad_mask=None):
         c = self.cfg
         hd = c.head_dim
         b, t, _ = x.shape
@@ -120,7 +121,8 @@ class DeltaLayer(nn.Module):
     layer_idx: int
 
     @nn.compact
-    def __call__(self, x, cos, sin, cache: KVCache, pos, mask, dstate):
+    def __call__(self, x, cos, sin, cache: KVCache, pos, mask, dstate,
+                 pad_mask=None):
         c = self.cfg
         hd = c.head_dim
         b, t, _ = x.shape
@@ -131,6 +133,14 @@ class DeltaLayer(nn.Module):
         g = nn.Dense(2 * c.heads, dtype=x.dtype, name="gates")(h)
         alpha = jax.nn.sigmoid(g[..., : c.heads].astype(jnp.float32))
         beta = jax.nn.sigmoid(g[..., c.heads :].astype(jnp.float32))
+        if pad_mask is not None:
+            # LEFT-pad rows must not fold into the recurrent state
+            # (llm_decoders.GatedDeltaNetLayer rationale): β=0 removes
+            # the update, α=1 removes the decay — S carries through
+            # bit-exactly in both sequential and chunked forms
+            beta = beta * pad_mask[:, :, None].astype(beta.dtype)
+            alpha = jnp.where(pad_mask[:, :, None], alpha,
+                              jnp.ones_like(alpha))
 
         def heads(y):
             return y.reshape(b, t, c.heads, hd).transpose(0, 2, 1, 3)
@@ -183,11 +193,13 @@ class CausalLM(nn.Module):
                           c.head_dim), jnp.float32)
 
     def trunk(self, embeds, position_ids, cache, pos, mask, dstate=None,
-              aux_layers: Tuple[int, ...] = ()):
+              aux_layers: Tuple[int, ...] = (), pad_mask=None):
         """``aux_layers``: 1-based layer ids whose POST-layer hidden states
         are concatenated along the hidden axis and returned as the fourth
         output — the DFlash target-feature tap (hunyuanocr llm.rs:1108-1122
-        records hidden_states after layer index+1 and cats on dim 2)."""
+        records hidden_states after layer index+1 and cats on dim 2).
+        ``pad_mask`` (B, T) bool, True = real: neutralizes LEFT-pad rows
+        in the delta layers' recurrent fold (prefill only)."""
         cos, sin = _rope_tables(self.cfg, position_ids)
         cos = cos.astype(embeds.dtype)
         sin = sin.astype(embeds.dtype)
@@ -196,7 +208,8 @@ class CausalLM(nn.Module):
         x = embeds
         aux = []
         for li, layer in enumerate(self.decoder_layers):
-            x, cache, dstate = layer(x, cos, sin, cache, pos, mask, dstate)
+            x, cache, dstate = layer(x, cos, sin, cache, pos, mask, dstate,
+                                     pad_mask)
             if (li + 1) in aux_layers:
                 aux.append(x)
         out = self.final_norm(x)
@@ -204,9 +217,11 @@ class CausalLM(nn.Module):
             return out, cache, dstate, jnp.concatenate(aux, axis=-1)
         return out, cache, dstate
 
-    def prefill(self, embeds, position_ids, cache, mask, dstate=None):
+    def prefill(self, embeds, position_ids, cache, mask, dstate=None,
+                pad_mask=None):
         hidden, cache, dstate = self.trunk(embeds, position_ids, cache,
-                                           jnp.int32(0), mask, dstate)
+                                           jnp.int32(0), mask, dstate,
+                                           pad_mask=pad_mask)
         return (self.lm_head(hidden[:, -1]).astype(jnp.float32), hidden,
                 cache, dstate)
 

@@ -6,8 +6,9 @@ TARGET decoder's mid-layer hidden states**, not from its own token
 forward:
 
 - the target records hidden states after the layers named by
-  ``target_layer_ids`` (llm.rs:1108-1122, 1-based, captured post-layer),
-  concatenated along the hidden axis;
+  ``target_layer_ids`` (0-based layer indices; llm.rs:1082-1122 takes
+  them +1 as its 1-based post-layer aux taps and errors on
+  out-of-range ids), concatenated along the hidden axis;
 - ``fc`` (Linear, no bias) + ``hidden_norm`` (RMSNorm) map that concat to
   the draft width (dflash.rs transform_target:1040-1049);
 - each draft layer's own k/v projections turn the transformed target rows
@@ -60,9 +61,13 @@ class DFlashConfig:
     vocab_size: int = 128000
     rms_eps: float = 1e-5
     rope_theta: float = 10000.0
-    # 1-based target layer ids whose post-layer hiddens feed ``fc``
-    # (dflash.rs:1422 ships [1, 8, 15, 22] for the published checkpoint)
-    target_layer_ids: Tuple[int, ...] = (1, 8, 15, 20)
+    # 0-BASED target layer indices whose post-layer hiddens feed ``fc``
+    # — the checkpoint convention: llm.rs converts with ``id + 1`` into
+    # its 1-based aux taps and ERRORS on ids >= num_hidden_layers
+    # (model.rs:489-501), never filters. dflash.rs:1422 ships
+    # [1, 8, 15, 22] for the published checkpoint, which therefore
+    # requires a >=23-layer target (the 24-layer HunyuanOCR decoder).
+    target_layer_ids: Tuple[int, ...] = (1, 8, 15, 22)
     mask_token_id: int = 120817
     page_size: int = 128
     max_pages: int = 32
@@ -71,7 +76,7 @@ class DFlashConfig:
         base = dataclasses.replace(
             self, block_size=4, hidden=64, intermediate=128, heads=4,
             kv_heads=2, head_dim=16, layers=1, vocab_size=256,
-            target_layer_ids=(1, 2), mask_token_id=255, page_size=16,
+            target_layer_ids=(0, 1), mask_token_id=255, page_size=16,
             max_pages=64)
         return dataclasses.replace(base, **overrides)
 

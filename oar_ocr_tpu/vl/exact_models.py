@@ -100,10 +100,10 @@ class ExactVLMModule(nn.Module):
         return self.lm_head(hidden).astype(jnp.float32)
 
     def prefill(self, embeds, position_ids, cache, mask, dstate,
-                conv_state):
+                conv_state, pad_mask=None):
         hidden, cache, dstate, conv_state = self.text(
             embeds, position_ids, cache, jnp.int32(0), mask, dstate,
-            conv_state)
+            conv_state, pad_mask=pad_mask)
         logits = self.lm_head(hidden[:, -1]).astype(jnp.float32)
         return logits, cache, dstate, conv_state
 
@@ -118,6 +118,17 @@ class ExactVLMModule(nn.Module):
         last = hidden[:, -1]
         logits = self.lm_head(last).astype(jnp.float32)
         return logits, last, cache, dstate, conv_state
+
+    def prefill_hidden_all(self, embeds, position_ids, cache, mask,
+                           dstate, conv_state):
+        """Prefill that returns ALL hidden states — the GLM-MTP draft
+        prefill consumes (embeds[j+1], hidden[j]) pairs over the whole
+        prompt (glmocr/mtp.rs prefill stream)."""
+        hidden, cache, dstate, conv_state = self.text(
+            embeds, position_ids, cache, jnp.int32(0), mask, dstate,
+            conv_state)
+        logits = self.lm_head(hidden[:, -1]).astype(jnp.float32)
+        return logits, hidden, cache, dstate, conv_state
 
     def decode_step(self, tok_ids, position_ids, cache, pos, dstate,
                     conv_state):
@@ -184,6 +195,21 @@ class ExactVLMModule(nn.Module):
         cache = cache.advance(t)
         logits = self.lm_head(hidden).astype(jnp.float32)
         return logits, cache, dstate, conv_state
+
+    def decode_block_hidden(self, tok_ids, position_ids, cache, pos,
+                            dstate, conv_state):
+        """:meth:`decode_block_causal` that also returns the hidden
+        states (B, T, H) — the MTP verify round reads the target hidden
+        at the last accepted position as the next draft's prev-hidden
+        (glmocr/mtp.rs: the draft consumes TARGET hiddens)."""
+        b, t = tok_ids.shape
+        embeds = self.text.embed(tok_ids)
+        mask = self._block_mask(cache, t, False)
+        hidden, cache, dstate, conv_state = self.text(
+            embeds, position_ids, cache, pos, mask, dstate, conv_state)
+        cache = cache.advance(t)
+        logits = self.lm_head(hidden).astype(jnp.float32)
+        return logits, hidden, cache, dstate, conv_state
 
     def decode_block_spec(self, tok_ids, position_ids, cache, pos,
                           dstate, conv_state):
@@ -385,10 +411,13 @@ class ExactVLM:
         mask = jnp.broadcast_to(mask, (b, 1, t, t))
         mask = jnp.concatenate(
             [mask, jnp.zeros((b, 1, t, capacity - t), bool)], -1)
+        # delta layers have no KV-style per-slot mask — left-pad rows
+        # are neutralized at fold time (True = real token)
+        pad_mask = jnp.arange(t)[None, :] >= (t - valid_lengths)[:, None]
         logits, cache, dstate, conv = self.module.apply(
             params, embeds, position_ids, cache, mask,
             *self._empty_states(params, b),
-            method=ExactVLMModule.prefill)
+            method=ExactVLMModule.prefill, pad_mask=pad_mask)
         cache = cache.advance(t)
         first = jnp.argmax(logits, -1).astype(jnp.int32)
         mrope = position_ids.ndim == 3
@@ -467,23 +496,27 @@ class ExactVLM:
         b = len(prepared)
         max_len = max(t for _, _, t in prepared)
         naxes = prepared[0][1].shape[0] if prepared[0][1].ndim == 3 else 0
-        emb_dim = prepared[0][0].shape[-1]
-        embeds = np.zeros((b, max_len, emb_dim), np.float32)
         if naxes:
             pids = np.zeros((naxes, b, max_len), np.int32)
         else:
             pids = np.zeros((b, max_len), np.int32)
         valid = np.zeros((b,), np.int32)
+        rows = []
         for i, (e, p, t) in enumerate(prepared):
             off = max_len - t
-            embeds[i, off:] = np.asarray(e[0], np.float32)
+            # left-pad ON DEVICE (pad+concat are tiny per-shape programs
+            # that recur across calls; pulling each (t, d) f32 embedding
+            # to host to batch it shipped MBs down the slow d2h tunnel)
+            rows.append(jnp.pad(e, ((0, 0), (off, 0), (0, 0)))
+                        if off else e)
             if naxes:
                 pids[:, i, off:] = p[:, 0]
             else:
                 pids[i, off:] = p[0]
             valid[i] = t
+        embeds = jnp.concatenate(rows, 0).astype(jnp.float32)
         capacity = decoder_cache_capacity(max_len, max_new_tokens)
-        toks = self._gen(self.params, jnp.asarray(embeds),
+        toks = self._gen(self.params, embeds,
                          jnp.asarray(pids), jnp.asarray(valid),
                          max_new=max_new_tokens, capacity=capacity)
         out = []
@@ -877,21 +910,20 @@ class GlmSpeculativeExact(ExactVLM):
         bpids = bp[None]
         prev_len = cache.length
         ds, cv = self._empty_states(params, b)
-        t_logits, cache, _, _ = self.module.apply(
+        t_logits, t_hidden, cache, _, _ = self.module.apply(
             params, block, bpids, cache, wpos, ds, cv,
-            method=ExactVLMModule.decode_block_causal)
+            method=ExactVLMModule.decode_block_hidden)
         res = verify_draft(drafts, t_logits)
         a = res.accepted
         cache = cache.trim_to(prev_len[0] + 1 + a[0])
         mtp_cache = mtp_cache.trim_to(prev_len[0] + 1 + a[0])
         next_tok = jnp.take_along_axis(res.next_tokens, a[:, None],
                                        axis=1)[:, 0]
-        # the draft's next prev-hidden: target hidden at the last
-        # accepted position — recompute cheaply from logits path isn't
-        # exposed; use the embedding of the accepted token (mtp fuses it
-        # with enorm/hnorm; exactness is unaffected — only acceptance)
-        h_next = self.module.apply(params, next_tok[:, None],
-                                   method=ExactVLMModule.embed)[:, 0]
+        # the draft's next prev-hidden: the TARGET hidden at the last
+        # accepted position (the hidden whose argmax emitted next_tok —
+        # glmocr/mtp.rs feeds target hiddens into the draft stream)
+        h_next = jnp.take_along_axis(
+            t_hidden, a[:, None, None], axis=1)[:, 0]
         return res.next_tokens, a, next_tok, h_next, cache, mtp_cache
 
     def generate_speculative(self, images, instruction: str = "OCR:", *,
@@ -902,9 +934,14 @@ class GlmSpeculativeExact(ExactVLM):
         c = self.spec.text_cfg
         k = self.draft_k
         prefill = self._cached_jit(
-            "prefill",
+            "prefill_hidden_all",
             lambda: jax.jit(functools.partial(
-                self.module.apply, method=ExactVLMModule.prefill)))
+                self.module.apply, method=ExactVLMModule.prefill_hidden_all)))
+        mtp_prefill = self._cached_jit(
+            "mtp_prefill",
+            lambda: jax.jit(lambda mp, emb, ph, pids_, cch, msk:
+                            self.mtp.apply(mp, None, ph, pids_, cch,
+                                           jnp.int32(0), msk, emb=emb)))
         rnd = self._cached_jit(
             ("mtp_round", k),
             lambda: jax.jit(functools.partial(self._spec_round, k=k)))
@@ -920,14 +957,26 @@ class GlmSpeculativeExact(ExactVLM):
             mask = jnp.concatenate(
                 [mask, jnp.zeros((1, 1, t, capacity - t), bool)], -1)
             ds, cv = self._empty_states(self.params, 1)
-            logits, cache, ds, cv = prefill(self.params, embeds,
-                                            jnp.asarray(pids), cache,
-                                            mask, ds, cv)
+            logits, hiddens, cache, ds, cv = prefill(
+                self.params, embeds, jnp.asarray(pids), cache,
+                mask, ds, cv)
             cache = cache.advance(t)
-            mtp_cache = mtp_cache.advance(t)   # positions track target
             tok = jnp.argmax(logits, -1).astype(jnp.int32)
-            h = self.module.apply(self.params, tok[:, None],
-                                  method=ExactVLMModule.embed)[:, 0]
+            # MTP PREFILL over the prompt (glmocr/mtp.rs prefill
+            # stream): position j consumes (embeds[j+1], hidden[j]);
+            # the last pair uses the first generated token's embedding.
+            # Without this the draft cache holds t all-zero K/V slots
+            # and every draft attention dilutes to ~uniform — the
+            # acceptance-0 floor the VL bench used to measure.
+            emb_next = self.module.apply(
+                self.params, tok[:, None], method=ExactVLMModule.embed)
+            emb_mtp = jnp.concatenate(
+                [embeds[:, 1:], emb_next.astype(embeds.dtype)], axis=1)
+            _, _, mtp_cache = mtp_prefill(
+                self.mtp_params, emb_mtp, hiddens,
+                jnp.arange(t, dtype=jnp.int32)[None, :], mtp_cache, mask)
+            mtp_cache = mtp_cache.advance(t)
+            h = hiddens[:, -1]         # target hidden, not an embedding
             wpos = t
             ids = [int(tok[0])]
             while len(ids) < max_new_tokens and ids[-1] != c.eos_id:

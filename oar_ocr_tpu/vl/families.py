@@ -153,7 +153,9 @@ OVIS_OCR2_PROMPT = (
 FAMILY_CONFIGS: Dict[str, FamilyConfig] = {
     "hunyuanocr": FamilyConfig(
         "hunyuanocr",
-        DecoderConfig(vocab_size=128000, hidden=2048, layers=20, heads=16,
+        # 24 layers: the published DFlash taps reach 0-based 22 and the
+        # reference errors on id >= num_hidden_layers (model.rs:489-501)
+        DecoderConfig(vocab_size=128000, hidden=2048, layers=24, heads=16,
                       kv_heads=4, ffn=6144, rope_kind="xdrope"),
         VisionConfig(), tasks=("ocr", "table", "formula"), draft_len=8,
         dflash=DFlashConfig(),
@@ -289,8 +291,10 @@ class FamilyModule(nn.Module):
     def embed_tokens(self, ids):
         return self.lm.embed_tokens(ids)
 
-    def prefill(self, embeds, position_ids, cache, mask, dstate=None):
-        return self.lm.prefill(embeds, position_ids, cache, mask, dstate)
+    def prefill(self, embeds, position_ids, cache, mask, dstate=None,
+                pad_mask=None):
+        return self.lm.prefill(embeds, position_ids, cache, mask, dstate,
+                               pad_mask=pad_mask)
 
     def decode_step(self, tok_ids, position_ids, cache, pos,
                     dstate=None):
@@ -308,13 +312,27 @@ class FamilyModule(nn.Module):
 
     # --------------------- DFlash (HunyuanOCR) ---------------------
 
+    def _aux_taps(self):
+        """DFlash config ids are 0-based layer indices; the LM's aux
+        machinery takes 1-based post-layer taps (llm.rs id+1). Ids out
+        of range are a config error, never silently dropped (a filter
+        would change fc's input width vs converted draft weights)."""
+        d = self.cfg.dflash
+        c = self.cfg.decoder
+        bad = [i for i in d.target_layer_ids if not 0 <= i < c.layers]
+        if bad:
+            raise InvalidInputError(
+                "DFlash target_layer_ids out of range for target",
+                bad=bad, layers=c.layers)
+        return tuple(i + 1 for i in d.target_layer_ids)
+
     def prefill_aux(self, embeds, position_ids, cache, mask):
         return self.lm.prefill_aux(embeds, position_ids, cache, mask,
-                                   self.cfg.dflash.target_layer_ids)
+                                   self._aux_taps())
 
     def decode_block_aux(self, tok_ids, position_ids, cache, pos):
         return self.lm.decode_block_aux(tok_ids, position_ids, cache, pos,
-                                        self.cfg.dflash.target_layer_ids)
+                                        self._aux_taps())
 
     def dflash_context_rows(self, aux_hidden, start):
         return self.dflash.context_rows(aux_hidden, start)
@@ -386,8 +404,23 @@ class VLMFamily:
             self.module.apply, method=FamilyModule.encode_vision))
         self._embed = jax.jit(functools.partial(
             self.module.apply, method=FamilyModule.embed_tokens))
+        # text-embed + image-span scatter in ONE device program — the
+        # fused (B, T, hidden) embedding never round-trips the tunnel
+        # (same rationale as PaddleOCRVL._fuse_embeds_impl)
+        self._fuse = jax.jit(self._fuse_impl)
         self._gen = jax.jit(self._generate_impl,
                             static_argnames=("max_new", "capacity"))
+        # per-instance jit cache: a fresh jax.jit(functools.partial(...))
+        # has a new callable identity, so building one inside a per-image
+        # loop retraces + re-lowers EVERY image — minutes per shape on
+        # the remote-compile tunnel (same fix as ExactVLM._cached_jit)
+        self._jits: Dict = {}
+
+    def _cached_jit(self, key, factory):
+        fn = self._jits.get(key)
+        if fn is None:
+            fn = self._jits[key] = factory()
+        return fn
 
     def _init_params(self, seed):
         c = self.cfg
@@ -399,6 +432,18 @@ class VLMFamily:
         pos = jnp.zeros((3, 1, 4), jnp.int32)
         return self.module.init(rng, patches, valid, ids, pos,
                                 method=FamilyModule.init_all)
+
+    def _fuse_impl(self, params, ids, img_embeds, starts, counts):
+        embeds = self.module.apply(params, ids,
+                                   method=FamilyModule.embed_tokens)
+        t = ids.shape[1]
+        ti = img_embeds.shape[1]
+        idx = jnp.arange(t)[None, :] - starts[:, None]          # (B, T)
+        take = (idx >= 0) & (idx < counts[:, None])
+        gathered = jnp.take_along_axis(
+            img_embeds, jnp.clip(idx, 0, ti - 1)[:, :, None], axis=1)
+        return jnp.where(take[:, :, None],
+                         gathered.astype(embeds.dtype), embeds)
 
     # ------------------------- generation -------------------------
     def _generate_impl(self, params, embeds, position_ids, valid_lengths,
@@ -414,9 +459,12 @@ class VLMFamily:
         full = jnp.concatenate(
             [full, jnp.zeros((b, 1, t, capacity - t), bool)], -1)
         dstate0 = _empty_dstate(self.cfg, b)
+        # neutralize LEFT-pad rows in any delta layers' recurrent fold
+        # (True = real token; the state has no per-slot mask)
+        pm = jnp.arange(t)[None, :] >= (t - valid_lengths)[:, None]
         logits, _, cache, dstate = self.module.apply(
             params, embeds, position_ids, cache, full, dstate0,
-            method=FamilyModule.prefill)
+            method=FamilyModule.prefill, pad_mask=pm)
         cache = cache.advance(t)
         first = jnp.argmax(logits, -1).astype(jnp.int32)
         next_pos = jnp.max(position_ids, axis=(0, 2)) + 1
@@ -505,8 +553,9 @@ class VLMFamily:
             full = jnp.broadcast_to(combine_masks(causal, pad), (b, 1, t, t))
             full = jnp.concatenate(
                 [full, jnp.zeros((b, 1, t, capacity - t), bool)], -1)
-            logits, hidden, cache, _ds = jax.jit(functools.partial(
-                self.module.apply, method=FamilyModule.prefill))(
+            logits, hidden, cache, _ds = self._cached_jit(
+                "prefill", lambda: jax.jit(functools.partial(
+                    self.module.apply, method=FamilyModule.prefill)))(
                 self.params, embeds, positions, cache, full)
             cache = cache.advance(t)
             tok = jnp.argmax(logits, -1).astype(jnp.int32)
@@ -514,8 +563,9 @@ class VLMFamily:
             cpos = jnp.max(positions, axis=(0, 2)) + 1
             wpos = t
 
-            spec_round = jax.jit(functools.partial(
-                self._spec_round_impl, k=k))
+            spec_round = self._cached_jit(
+                ("spec_round", k), lambda: jax.jit(functools.partial(
+                    self._spec_round_impl, k=k)))
             ids: List[int] = [int(tok[0])]
             while len(ids) < max_new_tokens and ids[-1] != c.eos_id:
                 emitted, a, h, tok, cache = spec_round(
@@ -592,8 +642,9 @@ class VLMFamily:
                                     (b, 1, t, t))
             full = jnp.concatenate(
                 [full, jnp.zeros((b, 1, t, capacity - t), bool)], -1)
-            logits, _hidden, cache, aux = jax.jit(functools.partial(
-                self.module.apply, method=FamilyModule.prefill_aux))(
+            logits, _hidden, cache, aux = self._cached_jit(
+                "prefill_aux", lambda: jax.jit(functools.partial(
+                    self.module.apply, method=FamilyModule.prefill_aux)))(
                 self.params, embeds, positions, cache, full)
             cache = cache.advance(t)
 
@@ -606,9 +657,11 @@ class VLMFamily:
                                       d.page_size, d.head_dim,
                                       dtype=embeds.dtype)
             ctx = ctx._replace(pad=pad_rows)
-            ks, vs = jax.jit(functools.partial(
-                self.module.apply, method=FamilyModule.dflash_context_rows)
-            )(self.params, aux, jnp.int32(0))
+            ks, vs = self._cached_jit(
+                "dflash_ctx_rows", lambda: jax.jit(functools.partial(
+                    self.module.apply,
+                    method=FamilyModule.dflash_context_rows)))(
+                self.params, aux, jnp.int32(0))
             for li in range(d.layers):
                 ctx = ctx.append(li, ks[li], vs[li], jnp.int32(0))
             ctx = ctx.advance(t)
@@ -730,9 +783,9 @@ class VLMFamily:
         for i, (p, _) in enumerate(prepared):
             batch[i, : p.shape[0]] = p
             valid[i, : p.shape[0]] = True
-        img_embeds = np.array(self._encode_vision(
+        img_embeds = self._encode_vision(
             self.params, jnp.asarray(batch, self.runtime.compute_dtype),
-            jnp.asarray(valid)).astype(jnp.float32))
+            jnp.asarray(valid))                 # stays on device
 
         instruction = prompt if prompt is not None \
             else self._prompt_for(task)
@@ -761,11 +814,11 @@ class VLMFamily:
             positions[:, i, :], span = _mrope_positions(
                 row, off, max_len, (gh // m, gw // m), self.IMAGE_PAD_ID)
             spans.append(span)
-        embeds = np.array(self._embed(
-            self.params, jnp.asarray(ids)).astype(jnp.float32))
-        for i, (start, n) in enumerate(spans):
-            embeds[i, start : start + n] = img_embeds[i, :n]
-        return (jnp.asarray(embeds, self.runtime.compute_dtype),
+        embeds = self._fuse(
+            self.params, jnp.asarray(ids), img_embeds,
+            jnp.asarray(np.array([s for s, _ in spans], np.int32)),
+            jnp.asarray(np.array([n for _, n in spans], np.int32)))
+        return (embeds.astype(self.runtime.compute_dtype),
                 jnp.asarray(positions), valid_lengths, max_len)
 
 
@@ -936,8 +989,9 @@ class HPDParsing(VLMFamily):
         full = jnp.broadcast_to(combine_masks(causal, pad), (1, 1, t, t))
         full = jnp.concatenate(
             [full, jnp.zeros((1, 1, t, capacity - t), bool)], -1)
-        prefill = jax.jit(functools.partial(
-            self.module.apply, method=FamilyModule.prefill))
+        prefill = self._cached_jit(
+            "prefill", lambda: jax.jit(functools.partial(
+                self.module.apply, method=FamilyModule.prefill)))
         logits, _, cache, _ds = prefill(self.params, embeds, positions,
                                         cache, full)
         prefix_cache = cache.advance(t)
@@ -1168,24 +1222,6 @@ def _fork_points(ids: List[int], pattern: List[int]
         if ids[i : i + m] == pattern:
             if i + m < n:
                 out.append((i + m, ids[i + m]))
-            i += m
-        else:
-            i += 1
-    return out
-
-
-def _tokens_after_subsequence(ids: List[int], pattern: List[int]
-                              ) -> List[int]:
-    """Tokens immediately following each occurrence of ``pattern``."""
-    out: List[int] = []
-    if not pattern:
-        return out
-    n, m = len(ids), len(pattern)
-    i = 0
-    while i <= n - m:
-        if ids[i : i + m] == pattern:
-            if i + m < n:
-                out.append(ids[i + m])
             i += m
         else:
             i += 1

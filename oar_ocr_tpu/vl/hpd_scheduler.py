@@ -233,18 +233,22 @@ class HpdContinuousScheduler:
 
             k = gen.num_speculative_tokens if gen.use_mtp else 0
             if k:
-                for br in active:
-                    k = min(k, max(br.max_new - len(br.tokens) - 1, 0))
-                # clamp so no LIVE slot's write window can clip at
-                # capacity (dynamic_update_slice clamps starts, which
-                # would clobber a waiting branch's valid KV tail). Only
-                # slots owned by live branches count — a freed slot's
-                # stale length must not pin k to 0 for the rest of the
-                # schedule (clamped garbage writes into dead slots are
-                # harmless).
+                # BINARY k (K or 0): every distinct (s, k) pair is a
+                # separately compiled round program, and shrinking k as
+                # branches approached their token cap stepped K-1..0 —
+                # one slow remote compile per notch. Per-branch budgets
+                # are enforced at emit() (the host loop stops at
+                # br.max_new), so the only hard constraint is the
+                # capacity write window: dynamic_update_slice clamps
+                # starts, which would clobber a waiting branch's valid
+                # KV tail. Only slots owned by live branches count — a
+                # freed slot's stale length must not pin k for the rest
+                # of the schedule. If the full-K window cannot fit every
+                # live slot, fall back to a greedy round.
                 live_max = max((lengths[br.slot]
                                 for br in active + waiting), default=0)
-                k = min(k, max(capacity - live_max - 2, 0))
+                if capacity - live_max - 2 < k:
+                    k = 0
             adv = np.zeros((s,), bool)
             fresh = np.zeros((s,), bool)
             pending = np.zeros((s,), np.int32)

@@ -56,7 +56,12 @@ class HunyuanOCRConfig:
     # text backbone (config.json top level)
     vocab_size: int = 120818
     hidden: int = 1024
-    layers: int = 20
+    # 24 layers: pinned by the published DFlash draft's taps — its
+    # target_layer_ids go to 0-based 22 and the reference hard-errors
+    # on id >= num_hidden_layers (model.rs:489-501), so the target has
+    # >=23 layers; 24 is the natural 1B-scale count. Conversion
+    # overrides from config.json as with every best-knowledge dim.
+    layers: int = 24
     heads: int = 16
     kv_heads: int = 4
     head_dim: int = 128
@@ -568,9 +573,21 @@ class HunyuanOCRSpeculative(HunyuanOCRModel):
 
         self.dcfg = dflash_cfg or DFlashConfig()
         base_cfg = cfg or HunyuanOCRConfig()
-        # module with aux taps at the draft's target layers
+        # module with aux taps at the draft's target layers: config ids
+        # are 0-BASED layer indices → +1 is the 1-based post-layer tap.
+        # Out-of-range ids are a hard error (model.rs:489-501) — a
+        # silent filter would change fc's input width and break
+        # converted draft weights.
+        bad = [i for i in self.dcfg.target_layer_ids
+               if not 0 <= i < base_cfg.layers]
+        if bad:
+            from ..errors import InvalidInputError
+
+            raise InvalidInputError(
+                "DFlash target_layer_ids out of range for target",
+                bad=bad, layers=base_cfg.layers)
         self._aux_layers = tuple(
-            i for i in self.dcfg.target_layer_ids if i <= base_cfg.layers)
+            i + 1 for i in self.dcfg.target_layer_ids)
         # build via parent but with taps
         self.cfg = base_cfg
         from ..runtime.runtime import Runtime

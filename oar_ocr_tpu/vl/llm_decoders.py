@@ -214,7 +214,15 @@ class GatedDeltaNetLayer(nn.Module):
     cfg: UnifiedLMConfig
 
     @nn.compact
-    def __call__(self, x, dstate, conv_state, collect_states: bool = False):
+    def __call__(self, x, dstate, conv_state, collect_states: bool = False,
+                 pad_mask=None):
+        """``pad_mask`` (B, T) bool, True = real token: LEFT-pad rows
+        must not fold into the recurrent state (unlike a KV cache there
+        is no per-slot mask to apply later) — pads force decay α=1 and
+        update gate β=0 (state carries through EXACTLY, sequential and
+        chunked forms alike) and zero the conv stream so early real
+        tokens' windows see zeros, identical to the unpadded prefill's
+        zero left-pad."""
         from .gated_delta import gated_delta_rule, gated_delta_rule_chunked
 
         c = self.cfg
@@ -234,6 +242,9 @@ class GatedDeltaNetLayer(nn.Module):
                             (conv_dim, 1, c.conv_kernel))
         dt_bias = self.param("dt_bias", nn.initializers.zeros, (hv,))
         a_log = self.param("A_log", nn.initializers.zeros, (hv,))
+
+        if pad_mask is not None:
+            qkv = qkv * pad_mask[:, :, None].astype(qkv.dtype)
 
         # depthwise causal conv over time with carried state (decode keeps
         # the last K−1 inputs; prefill left-pads zeros)
@@ -273,6 +284,12 @@ class GatedDeltaNetLayer(nn.Module):
             -jnp.exp(a_log.astype(jnp.float32))[None, None]
             * jax.nn.softplus(a_in.astype(jnp.float32)
                               + dt_bias[None, None]))
+        if pad_mask is not None:
+            # pad steps: no update (β=0), no decay (α=1) → S carried
+            # through bit-exactly in both rule forms
+            beta = beta * pad_mask[:, :, None].astype(beta.dtype)
+            alpha = jnp.where(pad_mask[:, :, None], alpha,
+                              jnp.ones_like(alpha))
         # prefill rides the chunked/blockwise form (MXU matmuls per
         # chunk, exact vs the sequential scan — SURVEY §7); single-token
         # decode keeps the O(1) step. OAR_TPU_NO_CHUNKED_DELTA falls
@@ -338,13 +355,13 @@ class UnifiedLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, cos, sin, cache, pos, mask, dstate, conv_state,
-                 collect_states: bool = False):
+                 collect_states: bool = False, pad_mask=None):
         c = self.cfg
         h = RMSNorm(eps=c.rms_eps, name="input_layernorm")(x)
         if c.kind(self.layer_idx) == "linear_attention":
             attn, dstate, conv_state = GatedDeltaNetLayer(
                 c, name="linear_attn")(h, dstate, conv_state,
-                                       collect_states)
+                                       collect_states, pad_mask)
         else:
             attn, cache = UnifiedAttention(c, self.layer_idx,
                                            name="self_attn")(
@@ -389,7 +406,11 @@ class UnifiedDecoder(nn.Module):
 
     def __call__(self, embeds, position_ids, cache: KVCache, pos, mask,
                  dstate=None, conv_state=None,
-                 collect_states: bool = False):
+                 collect_states: bool = False, pad_mask=None):
+        """``pad_mask`` (B, T) bool, True = real: neutralizes LEFT-pad
+        rows in the delta layers' recurrent fold (the state has no
+        KV-style per-slot mask to apply later). Callers pass it on
+        PREFILL only — decode steps/blocks contain real tokens."""
         c = self.cfg
         _ = self.embed_tokens.embedding     # materialize the table param
         cos, sin = _rope_tables(c, position_ids)
@@ -403,7 +424,7 @@ class UnifiedDecoder(nn.Module):
         for i, layer in enumerate(self.decoder_layers):
             x, cache, ds_i, cs_i = layer(
                 x, cos, sin, cache, pos, mask, dstate[i], conv_state[i],
-                collect_states)
+                collect_states, pad_mask)
             if collect_states:
                 # per-step states (B, T, …) from DELTA layers only —
                 # full-attention layers pass their (unused) input state
@@ -444,9 +465,20 @@ class GlmMtpHead(nn.Module):
 
     @nn.compact
     def __call__(self, ids, prev_hidden, position_ids, cache: KVCache,
-                 pos, mask):
+                 pos, mask, emb=None):
+        """``emb`` (B, T, hidden), when given, bypasses the internal
+        embed — the MTP PREFILL path needs it because prompt image
+        positions carry fused vision embeddings, not token ids (pass
+        ``ids=None`` there; enorm applies to the embedding either way)."""
         c = self.cfg
-        emb = nn.Embed(c.vocab_size, c.hidden, name="embed_tokens")(ids)
+        table = nn.Embed(c.vocab_size, c.hidden, name="embed_tokens")
+        if emb is None:
+            emb = table(ids)
+        else:
+            # touch the embed once so init() through this path still
+            # creates the checkpoint's embed_tokens param (apply()
+            # tolerates unused params; init would silently drop it)
+            emb = emb + 0 * table(jnp.zeros((1, 1), jnp.int32)).sum()
         e = RMSNorm(eps=c.rms_eps, name="enorm")(emb)
         h = RMSNorm(eps=c.rms_eps, name="hnorm")(prev_hidden)
         x = nn.Dense(c.hidden, use_bias=False, dtype=emb.dtype,

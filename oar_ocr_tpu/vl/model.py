@@ -31,7 +31,7 @@ from .kv_cache import KVCache, decoder_cache_capacity
 from .paddleocr_vl import (TASK_PROMPTS, PaddleOCRVLConfig,
                            postprocess_task_output,
                            PaddleOCRVLModule)
-from .processing import VisionProcessorConfig, grid_shape, smart_resize
+from .processing import VisionProcessorConfig, smart_resize
 
 
 class ByteTokenizer:
@@ -94,6 +94,11 @@ class PaddleOCRVL:
         self._embed_tokens = jax.jit(
             lambda p, i: self.module.apply(
                 p, i, method=PaddleOCRVLModule.embed_tokens))
+        # text-embed + image-span scatter in ONE device program: the
+        # fused (B, T, hidden) prompt embedding never crosses the link
+        # (a host-side scatter shipped ~MBs down the 40-50 MB/s d2h
+        # tunnel per generate call)
+        self._fuse_embeds = jax.jit(self._fuse_embeds_impl)
         self._prefill_decode = jax.jit(
             self._prefill_decode_impl, static_argnames=("max_new", "capacity"))
         # host copy of the learned position table for per-grid bilinear
@@ -150,7 +155,23 @@ class PaddleOCRVL:
         return out.reshape(gh * gw, -1).astype(np.float32)
 
     # ------------------------------------------------------------------
-    def _prefill_decode_impl(self, params, embeds, position_ids, prompt_mask,
+    def _fuse_embeds_impl(self, params, ids, img_embeds, starts, counts):
+        """Embed the token ids and overwrite each row's image span
+        [starts[i], starts[i]+counts[i]) with that row's vision embeds —
+        all on device (the span bounds are host-known; only the scatter
+        pattern ships, never the embeddings)."""
+        embeds = self.module.apply(params, ids,
+                                   method=PaddleOCRVLModule.embed_tokens)
+        t = ids.shape[1]
+        ti = img_embeds.shape[1]
+        idx = jnp.arange(t)[None, :] - starts[:, None]          # (B, T)
+        take = (idx >= 0) & (idx < counts[:, None])
+        gathered = jnp.take_along_axis(
+            img_embeds, jnp.clip(idx, 0, ti - 1)[:, :, None], axis=1)
+        return jnp.where(take[:, :, None],
+                         gathered.astype(embeds.dtype), embeds)
+
+    def _prefill_decode_impl(self, params, embeds, position_ids,
                              valid_lengths, *, max_new: int, capacity: int):
         """One program: prefill + scan decode. Returns (ids (B, max_new))."""
 
@@ -161,9 +182,6 @@ class PaddleOCRVL:
         cache = cache.with_pad(t - valid_lengths)
         causal = create_causal_mask(t)
         pad = create_left_padding_mask(valid_lengths, t)
-        # during prefill the cache region beyond t is empty; mask covers
-        # only the first t slots
-        kv_mask = jnp.zeros((1, 1, 1, capacity), bool).at[..., :t].set(True)
         full = combine_masks(causal, pad)
         full = jnp.concatenate(
             [jnp.broadcast_to(full, (b, 1, t, t)),
@@ -307,7 +325,7 @@ class PaddleOCRVL:
                 jnp.asarray(pos_embed, self.runtime.compute_dtype))
 
         # --- prompts (model.rs:312-313 template) ---
-        prompt_rows, img_slots, n_img_tokens = [], [], []
+        prompt_rows = []
         for i, (p, (gh, gw), _hi, _wi) in enumerate(prepared):
             n_tok = p.shape[0] // m2
             prefix = self.tokenizer.encode("User: ")
@@ -316,7 +334,6 @@ class PaddleOCRVL:
             row = (prefix + [c.image_start_id] + [c.image_pad_id] * n_tok
                    + [c.image_end_id] + suffix)
             prompt_rows.append(row)
-            n_img_tokens.append(n_tok)
 
         max_len = max(len(r) for r in prompt_rows)
         ids = np.full((b, max_len), 0, np.int32)
@@ -327,29 +344,28 @@ class PaddleOCRVL:
             off = max_len - len(row)            # left padding (model.rs:452)
             ids[i, off:] = row
             valid_lengths[i] = len(row)
-            gh, gw = grid_shape(*smart_resize(*images[i].shape[:2], self.vcfg),
-                                self.vcfg)
+            # the grid the vision tower ACTUALLY saw — including the
+            # spotting 2x-pre-upscale + widened max_pixels, which a
+            # fresh smart_resize of the original image would miss
+            gh, gw = prepared[i][1]
             positions[:, i, :], span = _mrope_positions(
                 row, off, max_len, (gh // c.v_merge, gw // c.v_merge),
                 c.image_pad_id)
             img_positions.append(span)
 
-        # --- fuse embeds: text embedding then scatter image embeds ---
-        ids_dev = jnp.asarray(ids)
-        embeds = self._embed_tokens(self.params, ids_dev)
-        embeds = np.array(embeds.astype(jnp.float32))
-        img_embeds_np = np.asarray(img_embeds.astype(jnp.float32))
-        for i, (start, n_tok) in enumerate(img_positions):
-            embeds[i, start : start + n_tok] = img_embeds_np[i, :n_tok]
+        # --- fuse embeds on device: text embedding + image-span scatter ---
+        embeds = self._fuse_embeds(
+            self.params, jnp.asarray(ids), img_embeds,
+            jnp.asarray(np.array([s for s, _ in img_positions], np.int32)),
+            jnp.asarray(np.array([n for _, n in img_positions], np.int32)))
 
         capacity = max(decoder_cache_capacity(max_len, max_new_tokens),
                        min_capacity)
         with stage_timer("vl.generate", batch=b, prompt=max_len,
                          capacity=capacity):
             out_ids = self._prefill_decode(
-                self.params,
-                jnp.asarray(embeds, self.runtime.compute_dtype),
-                jnp.asarray(positions), None,
+                self.params, embeds,
+                jnp.asarray(positions),
                 jnp.asarray(valid_lengths),
                 max_new=max_new_tokens, capacity=capacity)
             out_ids = np.asarray(out_ids)

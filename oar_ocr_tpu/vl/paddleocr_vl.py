@@ -207,7 +207,8 @@ class VisionAttention(nn.Module):
         import os
 
         use_flash = (t > ATTN_FULL_SEQ_THRESHOLD
-                     or bool(os.environ.get("OAR_TPU_FLASH_VISION")))
+                     or bool(os.environ.get("OAR_TPU_FLASH_VISION"))) \
+            and not os.environ.get("OAR_TPU_DISABLE_PALLAS")
         if use_flash and valid_len is not None:
             from ..ops.flash_attention import flash_attention
 

@@ -201,9 +201,13 @@ def test_hpd_pmtp_greedy_exact():
 def test_batched_generate_matches_singles():
     """Left-padded batch-N decode is bit-identical to per-image decode
     (pad rows masked via KVCache.pad — the attention.rs:660-692 rule)."""
-    from oar_ocr_tpu.vl.exact_models import hpd_exact, mineru_exact
+    from oar_ocr_tpu.vl.exact_models import (hpd_exact, mineru_exact,
+                                             ovis_exact)
 
-    for fac in (mineru_exact, hpd_exact):
+    # ovis is the load-bearing case: its hybrid DELTA layers have no
+    # KV-style pad mask, so left-pad rows must be neutralized in the
+    # recurrent fold (β=0, α=1) or the shorter prompts' states diverge
+    for fac in (mineru_exact, hpd_exact, ovis_exact):
         m = fac(tiny=True, seed=2)
         imgs = [np.random.default_rng(i).integers(
             0, 255, (24 + 8 * i, 40, 3), dtype=np.uint8)

@@ -33,6 +33,22 @@ def test_glm_generate(glm, img):
     assert len(out) == 1 and isinstance(out[0], str)
 
 
+def test_ovis_family_batched_matches_singles(img):
+    """Unequal-length left-padded batch through the hybrid DELTA family
+    must reproduce each prompt's batch-1 output: pad rows carry no
+    KV-style mask in the recurrent fold, so they are neutralized at
+    fold time (β=0, α=1 — decoder.DeltaLayer pad_mask)."""
+    from oar_ocr_tpu.vl.families import OvisOCR2
+
+    fam = OvisOCR2(tiny=True)
+    img2 = np.random.default_rng(3).integers(
+        0, 255, (32, 48, 3), dtype=np.uint8)       # fewer vision tokens
+    batch = fam.generate([img, img2], "markdown", max_new_tokens=6)
+    singles = [fam.generate([im], "markdown", max_new_tokens=6)[0]
+               for im in (img, img2)]
+    assert batch == singles
+
+
 def test_glm_unknown_task(glm, img):
     from oar_ocr_tpu.errors import InvalidInputError
 
@@ -85,10 +101,10 @@ def test_mineru_diffusion_block_decode(img):
 
 
 def test_hpd_shared_prefix_children(img):
-    from oar_ocr_tpu.vl.families import HPDParsing, _tokens_after_subsequence
+    from oar_ocr_tpu.vl.families import HPDParsing, _fork_points
 
-    assert _tokens_after_subsequence([1, 2, 3, 4, 2, 3, 9], [2, 3]) == [4, 9]
-    assert _tokens_after_subsequence([1, 2], [2]) == []
+    assert _fork_points([1, 2, 3, 4, 2, 3, 9], [2, 3]) == [(3, 4), (6, 9)]
+    assert _fork_points([1, 2], [2]) == []
     fam = HPDParsing(tiny=True)
     out = fam.parse_with_forks(img, max_new_tokens=6)
     assert isinstance(out["parent"], str)
