@@ -134,7 +134,14 @@ def tile_occupancy_mask(packed: jax.Array) -> jax.Array:
     nth, ntw = h // DET_TILE_H, w8 // DET_TILE_W8
     t = packed.reshape(b, nth, DET_TILE_H, ntw, DET_TILE_W8)
     occ = jnp.any(t != 0, axis=(2, 4))              # (B, nth, ntw)
-    return pack_bits(occ.reshape(b, nth * ntw))
+    occ = occ.reshape(b, nth * ntw)
+    # pad the flat tile vector to a byte boundary: legal det buckets can
+    # yield nT % 8 != 0 (e.g. 704×4000 → 44·125 = 5500 tiles) and
+    # pack_bits requires multiples of 8; hosts unpack with count=nT
+    pad = (-occ.shape[1]) % 8
+    if pad:
+        occ = jnp.pad(occ, ((0, 0), (0, pad)))
+    return pack_bits(occ)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -63,7 +63,11 @@ def _flash_kernel(vlen_ref, q_ref, k_ref, v_ref, o_ref,
 
         m_cur = jnp.max(s, axis=1, keepdims=True)        # (bq, 1)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
+        # explicit re-mask: when a row's scores are ALL masked, m_new is
+        # still _NEG_INF and exp(s - m_new) = exp(0) = 1 for every
+        # masked key — l would sum to Tk and the row would output
+        # mean(V) instead of reaching the l==0 → zeros guard below
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
         alpha = jnp.exp(m_prev - m_new)
         l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
@@ -121,8 +125,13 @@ def flash_attention(
             mask = cm if mask is None else (mask & cm)
         if mask is not None:
             logits = jnp.where(mask, logits, _NEG_INF)
-        w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(v.dtype)
-        return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+        w = jax.nn.softmax(logits.astype(jnp.float32), -1)
+        if mask is not None:
+            # fully-masked rows (valid_len 0): softmax over -1e30 is
+            # uniform garbage — zero them, matching the kernel's
+            # masked-p + l==0 guard so both paths agree
+            w = jnp.where(jnp.any(mask, axis=-1, keepdims=True), w, 0.0)
+        return jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v)
 
     # pad Tq/Tk/D to tile multiples
     tq_p = ((tq + block_q - 1) // block_q) * block_q

@@ -25,17 +25,21 @@ def grid_sample(images: jax.Array, coords: jax.Array, *, out_dtype=jnp.float32
     n, h, w, c = images.shape
     _, ho, wo, _ = coords.shape
 
-    sx = coords[..., 0].reshape(n, -1)
-    sy = coords[..., 1].reshape(n, -1)
+    # border-clamp the COORDINATE before floor (clamping only the
+    # integer neighbors made coords in (−1, 0) blend pixels 0 and 1 with
+    # inverted weights instead of yielding the border pixel — the remap
+    # convention the reference's CPU bilinear uses)
+    sx = jnp.clip(coords[..., 0].reshape(n, -1), 0.0, w - 1.0)
+    sy = jnp.clip(coords[..., 1].reshape(n, -1), 0.0, h - 1.0)
 
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
     fx = (sx - x0)[..., None]
     fy = (sy - y0)[..., None]
 
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x0i = x0.astype(jnp.int32)
     x1i = jnp.clip(x0i + 1, 0, w - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y0i = y0.astype(jnp.int32)
     y1i = jnp.clip(y0i + 1, 0, h - 1)
 
     flat = images.reshape(n * h * w, c)

@@ -56,17 +56,10 @@ def _tiled_coeffs(width: int, channels: int, alpha: Tuple[float, ...],
 
 
 def _normalize_kernel(x_ref, a_ref, b_ref, o_ref):
-    x = x_ref[:].astype(jnp.float32)
+    # uint8 → int32 → f32: Mosaic (measured on the axon backend) rejects
+    # the direct uint8 → f32 cast inside a kernel
+    x = x_ref[:].astype(jnp.int32).astype(jnp.float32)
     o_ref[:] = (x * a_ref[:] + b_ref[:]).astype(o_ref.dtype)
-
-
-def _swap_rb_rows(rows: jax.Array, width: int, channels: int) -> jax.Array:
-    """Swap channels 0↔2 of an (R, W*C[, pad]) row view without gathers."""
-    wc = width * channels
-    body, pad = rows[:, :wc], rows[:, wc:]
-    img = body.reshape(rows.shape[0], width, channels)
-    img = img[:, :, ::-1] if channels == 3 else img
-    return jnp.concatenate([img.reshape(rows.shape[0], wc), pad], axis=1)
 
 
 def normalize_images(
@@ -105,21 +98,37 @@ def normalize_images(
                           (0, padded_wc - w * c)))
     total_rows = rows.shape[0]
 
-    out = pl.pallas_call(
-        _normalize_kernel,
-        grid=(total_rows // _ROW_TILE,),
-        in_specs=[
-            pl.BlockSpec((_ROW_TILE, padded_wc), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, padded_wc), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, padded_wc), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((_ROW_TILE, padded_wc), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((total_rows, padded_wc), out_dtype),
-    )(rows, jnp.asarray(row_a)[None, :], jnp.asarray(row_b)[None, :])
+    try:
+        out = pl.pallas_call(
+            _normalize_kernel,
+            grid=(total_rows // _ROW_TILE,),
+            in_specs=[
+                pl.BlockSpec((_ROW_TILE, padded_wc), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, padded_wc), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, padded_wc), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((_ROW_TILE, padded_wc),
+                                   lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((total_rows, padded_wc),
+                                           out_dtype),
+        )(rows, jnp.asarray(row_a)[None, :], jnp.asarray(row_b)[None, :])
+    except Exception:  # pragma: no cover - backend Mosaic gap
+        # per-kernel kill-ladder (repo convention): a Mosaic lowering
+        # gap on some backend must degrade to the XLA form, not fail
+        return normalize_images(images_u8, mean=mean, std=std,
+                                scale=scale, swap_rb=swap_rb,
+                                out_dtype=out_dtype, use_pallas=False)
 
-    out = out[: n * h, : w * c]
-    return out.reshape(n, h, w, c)
+    out = out[: n * h, : w * c].reshape(n, h, w, c)
+    if swap_rb and c == 3:
+        # the kernel computed lane c as in_c·alpha[swap(c)]+beta[swap(c)]
+        # (coeffs permuted at tile build, no in-kernel gathers); the
+        # channel-order swap itself happens here, as a fused XLA reverse
+        # — without it the output stayed in input order and the "swap"
+        # was a coefficient permutation only
+        out = out[..., ::-1]
+    return out

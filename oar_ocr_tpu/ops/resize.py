@@ -44,20 +44,27 @@ def det_target_size(h: int, w: int, cfg: DetResizeConfig) -> Tuple[int, int]:
     with a 32 floor."""
 
     # Small-image padding handled by caller (pad_small_image).
+    # All ratio math in f32 (np.float32), matching the reference's
+    # `limit as f32 / side as f32` + `(side as f32 * ratio) as u32`
+    # truncations — f64 can differ by 1 px near integer boundaries,
+    # which the +16 rounding then amplifies to a whole 32-px bucket.
+    f32 = np.float32
     lt = cfg.limit_type
     if lt == LimitType.MAX:
-        ratio = cfg.limit_side_len / max(h, w) if max(h, w) > cfg.limit_side_len else 1.0
+        ratio = (f32(cfg.limit_side_len) / f32(max(h, w))
+                 if max(h, w) > cfg.limit_side_len else f32(1.0))
     elif lt == LimitType.MIN:
-        ratio = cfg.limit_side_len / min(h, w) if min(h, w) < cfg.limit_side_len else 1.0
+        ratio = (f32(cfg.limit_side_len) / f32(min(h, w))
+                 if min(h, w) < cfg.limit_side_len else f32(1.0))
     else:  # RESIZE_LONG
-        ratio = cfg.limit_side_len / max(h, w)
+        ratio = f32(cfg.limit_side_len) / f32(max(h, w))
 
-    resize_h = int(h * ratio)
-    resize_w = int(w * ratio)
+    resize_h = int(f32(h) * ratio)
+    resize_w = int(f32(w) * ratio)
     if max(resize_h, resize_w) > cfg.max_side_limit:
-        lr = cfg.max_side_limit / max(resize_h, resize_w)
-        resize_h = int(resize_h * lr)
-        resize_w = int(resize_w * lr)
+        lr = f32(cfg.max_side_limit) / f32(max(resize_h, resize_w))
+        resize_h = int(f32(resize_h) * lr)
+        resize_w = int(f32(resize_w) * lr)
     resize_h = max((resize_h + 16) // 32 * 32, 32)
     resize_w = max((resize_w + 16) // 32 * 32, 32)
     return resize_h, resize_w

@@ -62,7 +62,8 @@ class NormSpec:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_h", "out_w", "norm", "out_dtype"))
+    jax.jit,
+    static_argnames=("out_h", "out_w", "norm", "out_dtype", "pad_value"))
 def sample_transform(
     images_u8: jax.Array,          # (P, H, W, C) uint8 padded page batch
     mats: jax.Array,               # (B, 3, 3) f32: output px → source px
@@ -74,11 +75,13 @@ def sample_transform(
     out_w: int,
     norm: NormSpec,
     out_dtype=jnp.float32,
+    pad_value: float = 0.0,
 ) -> jax.Array:
     """Projective-sample B items into a (B, out_h, out_w, C) tile.
 
-    Pixels at y >= valid_h[b] or x >= valid_w[b] are zero (bucket padding).
-    """
+    Pixels at y >= valid_h[b] or x >= valid_w[b] are ``pad_value``
+    (bucket padding — rec callers pass the post-normalize black −1, the
+    reference's PaddingStrategy::Black through x·2/255−1)."""
 
     p, h, w, c = images_u8.shape
     b = mats.shape[0]
@@ -100,17 +103,22 @@ def sample_transform(
 
     sxn, syn, denom = row(0), row(1), row(2)
     denom = jnp.where(jnp.abs(denom) < 1e-8, 1e-8, denom)
-    sx = sxn / denom
-    sy = syn / denom
+    # border-clamp BEFORE floor: clamping only the integer neighbor
+    # indices (the old form) made coords in (−1, 0) blend pixels 0 and 1
+    # with inverted weights; clamping the coordinate yields pixel 0,
+    # matching det_device._interp_weights and the separable tent path so
+    # gather-warped and matmul-warped crops agree at the borders
+    sx = jnp.clip(sxn / denom, 0.0, w - 1.0)
+    sy = jnp.clip(syn / denom, 0.0, h - 1.0)
 
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
     fx = (sx - x0)[..., None]
     fy = (sy - y0)[..., None]
 
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x0i = x0.astype(jnp.int32)
     x1i = jnp.clip(x0i + 1, 0, w - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y0i = y0.astype(jnp.int32)
     y1i = jnp.clip(y0i + 1, 0, h - 1)
 
     flat = images_u8.reshape(p * h * w, c)
@@ -138,18 +146,21 @@ def sample_transform(
     col = jnp.arange(out_w, dtype=jnp.int32)[None, None, :, None]
     row = jnp.arange(out_h, dtype=jnp.int32)[None, :, None, None]
     mask = (col < valid_w[:, None, None, None]) & (row < valid_h[:, None, None, None])
-    return jnp.where(mask, out, 0.0).astype(out_dtype)
+    return jnp.where(mask, out, pad_value).astype(out_dtype)
 
 
 def warp_crops(images_u8, mats, img_idx, valid_w, *, out_h, out_w,
                normalize=True, out_dtype=jnp.float32):
-    """Recognition-crop convenience wrapper (h is always fully valid)."""
+    """Recognition-crop convenience wrapper (h is always fully valid).
+    Normalized tiles pad with the post-normalize black (−1), matching
+    every other rec path (separable warp, separable_resize_normalize)."""
     b = mats.shape[0]
     valid_h = jnp.full((b,), out_h, jnp.int32)
     norm = NormSpec.rec_bgr() if normalize else NormSpec.identity()
     return sample_transform(images_u8, mats, img_idx, valid_w, valid_h,
                             out_h=out_h, out_w=out_w, norm=norm,
-                            out_dtype=out_dtype)
+                            out_dtype=out_dtype,
+                            pad_value=-1.0 if normalize else 0.0)
 
 
 # ---------------- separable (matmul-only) rec-crop warp ----------------
@@ -194,33 +205,6 @@ def separable_coefs(matrix: np.ndarray, eps: float = 1e-6):
         return True, (float(m[0, 1]), float(m[0, 2])), \
             (float(m[1, 0]), float(m[1, 2]))
     return None
-
-
-def _affine_tent_weights(n_out: int, src_len: int, a, b, lo, hi,
-                         offset=0.0):
-    """(n_out, src_len) bilinear tent weights for source positions
-    a·i + b, clamped to [lo, hi] in PAGE coordinates (stage-1 page-border
-    clamp semantics of sample_transform), then shifted by ``offset`` into
-    the sliced band's frame."""
-
-    i = jnp.arange(n_out, dtype=jnp.float32)
-    pos = (jnp.clip(a * i + b, lo, hi) - offset)[:, None]        # (No, 1)
-    s = jnp.arange(src_len, dtype=jnp.float32)[None, :]          # (1, S)
-    return jnp.maximum(0.0, 1.0 - jnp.abs(pos - s))
-
-
-def _resize_tent_weights(n_out: int, src_bucket: int, dst_valid,
-                         src_valid, out_valid):
-    """(n_out, src_bucket) stage-2 weights — cv2 half-pixel convention,
-    clamped to the VALID native extent, zero beyond the valid output
-    (det_device._interp_weights semantics)."""
-
-    o = jnp.arange(n_out, dtype=jnp.float32)
-    scale = src_valid / dst_valid
-    pos = jnp.clip((o + 0.5) * scale - 0.5, 0.0, src_valid - 1.0)[:, None]
-    s = jnp.arange(src_bucket, dtype=jnp.float32)[None, :]
-    w = jnp.maximum(0.0, 1.0 - jnp.abs(pos - s))
-    return jnp.where(o[:, None] < out_valid, w, 0.0)
 
 
 def band_origin(row_coef, nat_h_valid: int, src_h: int,
@@ -362,6 +346,30 @@ def crop_geometry(quad: np.ndarray) -> Tuple[int, int, bool]:
     return cw, ch, ch >= cw * 1.5
 
 
+def _native_crop_matrix_f64(quad: np.ndarray
+                            ) -> Tuple[np.ndarray, int, int, bool]:
+    """f64 matrix mapping NATIVE-resolution crop pixels → source pixels
+    with the tall-crop rotation folded in: the ONE home of the
+    parity-critical pts_std (full W/H corners, PaddleX convention) /
+    perspective-solve / rotate270 (cw−1 translation) block. Returns
+    (matrix_f64, rw, rh, rotated)."""
+
+    import cv2
+
+    quad = np.asarray(quad, np.float32).reshape(4, 2)
+    cw, ch, rot = crop_geometry(quad)
+    pts_std = np.array([[0, 0], [cw, 0], [cw, ch], [0, ch]], np.float32)
+    m1 = cv2.getPerspectiveTransform(pts_std, quad)
+    if rot:
+        # 90° CCW: rotated image (W', H') = (ch, cw);
+        # rotated (x, y) → crop (cw − 1 − y, x).
+        r = np.array([[0.0, -1.0, cw - 1.0],
+                      [1.0, 0.0, 0.0],
+                      [0.0, 0.0, 1.0]], np.float64)
+        return m1 @ r, ch, cw, True
+    return m1, cw, ch, False
+
+
 def build_native_crop_matrix(quad: np.ndarray) -> Tuple[np.ndarray, int, int]:
     """Matrix mapping NATIVE-resolution crop pixels → source pixels, with
     the tall-crop rotation folded in. Returns (matrix, rw, rh) where
@@ -374,19 +382,8 @@ def build_native_crop_matrix(quad: np.ndarray) -> Tuple[np.ndarray, int, int]:
     gathering ~3× fewer samples than a fused full-resolution warp.
     """
 
-    import cv2
-
-    quad = np.asarray(quad, np.float32).reshape(4, 2)
-    cw, ch, rot = crop_geometry(quad)
-    pts_std = np.array([[0, 0], [cw, 0], [cw, ch], [0, ch]], np.float32)
-    m1 = cv2.getPerspectiveTransform(pts_std, quad)
-    if rot:
-        r = np.array([[0.0, -1.0, cw - 1.0],
-                      [1.0, 0.0, 0.0],
-                      [0.0, 0.0, 1.0]], np.float64)
-        m1 = m1 @ r
-        return m1.astype(np.float32), ch, cw
-    return m1.astype(np.float32), cw, ch
+    m1, rw, rh, _ = _native_crop_matrix_f64(quad)
+    return m1.astype(np.float32), rw, rh
 
 
 def build_rec_crop_matrix(quad: np.ndarray, dst_w: int, dst_h: int) -> Tuple[np.ndarray, bool]:
@@ -402,21 +399,9 @@ def build_rec_crop_matrix(quad: np.ndarray, dst_w: int, dst_h: int) -> Tuple[np.
     Returns (matrix, rotated).
     """
 
-    import cv2
-
-    quad = np.asarray(quad, np.float32).reshape(4, 2)
-    cw, ch, rot = crop_geometry(quad)
-    pts_std = np.array([[0, 0], [cw, 0], [cw, ch], [0, ch]], np.float32)
-    m1 = cv2.getPerspectiveTransform(pts_std, quad)  # crop px → src px
-    if rot:
-        # 90° CCW: rotated image (W', H') = (ch, cw);
-        # rotated (x, y) → crop (cw − 1 − y, x).
-        r = np.array([[0.0, -1.0, cw - 1.0],
-                      [1.0, 0.0, 0.0],
-                      [0.0, 0.0, 1.0]], np.float64)
-        m1 = m1 @ r
-        rw, rh = ch, cw
-    else:
-        rw, rh = cw, ch
+    # composed on the shared f64 native matrix (the parity-critical
+    # pts_std / perspective-solve / rotate270 block lives in ONE place);
+    # full f64 through the product, one final f32 cast as before
+    m1, rw, rh, rot = _native_crop_matrix_f64(quad)
     m2 = resize_matrix(rh, rw, dst_h, dst_w).astype(np.float64)
     return (m1 @ m2).astype(np.float32), rot

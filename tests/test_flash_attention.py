@@ -20,6 +20,21 @@ def test_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_fully_masked_row_outputs_zeros(rng):
+    """valid_len == 0 (a fully-padded batch slot): every key is masked,
+    so the output must be exact zeros in BOTH paths — without the
+    explicit re-mask the kernel's p = exp(s − m_new) = 1 for every
+    masked key and the row silently became mean(V)."""
+    q, k, v = _qkv(rng)
+    vlen = jnp.array([0] * q.shape[0], jnp.int32)
+    out_k = np.asarray(flash_attention(q, k, v, valid_len=vlen,
+                                       use_pallas=True, interpret=True))
+    out_f = np.asarray(flash_attention(q, k, v, valid_len=vlen,
+                                       use_pallas=False))
+    assert np.all(out_k == 0.0)
+    assert np.all(out_f == 0.0)
+
+
 def test_causal(rng):
     q, k, v = _qkv(rng)
     ref = flash_attention(q, k, v, causal=True, use_pallas=False)

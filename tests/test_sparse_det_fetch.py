@@ -84,6 +84,28 @@ def test_tile_mask_matches_numpy(rng):
     assert np.array_equal(bits, expect)
 
 
+def test_tile_mask_nonbyte_tile_count(rng):
+    """Legal det buckets can yield a flat tile count that is NOT a
+    multiple of 8 (e.g. 704×4000 → 5500 tiles); the occupancy mask must
+    byte-pad instead of crashing pack_bits — the old failure was
+    swallowed as a 'tunnel flake' and silently disabled sparse det."""
+    b, h, w = 1, 32, 1280                     # nt = 2·40 = 80? no: use odd
+    # w8 = 160 → ntw = 40, nth = 2 → nt = 80 (multiple of 8); shrink to
+    # force nt % 8 != 0: w = 1120 → w8 = 140 → ntw = 35, nt = 70
+    w = 1120
+    nth, ntw = h // DET_TILE_H, (w // 8) // DET_TILE_W8
+    nt = nth * ntw
+    assert nt % 8 != 0
+    bitmap = (rng.random((b, h, w)) < 0.02).astype(np.uint8)
+    packed_dev = pack_bits(jnp.asarray(bitmap))
+    mask = np.asarray(tile_occupancy_mask(packed_dev))
+    assert mask.shape[-1] == (nt + 7) // 8
+    bits = np.unpackbits(mask, axis=-1, count=nt)
+    expect = (bitmap.reshape(b, nth, DET_TILE_H, ntw, DET_TILE_W8 * 8)
+              .any(axis=(2, 4)).reshape(b, -1).astype(np.uint8))
+    assert np.array_equal(bits, expect)
+
+
 def test_row_mask_matches_numpy(rng):
     b, h, w = 2, 32, 64
     bitmap = (rng.random((b, h, w)) < 0.05).astype(np.uint8)

@@ -31,6 +31,53 @@ def test_resize_matrix_matches_cv2(rng):
     assert np.median(diff) == 0.0
 
 
+def test_upscale_matches_cv2_at_borders(rng):
+    """Upscaling puts the first output row/col at a NEGATIVE source
+    coordinate (cv2 half-pixel: 0.5·s − 0.5 < 0 for s < 1); the
+    coordinate must border-clamp to pixel 0 like cv2, not blend pixels
+    0 and 1 with inverted weights (the clamp-after-floor regression)."""
+    img = _page(rng, h=8, w=10)
+    dst_h, dst_w = 32, 40                             # 4x upscale
+    ref = cv2.resize(img, (dst_w, dst_h), interpolation=cv2.INTER_LINEAR)
+    pages = jnp.asarray(img[None])
+    mats = jnp.asarray(resize_matrix(8, 10, dst_h, dst_w)[None])
+    out = np.asarray(sample_transform(
+        pages, mats, jnp.zeros(1, jnp.int32),
+        jnp.array([dst_w], jnp.int32), jnp.array([dst_h], jnp.int32),
+        out_h=dst_h, out_w=dst_w, norm=NormSpec.identity()))[0]
+    # the FIRST row/col are exactly the border-clamped samples cv2 makes
+    diff = np.abs(np.round(out) - ref.astype(np.float32))
+    assert diff[0].max() <= 1.0 and diff[:, 0].max() <= 1.0
+    assert diff.mean() < 0.2
+
+
+def test_warp_crops_pads_post_normalize_black(rng):
+    """Bucket padding beyond valid_w must be the post-normalize black
+    (−1 through x·2/255−1), matching separable_resize_normalize and the
+    reference's PaddingStrategy::Black — NOT 0.0 (mid-gray)."""
+    img = _page(rng)
+    mats = jnp.asarray(resize_matrix(48, 64, 48, 64)[None])
+    tiles = np.asarray(warp_crops(
+        jnp.asarray(img[None, :48, :64]), mats, jnp.zeros(1, jnp.int32),
+        jnp.array([40], jnp.int32), out_h=48, out_w=64))
+    assert np.all(tiles[0, :, 40:] == -1.0)
+    assert tiles[0, :, :40].std() > 0
+
+
+def test_grid_sample_border_clamps_negative_coords(rng):
+    """Coords in (−1, 0) must yield the border pixel (remap clamp), not
+    a 0/1 blend with inverted weights."""
+    from oar_ocr_tpu.ops.grid_sample import grid_sample
+
+    img = np.zeros((1, 4, 4, 1), np.float32)
+    img[0, :, 0, 0] = 100.0                      # col 0 bright
+    img[0, :, 1, 0] = 200.0
+    coords = np.zeros((1, 1, 1, 2), np.float32)
+    coords[0, 0, 0] = (-0.9, 1.0)                # x in (−1, 0)
+    out = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(coords)))
+    assert out[0, 0, 0, 0] == pytest.approx(100.0)   # border, not 190
+
+
 def test_axis_aligned_crop(rng):
     img = _page(rng)
     quad = np.array([[20, 30], [116, 30], [116, 62], [20, 62]], np.float32)
