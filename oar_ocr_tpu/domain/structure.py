@@ -32,6 +32,9 @@ class LayoutElementType(enum.Enum):
     FIGURE_TITLE = "figure_title"
     TABLE_TITLE = "table_title"
     CHART_TITLE = "chart_title"
+    # combined caption label ("figure_table_chart_title" | "caption",
+    # structure.rs:2011/2124) — sorts and renders as a vision title
+    FIGURE_TABLE_CHART_TITLE = "figure_table_chart_title"
     ABSTRACT = "abstract"
     CONTENT = "content"
     LIST = "list"
@@ -64,6 +67,8 @@ class LayoutElementType(enum.Enum):
     def from_label(cls, label: str) -> "LayoutElementType":
         """structure.rs:2103 — tolerant label parsing."""
         norm = label.strip().lower().replace("-", "_").replace(" ", "_")
+        if norm == "caption":                    # structure.rs:2124
+            return cls.FIGURE_TABLE_CHART_TITLE
         for t in cls:
             if t.value == norm:
                 return t
@@ -97,8 +102,12 @@ class LayoutElementType(enum.Enum):
 
     @property
     def excluded_from_markdown(self) -> bool:
+        # structure.rs:503-513 — PP-StructureV3 markdown ignores the
+        # auxiliary labels, FOOTNOTE included (ASIDE_TEXT is filtered at
+        # the same site in to_markdown)
         return self in (LayoutElementType.HEADER, LayoutElementType.FOOTER,
                         LayoutElementType.NUMBER,
+                        LayoutElementType.FOOTNOTE,
                         LayoutElementType.HEADER_IMAGE,
                         LayoutElementType.FOOTER_IMAGE)
 
@@ -106,7 +115,8 @@ class LayoutElementType(enum.Enum):
     def is_caption(self) -> bool:
         return self in (LayoutElementType.FIGURE_TITLE,
                         LayoutElementType.TABLE_TITLE,
-                        LayoutElementType.CHART_TITLE)
+                        LayoutElementType.CHART_TITLE,
+                        LayoutElementType.FIGURE_TABLE_CHART_TITLE)
 
     @property
     def is_header(self) -> bool:
@@ -324,7 +334,11 @@ class StructureResult:
                                and not get_seg_flag(el, prev_text))
 
             if t == T.DOC_TITLE:
-                cleaned = clean_ocr_text(el.text or "")
+                if el.text is None:
+                    # reference guards the whole branch on Some(text)
+                    # (structure.rs:550-565) — no stray bare "# " heading
+                    continue
+                cleaned = clean_ocr_text(el.text)
                 kw = cleaned.strip().rstrip(":").upper()
                 prefix = "## " if kw in ("ABSTRACT", "INTRODUCTION",
                                          "REFERENCES", "REFERENCE") else "# "
@@ -349,7 +363,28 @@ class StructureResult:
                     raw = raw[2:-2]
                 elif raw.startswith("$") and raw.endswith("$"):
                     raw = raw[1:-1]
-                parts.append(f"$${raw}$$")
+                # inline vs display (structure.rs:634-684): the nearest
+                # non-formula neighbor on BOTH sides must be same-line
+                # text — one-sided alignment is almost always a display
+                # equation
+                def _nearest(rng):
+                    for j in rng:
+                        tj = els[j].element_type
+                        if not (tj.is_formula or tj == T.FORMULA_NUMBER):
+                            return els[j]
+                    return None
+
+                def _inline_side(n):
+                    return (n is not None
+                            and n.element_type in (T.TEXT,
+                                                   T.REFERENCE_CONTENT)
+                            and _is_same_line(el.xyxy, n.xyxy))
+
+                if (parts and _inline_side(_nearest(range(idx - 1, -1, -1)))
+                        and _inline_side(_nearest(range(idx + 1, len(els))))):
+                    parts[-1] = parts[-1] + f"${raw}$ "
+                else:
+                    parts.append(f"$${raw}$$")
             elif t in (T.IMAGE, T.FIGURE, T.CHART):
                 kind = "chart" if t == T.CHART else "image"
                 parts.append(image_markdown(kind, el.xyxy, page_width))
@@ -358,7 +393,7 @@ class StructureResult:
                 if el.text:
                     seal += "\n> " + el.text
                 parts.append(seal)
-            elif t in (T.FIGURE_TITLE, T.TABLE_TITLE, T.CHART_TITLE):
+            elif t.is_caption:
                 if el.text:
                     parts.append('<div style="text-align: center;">'
                                  + clean_ocr_text(el.text) + " </div>")
@@ -482,6 +517,14 @@ class StructureResult:
             cv2.imwrite(path, crop[..., ::-1])
             count += 1
         return count
+
+
+def _is_same_line(a, b) -> bool:
+    """Vertical-overlap same-line test (structure.rs:1644-1662): overlap
+    must exceed 50% of the shorter box's height."""
+    overlap = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+    min_h = min(a[3] - a[1], b[3] - b[1])
+    return min_h > 0.0 and overlap / min_h > 0.5
 
 
 def concatenate_markdown_pages(pages: Sequence[StructureResult]) -> str:

@@ -161,7 +161,10 @@ def rotate_points_back(points: np.ndarray, rotation_deg: int,
 
 
 def clip_points(points: np.ndarray, w: int, h: int) -> np.ndarray:
-    p = np.asarray(points, dtype=np.float32)
+    # np.asarray returns the CALLER'S array when it is already f32 —
+    # copy so clipping never mutates the input (every sibling helper
+    # here returns a fresh array)
+    p = np.array(points, dtype=np.float32, copy=True)
     p[..., 0] = np.clip(p[..., 0], 0, w - 1)
     p[..., 1] = np.clip(p[..., 1], 0, h - 1)
     return p

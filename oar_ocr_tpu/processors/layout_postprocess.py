@@ -45,43 +45,61 @@ def _iou(a, b) -> float:
 
 def apply_nms_with_merge(boxes: Sequence[LayoutBox], *,
                          iou_thresh: float = 0.5,
-                         merge: bool = True) -> List[LayoutBox]:
+                         merge: bool = True,
+                         max_detections: Optional[int] = None
+                         ) -> List[LayoutBox]:
     """Greedy same-class NMS where suppressed boxes are MERGED into the
     keeper's extent instead of dropped (layout_postprocess.rs:743) — the
-    union box keeps the max score."""
+    union box keeps the max score. ``max_detections`` keeps the top-N by
+    score, and the kept results are re-sorted by each merged group's
+    EARLIEST original index (layout_postprocess.rs:811-830) so
+    PP-DocLayoutV2 pointer reading-order inputs keep their sequence."""
 
     order = sorted(range(len(boxes)), key=lambda i: -boxes[i].score)
     taken = [False] * len(boxes)
-    out: List[LayoutBox] = []
+    out: List[tuple] = []                        # (min original idx, box)
     for i in order:
         if taken[i]:
             continue
         taken[i] = True
         keeper = boxes[i]
         kx = list(keeper.xyxy)
+        order_idx = i
         for j in order:
             if taken[j] or boxes[j].label != keeper.label:
                 continue
             if _iou(kx, boxes[j].xyxy) > iou_thresh:
                 taken[j] = True
+                order_idx = min(order_idx, j)
                 if merge:
                     ox = boxes[j].xyxy
                     kx = [min(kx[0], ox[0]), min(kx[1], ox[1]),
                           max(kx[2], ox[2]), max(kx[3], ox[3])]
-        out.append(LayoutBox(label=keeper.label, score=keeper.score,
-                             box=np.array(kx, np.float32),
-                             order_index=keeper.order_index))
-    return out
+        out.append((order_idx, LayoutBox(
+            label=keeper.label, score=keeper.score,
+            box=np.array(kx, np.float32),
+            order_index=keeper.order_index)))
+    # score-based selection first (out is implicitly score-ordered),
+    # THEN restore input order within the kept set
+    if max_detections is not None:
+        out = out[:max_detections]
+    out.sort(key=lambda t: t[0])
+    return [b for _, b in out]
 
 
-def associate_ocr_with_layout(
+def best_containing_layout_index(
     ocr_boxes: Sequence[np.ndarray],
     layout_boxes: Sequence[LayoutBox],
     *,
     min_ioa: float = 0.5,
 ) -> List[Optional[int]]:
     """For each OCR box, the index of the layout box that best contains it,
-    or None (layout_utils.rs OCR↔layout association)."""
+    or None (layout_utils.rs OCR↔layout association).
+
+    Renamed from ``associate_ocr_with_layout``: a same-named sibling with
+    an incompatible signature lives in processors/layout_utils.py (the
+    matched/unmatched-split form) — importing from the wrong module
+    type-checked on the first two args and silently mis-associated."""
 
     out: List[Optional[int]] = []
     for box in ocr_boxes:

@@ -69,7 +69,8 @@ class OrderLabel(enum.Enum):
             return OrderLabel.REFERENCE
         if et in (T.IMAGE, T.FIGURE, T.TABLE, T.CHART, T.ALGORITHM):
             return OrderLabel.VISION
-        if et in (T.FIGURE_TITLE, T.TABLE_TITLE, T.CHART_TITLE):
+        if et in (T.FIGURE_TITLE, T.TABLE_TITLE, T.CHART_TITLE,
+                  T.FIGURE_TABLE_CHART_TITLE):
             return OrderLabel.VISION_TITLE
         if et in (T.SEAL, T.NUMBER, T.ASIDE_TEXT, T.FORMULA_NUMBER):
             return OrderLabel.UNORDERED

@@ -94,22 +94,32 @@ def sort_by_xycut(
     boxes = np.asarray([np.asarray(b, np.float32).reshape(4) for b in bboxes])
     idx = list(range(len(boxes)))
 
+    # Terminal (uncuttable-bucket) order is fixed by the top-level
+    # variant, NOT by the direction whose projection happened to fail
+    # last: recursive_yx_cut always emits x_sorted_indices
+    # (sorting.rs:363-367) and recursive_xy_cut emits y-sorted
+    # (sorting.rs:456-460). Sorting terminals by the retry direction
+    # reversed reading order for side-by-side blocks whose right block
+    # sits a few px higher.
+    if direction == SortDirection.VERTICAL:       # yx → x-order leaves
+        term_key = lambda i: (boxes[i][0], boxes[i][1])
+    else:                                         # xy → y-order leaves
+        term_key = lambda i: (boxes[i][1], boxes[i][0])
+
     def rec(indices: List[int], direction: SortDirection, depth: int) -> List[int]:
         if len(indices) <= 1:
             return indices
         sub = boxes[indices]
         if direction == SortDirection.VERTICAL:
             intervals = sub[:, [1, 3]]
-            sort_key = lambda i: (boxes[i][1], boxes[i][0])
         else:
             intervals = sub[:, [0, 2]]
-            sort_key = lambda i: (boxes[i][0], boxes[i][1])
         gaps = _projection_gaps(intervals, min_gap)
         nxt = (SortDirection.HORIZONTAL if direction == SortDirection.VERTICAL
                else SortDirection.VERTICAL)
         if not gaps:
             if depth > 0:
-                return sorted(indices, key=sort_key)
+                return sorted(indices, key=term_key)
             return rec(indices, nxt, depth + 1)
         cuts = [g[0] for g in gaps]
         buckets: List[List[int]] = [[] for _ in range(len(cuts) + 1)]

@@ -44,6 +44,19 @@ def test_xycut_two_columns():
     assert order == [1, 2, 0]
 
 
+def test_xycut_uncuttable_bucket_is_x_ordered():
+    """A row bucket whose x-projections overlap (no x gap) must come out
+    in x_min order (recursive_yx_cut emits x_sorted_indices,
+    sorting.rs:363-367) — NOT (y, x) order, which put a slightly-higher
+    right block before the left one."""
+    boxes = [
+        np.array([150, 96, 400, 128], np.float32),   # right, 4px higher
+        np.array([0, 100, 200, 130], np.float32),    # left (x-overlap)
+    ]
+    order = sort_by_xycut(boxes, SortDirection.VERTICAL, 1)
+    assert order == [1, 0]
+
+
 def test_xycut_rows():
     boxes = [
         np.array([0, 60, 100, 90], np.float32),

@@ -24,6 +24,56 @@ def test_from_label():
         LayoutElementType.PARAGRAPH_TITLE
     assert LayoutElementType.from_label("doc-title") == LayoutElementType.DOC_TITLE
     assert LayoutElementType.from_label("wat") == LayoutElementType.UNKNOWN
+    # "caption" | "figure_table_chart_title" → the combined caption type
+    # (structure.rs:2124), a vision title for ordering/rendering
+    assert LayoutElementType.from_label("caption") == \
+        LayoutElementType.FIGURE_TABLE_CHART_TITLE
+    assert LayoutElementType.FIGURE_TABLE_CHART_TITLE.is_caption
+
+
+def test_markdown_excludes_footnote_and_empty_doc_title():
+    """structure.rs:503-513: Footnote is an auxiliary label skipped by
+    markdown; a DocTitle with text=None renders nothing (no bare '# ')."""
+    from oar_ocr_tpu.domain.structure import StructureResult
+
+    els = [
+        _el(LayoutElementType.DOC_TITLE, [0, 0, 100, 20], text=None),
+        _el(LayoutElementType.FOOTNOTE, [0, 90, 100, 99],
+            text="a footnote"),
+        _el(LayoutElementType.TEXT, [0, 30, 100, 60], text="body."),
+    ]
+    md = StructureResult(elements=els).to_markdown()
+    assert "footnote" not in md
+    assert "#" not in md
+    assert "body." in md
+
+
+def test_markdown_inline_formula_between_same_line_text():
+    """A formula whose nearest neighbors on BOTH sides are same-line
+    text renders inline ($...$ glued to the flow); one-sided alignment
+    stays a display $$...$$ block (structure.rs:634-684)."""
+    from oar_ocr_tpu.domain.structure import StructureResult
+
+    def formula(box):
+        e = _el(LayoutElementType.FORMULA, box)
+        e.formula_latex = "x^2"
+        return e
+
+    inline = [
+        _el(LayoutElementType.TEXT, [0, 100, 80, 120], text="left"),
+        formula([90, 100, 140, 120]),
+        _el(LayoutElementType.TEXT, [150, 100, 240, 120], text="right"),
+    ]
+    md = StructureResult(elements=inline).to_markdown()
+    assert "$x^2$ " in md and "$$" not in md
+
+    display = [
+        _el(LayoutElementType.TEXT, [0, 40, 240, 60], text="above"),
+        formula([60, 100, 180, 130]),
+        _el(LayoutElementType.TEXT, [0, 160, 240, 180], text="below"),
+    ]
+    md2 = StructureResult(elements=display).to_markdown()
+    assert "$$x^2$$" in md2
 
 
 def test_should_ocr_taxonomy():

@@ -3,7 +3,7 @@ import pytest
 
 from oar_ocr_tpu.domain.layout import LayoutBox
 from oar_ocr_tpu.processors.layout_postprocess import (
-    apply_nms_with_merge, associate_ocr_with_layout, remove_overlapping_boxes,
+    apply_nms_with_merge, best_containing_layout_index, remove_overlapping_boxes,
     unclip_boxes)
 from oar_ocr_tpu.utils.image import (BatchLoadPolicy, crop_bounding_box,
                                      load_image, load_images, mask_regions,
@@ -39,6 +39,24 @@ class TestLayoutPost:
         out = apply_nms_with_merge(boxes, iou_thresh=0.3)
         assert len(out) == 2
 
+    def test_nms_merge_preserves_input_order_and_caps(self):
+        """Kept results come back sorted by each merged group's EARLIEST
+        original index (layout_postprocess.rs:811-830 — preserves the
+        PP-DocLayoutV2 pointer reading order), with max_detections
+        applied by score FIRST."""
+        boxes = [_lb("t", 0.4, [50, 50, 60, 60]),     # idx 0, low score
+                 _lb("t", 0.9, [0, 0, 10, 10]),       # idx 1, top score
+                 _lb("t", 0.5, [2, 2, 14, 12])]       # idx 2, merges → 1
+        out = apply_nms_with_merge(boxes, iou_thresh=0.3)
+        # input order: idx 0's box first, then the merged group (min 1)
+        assert [tuple(b.box[:2]) for b in out] == [(50.0, 50.0),
+                                                   (0.0, 0.0)]
+        capped = apply_nms_with_merge(boxes, iou_thresh=0.3,
+                                      max_detections=1)
+        # cap keeps the TOP-SCORING group (the merged one), not idx 0
+        assert len(capped) == 1
+        np.testing.assert_allclose(capped[0].box, [0, 0, 14, 12])
+
     def test_associate(self):
         layout = [_lb("text", 0.9, [0, 0, 100, 50]),
                   _lb("text", 0.9, [0, 60, 100, 120])]
@@ -46,7 +64,7 @@ class TestLayoutPost:
                np.array([[10, 5], [50, 5], [50, 40], [10, 40]], np.float32),
                np.array([[300, 300], [310, 300], [310, 310], [300, 310]],
                         np.float32)]
-        out = associate_ocr_with_layout(ocr, layout)
+        out = best_containing_layout_index(ocr, layout)
         assert out == [1, 0, None]
 
     def test_remove_overlapping(self):
